@@ -1,0 +1,149 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dimension builders — Spark-native rebuilds of the reference's
+  * dimension-load DML (reference: inserting-data.sql:22-118,
+  * creating-tables.sql:29-127).
+  *
+  * Key re-derivations for immutable columnar storage:
+  *  - SERIAL surrogate keys → row_number() over a documented natural-key
+  *    ordering (M4, deterministic and oracle-testable; SURVEY.md §5).
+  *  - ON CONFLICT DO UPDATE (key := key, a no-op) → union + dropDuplicates
+  *    on the natural key (M1 — exact semantics, set-oriented).
+  *  - ON CONFLICT DO NOTHING → left_anti join against existing keys, then
+  *    append (M2 — "keep existing" tie-break).
+  *
+  * Scale notes: dimensions are small by construction; the window for
+  * surrogate keys runs on dimension-sized data (single partition is fine).
+  * The distinct() scans over the fact-sized sources are map-side
+  * partial-aggregated by Spark's HashAggregate before the shuffle.
+  */
+object Dims {
+
+  /** Date dimension via sequence generation (M3 + F1, reference
+    * inserting-data.sql:38-44: generate_series 1-day + EXTRACT). */
+  def dateDim(spark: SparkSession, dir: String): DataFrame = {
+    val days = spark.sql(
+      "SELECT explode(sequence(DATE'1995-01-01', DATE'2002-12-31', interval 1 day)) AS d")
+    days
+      .withColumn("date_id",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .select(col("date_id"), col("d"),
+        year(col("d")).as("year").cast("long"),
+        month(col("d")).as("month").cast("long"),
+        dayofmonth(col("d")).as("day").cast("long"))
+  }
+
+  val dateDimSql: String =
+    """SELECT row_number() OVER (ORDER BY d) AS date_id, d,
+      |       CAST(year(d) AS BIGINT) AS year,
+      |       CAST(month(d) AS BIGINT) AS month,
+      |       CAST(day(d) AS BIGINT) AS day
+      |FROM (SELECT CAST(gs AS DATE) AS d
+      |      FROM generate_series(DATE '1995-01-01', DATE '2002-12-31', INTERVAL 1 DAY) t(gs))
+      |ORDER BY date_id""".stripMargin
+
+  /** Location dimension: two-source UNION-distinct + broadcast snowflake
+    * join + surrogate keys (U1 + M1 + M4 + J1, reference
+    * inserting-data.sql:22-30 — states from demographics UNION complaints). */
+  def locationDim(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val supp = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    val keys = cust.union(supp).distinct() // SQL UNION dedups; Spark union is UNION ALL
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    keys
+      .join(broadcast(nat), keys("nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("n_name").as("nation"), col("r_name").as("region"))
+      .withColumn("location_id",
+        row_number().over(Window.orderBy(col("nation"))).cast("long"))
+      .select("location_id", "nation", "region")
+      .orderBy("location_id")
+  }
+
+  val locationDimSql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |  UNION
+      |  SELECT DISTINCT s_nationkey FROM supplier
+      |)
+      |SELECT row_number() OVER (ORDER BY n_name) AS location_id,
+      |       n_name AS nation, r_name AS region
+      |FROM keys
+      |JOIN nation ON nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY location_id""".stripMargin
+
+  /** Category dimension: multi-column natural key upsert (M1 + F3,
+    * reference inserting-data.sql:74-86 — DISTINCT 4-tuple with COALESCE,
+    * ON CONFLICT DO UPDATE ≡ union + dropDuplicates on the key). */
+  def categoryDim(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val staged = part.select(
+      coalesce(col("p_brand"), lit("")).as("brand"),
+      coalesce(col("p_type"), lit("")).as("ptype"),
+      col("p_size").as("psize"))
+    // "existing" load = even part keys; upsert of the full set must dedup
+    val existing = part.filter(col("p_partkey") % 2 === 0).select(
+      coalesce(col("p_brand"), lit("")).as("brand"),
+      coalesce(col("p_type"), lit("")).as("ptype"),
+      col("p_size").as("psize"))
+    existing.union(staged)
+      .dropDuplicates("brand", "ptype", "psize")
+      .withColumn("category_id",
+        row_number().over(
+          Window.orderBy(col("brand"), col("ptype"), col("psize"))).cast("long"))
+      .select("category_id", "brand", "ptype", "psize")
+      .orderBy("category_id")
+  }
+
+  val categoryDimSql: String =
+    """WITH unioned AS (
+      |  SELECT coalesce(p_brand,'') AS brand, coalesce(p_type,'') AS ptype, p_size AS psize
+      |  FROM part WHERE p_partkey % 2 = 0
+      |  UNION ALL
+      |  SELECT coalesce(p_brand,''), coalesce(p_type,''), p_size FROM part
+      |), dedup AS (SELECT DISTINCT brand, ptype, psize FROM unioned)
+      |SELECT row_number() OVER (ORDER BY brand, ptype, psize) AS category_id,
+      |       brand, ptype, psize
+      |FROM dedup ORDER BY category_id""".stripMargin
+
+  /** Company dimension: insert-if-absent (M2 + A7, reference
+    * inserting-data.sql:61-65 + 44/57/104 ON CONFLICT DO NOTHING —
+    * left_anti join against existing keys, then append). */
+  def companyDim(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val existing = sup.filter(col("s_suppkey") <= 5).select(col("s_name").as("company"))
+    val incoming = li
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .select(col("s_name").as("company")).distinct()
+    val fresh = incoming.join(existing, Seq("company"), "left_anti")
+    existing.union(fresh)
+      .withColumn("company_id",
+        row_number().over(Window.orderBy(col("company"))).cast("long"))
+      .select("company_id", "company")
+      .orderBy("company_id")
+  }
+
+  val companyDimSql: String =
+    """WITH existing AS (
+      |  SELECT s_name AS company FROM supplier WHERE s_suppkey <= 5
+      |), incoming AS (
+      |  SELECT DISTINCT s_name AS company
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |), unioned AS (
+      |  SELECT company FROM existing
+      |  UNION ALL
+      |  SELECT company FROM incoming
+      |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.company = incoming.company)
+      |)
+      |SELECT row_number() OVER (ORDER BY company) AS company_id, company
+      |FROM unioned ORDER BY company_id""".stripMargin
+}
