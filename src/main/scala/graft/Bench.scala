@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark entry: runs every registered query on SPARK_GRAFT_SF_DIR and
+  * emits ONE machine-parseable JSON line on stdout (raw — build.sbt sets
+  * run/outputStrategy := StdoutOutput so sbt does not prefix it) and also
+  * writes it to BENCH_OUT (default bench_out.json) as a belt-and-braces
+  * channel for the driver.
+  *
+  * Each query gets one warm-up execution (session/codegen/broadcast warm)
+  * and one timed execution via the noop sink (full pipeline incl. final
+  * sort executes; nothing is collected to the driver).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,31 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { n => exec(n); n -> exec(n) } // warm-up, then timed
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"warm","n_queries":${results.size}}"""
+    println(line)
+    val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    try Files.writeString(Paths.get(out), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

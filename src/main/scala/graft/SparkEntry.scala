@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
+import graft.warehouse.{Dims, Facts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 registers here as a
@@ -16,12 +17,26 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_ratio_rank" -> ((s, d) => Queries.q1RatioRank(s, d))
+    "q1_ratio_rank" -> ((s, d) => Queries.q1RatioRank(s, d)),
+    "date_dim" -> ((s, d) => Dims.dateDim(s, d)),
+    "location_dim" -> ((s, d) => Dims.locationDim(s, d)),
+    "category_dim" -> ((s, d) => Dims.categoryDim(s, d)),
+    "company_dim" -> ((s, d) => Dims.companyDim(s, d)),
+    "fact_multijoin" -> ((s, d) => Facts.factMultijoin(s, d)),
+    "expr_join_date_dim" -> ((s, d) => Facts.exprJoinDateDim(s, d)),
+    "nullsafe_join" -> ((s, d) => Facts.nullsafeJoin(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_ratio_rank" -> Queries.q1RatioRankSql
+    "q1_ratio_rank" -> Queries.q1RatioRankSql,
+    "date_dim" -> Dims.dateDimSql,
+    "location_dim" -> Dims.locationDimSql,
+    "category_dim" -> Dims.categoryDimSql,
+    "company_dim" -> Dims.companyDimSql,
+    "fact_multijoin" -> Facts.factMultijoinSql,
+    "expr_join_date_dim" -> Facts.exprJoinDateDimSql,
+    "nullsafe_join" -> Facts.nullsafeJoinSql
   )
 }

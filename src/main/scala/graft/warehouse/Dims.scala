@@ -121,8 +121,10 @@ object Dims {
     val sup = Tables.supplier(spark, dir)
     val li = Tables.lineitem(spark, dir)
     val existing = sup.filter(col("s_suppkey") <= 5).select(col("s_name").as("company"))
-    val incoming = li
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+    // Distinct the narrow int key BEFORE the name join: the map-side partial
+    // aggregate shuffles only distinct suppkeys, not fact-sized rows of names.
+    val incoming = li.select(col("l_suppkey")).distinct()
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
       .select(col("s_name").as("company")).distinct()
     val fresh = incoming.join(existing, Seq("company"), "left_anti")
     existing.union(fresh)

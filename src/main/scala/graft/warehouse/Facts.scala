@@ -10,9 +10,10 @@ import graft.Tables
   * key resolution joins (J1/J2), expression-keyed date-dimension joins
   * (J3), and null-safe key canonicalization (J4).
   *
-  * Scale notes: every dimension side is broadcast (no shuffle on the fact
-  * table); the only shuffles are the final groupBys. At 100 TB the fact
-  * scan is embarrassingly parallel and the join stays map-side.
+  * Scale notes: only the constant-size dimensions (nation, region, the
+  * generated date dim) are broadcast. customer/supplier/part grow with
+  * scale factor — broadcasting them would OOM at large SF, so those joins
+  * are left to AQE (shuffle-hash / sort-merge with runtime re-plan).
   */
 object Facts {
 
@@ -29,11 +30,11 @@ object Facts {
     val s = Tables.supplier(spark, dir)
     val p = Tables.part(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("r_name").as("region"), col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_items"),
