@@ -18,6 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_ratio_rank" -> ((s, d) => Queries.q1RatioRank(s, d)),
+    "q1b_disputed_rank" -> ((s, d) => Queries.q1bDisputedRank(s, d)),
+    "q1c_companies" -> ((s, d) => Queries.q1cCompanies(s, d)),
+    "q2_state_ratios" -> ((s, d) => Queries.q2StateRatios(s, d)),
+    "q3a_cf_view" -> ((s, d) => Queries.q3aCfView(s, d)),
+    "q3b_worst_issues" -> ((s, d) => Queries.q3bWorstIssues(s, d)),
     "date_dim" -> ((s, d) => Dims.dateDim(s, d)),
     "location_dim" -> ((s, d) => Dims.locationDim(s, d)),
     "category_dim" -> ((s, d) => Dims.categoryDim(s, d)),
@@ -31,6 +36,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_ratio_rank" -> Queries.q1RatioRankSql,
+    "q1b_disputed_rank" -> Queries.q1bDisputedRankSql,
+    "q1c_companies" -> Queries.q1cCompaniesSql,
+    "q2_state_ratios" -> Queries.q2StateRatiosSql,
+    "q3a_cf_view" -> Queries.q3aCfViewSql,
+    "q3b_worst_issues" -> Queries.q3bWorstIssuesSql,
     "date_dim" -> Dims.dateDimSql,
     "location_dim" -> Dims.locationDimSql,
     "category_dim" -> Dims.categoryDimSql,

@@ -9,17 +9,23 @@ import graft.Tables
 /** Analytical query surface — Spark-native rebuilds of the reference's
   * analysis.sql Q1–Q3 shapes (reference: analysis.sql:13-238), mapped onto
   * the driver corpus per FIXTURES.md: company→supplier.s_name,
-  * timely_response→(l_returnflag='N'), consumer_disputed→(l_linestatus='F').
+  * state→customer's nation (n_name), timely_response→(l_returnflag='N'),
+  * consumer_disputed→(l_linestatus='F'), category 4-tuple→
+  * (p_brand, p_type, o_orderpriority, o_orderstatus).
   *
   * Design notes for 100 TB scale:
-  *  - supplier/part/nation/region are dimension-sized → broadcast joins
-  *    (no shuffle on the fact side).
+  *  - nation/region are constant-size → broadcast. supplier/part/customer
+  *    scale with SF → no broadcast hint; AQE picks broadcast at small SF
+  *    and shuffle-hash/sort-merge at large SF.
   *  - the global (unpartitioned) RANK windows mirror analysis.sql:49-50;
   *    they run on the *aggregated* table (one row per company), which is
   *    dimension-sized even at 100 TB — the single-partition window is fine
   *    because the groupBy already reduced cardinality.
-  *  - ratios are computed on raw doubles (deterministic IEEE division) and
-  *    only rounded for presentation, so RANK ordering is engine-stable.
+  *  - ratios are count/count double divisions (deterministic IEEE ops on
+  *    both engines), so RANK ordering is engine-stable.
+  *  - every ROW_NUMBER / LIMIT the reference leaves tie-ambiguous
+  *    (analysis.sql:188-190, 202, 214, 229) gets an explicit tie-breaker
+  *    column so Spark and the DuckDB oracle agree (SURVEY.md §5).
   */
 object Queries {
 
@@ -76,4 +82,266 @@ object Queries {
       |FROM ranked
       |WHERE timely_rank <= 10 OR untimely_rank <= 10
       |ORDER BY timely_rank, s_name""".stripMargin
+
+  /** Q1b disputed twin (analysis.sql:63-107): identical shape to Q1a over
+    * the consumer_disputed measure. Operators: A1 A2 A3 A5 A8 W1 P6 O1. */
+  def q1bDisputedRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val agg = li
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(
+        count(lit(1)).as("total_responses"),
+        count(when(col("l_linestatus") === "F", 1)).as("disputed_count"),
+        count(when(col("l_linestatus") =!= "F", 1)).as("undisputed_count"))
+      .filter(col("total_responses") >= 10)
+    val raw = col("disputed_count") / col("total_responses")
+    val ranked = agg
+      .withColumn("disputed_rank", rank().over(Window.orderBy(raw.desc)).cast("long"))
+      .withColumn("undisputed_rank", rank().over(Window.orderBy(raw.asc)).cast("long"))
+    ranked
+      .filter(col("disputed_rank") <= 10 || col("undisputed_rank") <= 10)
+      .select(
+        col("s_name"), col("total_responses"),
+        round(raw, 6).as("disputed_response_ratio"),
+        round(lit(1) - raw, 6).as("undisputed_response_ratio"),
+        col("disputed_rank"), col("undisputed_rank"))
+      .orderBy(col("undisputed_rank"), col("s_name"))
+  }
+
+  val q1bDisputedRankSql: String =
+    """WITH agg AS (
+      |  SELECT s_name,
+      |         count(*) AS total_responses,
+      |         count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS disputed_count,
+      |         count(CASE WHEN l_linestatus <> 'F' THEN 1 END) AS undisputed_count
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY s_name
+      |  HAVING count(*) >= 10
+      |), ranked AS (
+      |  SELECT agg.*,
+      |         disputed_count / total_responses AS dr_raw,
+      |         RANK() OVER (ORDER BY disputed_count / total_responses DESC) AS disputed_rank,
+      |         RANK() OVER (ORDER BY disputed_count / total_responses ASC)  AS undisputed_rank
+      |  FROM agg
+      |)
+      |SELECT s_name, total_responses,
+      |       round(dr_raw, 6) AS disputed_response_ratio,
+      |       round(1 - dr_raw, 6) AS undisputed_response_ratio,
+      |       disputed_rank, undisputed_rank
+      |FROM ranked
+      |WHERE disputed_rank <= 10 OR undisputed_rank <= 10
+      |ORDER BY undisputed_rank, s_name""".stripMargin
+
+  /** SQL fragment shared by Q1c/Q2/Q3: the distinct company list from the
+    * union of Q1a and Q1b winners (analysis.sql:110-116). DuckDB CTEs. */
+  private val companiesCteSql: String =
+    """agg1 AS (
+      |  SELECT s_name, count(*) AS total_responses,
+      |         count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS timely_responses
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY s_name HAVING count(*) >= 10
+      |), r1 AS (
+      |  SELECT s_name,
+      |         RANK() OVER (ORDER BY timely_responses / total_responses DESC) AS tr,
+      |         RANK() OVER (ORDER BY timely_responses / total_responses ASC)  AS ur
+      |  FROM agg1
+      |), agg2 AS (
+      |  SELECT s_name, count(*) AS total_responses,
+      |         count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS disputed_count
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY s_name HAVING count(*) >= 10
+      |), r2 AS (
+      |  SELECT s_name,
+      |         RANK() OVER (ORDER BY disputed_count / total_responses DESC) AS dr,
+      |         RANK() OVER (ORDER BY disputed_count / total_responses ASC)  AS udr
+      |  FROM agg2
+      |), comp AS (
+      |  SELECT s_name AS company FROM r1 WHERE tr <= 10 OR ur <= 10
+      |  UNION
+      |  SELECT s_name FROM r2 WHERE dr <= 10 OR udr <= 10
+      |)""".stripMargin
+
+  /** Q1c (analysis.sql:110-116): distinct union of the Q1a and Q1b company
+    * lists. Operators: U2 A7. Spark union is UNION ALL → explicit distinct. */
+  def q1cCompanies(spark: SparkSession, dir: String): DataFrame =
+    q1RatioRank(spark, dir).select(col("s_name").as("company"))
+      .union(q1bDisputedRank(spark, dir).select(col("s_name").as("company")))
+      .distinct()
+      .orderBy("company")
+
+  val q1cCompaniesSql: String =
+    s"""WITH $companiesCteSql
+       |SELECT company FROM comp ORDER BY company""".stripMargin
+
+  /** The temp_cf analog (analysis.sql:159-165 inner select): the denormalized
+    * complaint-fact view joining all dimensions. nation/region broadcast;
+    * supplier/part/customer joins left to AQE (they scale with SF). */
+  private def cfBase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .select(
+        col("s_name").as("company"), col("n_name").as("state"),
+        year(col("l_shipdate")).cast("long").as("year"),
+        month(col("l_shipdate")).cast("long").as("month"),
+        col("p_brand").as("product"), col("p_type").as("sub_product"),
+        col("o_orderpriority").as("issue"), col("o_orderstatus").as("sub_issue"),
+        when(col("l_returnflag") === "N", 1).otherwise(0).as("timely_response"),
+        when(col("l_linestatus") === "F", 1).otherwise(0).as("consumer_disputed"))
+  }
+
+  private val cfBaseCteSql: String =
+    """cf AS (
+      |  SELECT s_name AS company, n_name AS state,
+      |         CAST(year(l_shipdate) AS BIGINT) AS year,
+      |         CAST(month(l_shipdate) AS BIGINT) AS month,
+      |         p_brand AS product, p_type AS sub_product,
+      |         o_orderpriority AS issue, o_orderstatus AS sub_issue,
+      |         CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS timely_response,
+      |         CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS consumer_disputed
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN part     ON l_partkey = p_partkey
+      |)""".stripMargin
+
+  /** Q2 (analysis.sql:125-149): per company/state timely ratio and
+    * not-disputed ratio, restricted to the Q1c company list via semi-join.
+    * Operators: J5(left_semi) A1 A3 A6 A8 F6 O1. */
+  def q2StateRatios(spark: SparkSession, dir: String): DataFrame = {
+    val cf = cfBase(spark, dir)
+    val comp = q1cCompanies(spark, dir)
+    cf.join(broadcast(comp), Seq("company"), "left_semi")
+      .groupBy(col("company"), col("state"))
+      .agg(
+        count(lit(1)).as("total_cases"),
+        (count(when(col("timely_response") === 1, 1)) / count(lit(1)))
+          .as("timely_response_ratio"),
+        (lit(1) - count(when(col("consumer_disputed") === 1, 1)) / count(lit(1)))
+          .as("consumer_disputed_false"))
+      .orderBy(col("timely_response_ratio").desc, col("company"), col("state"))
+  }
+
+  val q2StateRatiosSql: String =
+    s"""WITH $companiesCteSql, $cfBaseCteSql
+       |SELECT company, state, count(*) AS total_cases,
+       |       count(CASE WHEN timely_response = 1 THEN 1 END) / count(*) AS timely_response_ratio,
+       |       1 - count(CASE WHEN consumer_disputed = 1 THEN 1 END) / count(*) AS consumer_disputed_false
+       |FROM cf
+       |WHERE company IN (SELECT company FROM comp)
+       |GROUP BY company, state
+       |ORDER BY timely_response_ratio DESC, company, state""".stripMargin
+
+  /** Q3a (analysis.sql:155-173): the temp_cf materialization — 8-column
+    * grouped drill-down over the denormalized view, restricted to the Q1c
+    * companies. Operators: A4 A6 J5 S5(cached intermediate in q3b). */
+  def q3aCfView(spark: SparkSession, dir: String): DataFrame = {
+    val cf = cfBase(spark, dir)
+    val comp = q1cCompanies(spark, dir)
+    cf.join(broadcast(comp), Seq("company"), "left_semi")
+      .groupBy(col("company"), col("state"), col("year"), col("month"),
+        col("product"), col("sub_product"), col("issue"), col("sub_issue"))
+      .agg(
+        count(lit(1)).as("total_cases"),
+        sum(col("timely_response")).as("timely_responses"),
+        sum(col("consumer_disputed")).as("consumer_disputed"))
+  }
+
+  private val tempCfCteSql: String =
+    s"""$companiesCteSql, $cfBaseCteSql, temp_cf AS (
+       |  SELECT company, state, year, month, product, sub_product, issue, sub_issue,
+       |         count(*) AS total_cases,
+       |         CAST(sum(timely_response) AS BIGINT) AS timely_responses,
+       |         CAST(sum(consumer_disputed) AS BIGINT) AS consumer_disputed
+       |  FROM cf
+       |  WHERE company IN (SELECT company FROM comp)
+       |  GROUP BY company, state, year, month, product, sub_product, issue, sub_issue
+       |)""".stripMargin
+
+  val q3aCfViewSql: String =
+    s"""WITH $tempCfCteSql
+       |SELECT * FROM temp_cf""".stripMargin
+
+  /** Q3b (analysis.sql:178-238): four-CTE chain — top-5 companies by timely
+    * ratio (ORDER BY + LIMIT with explicit company tie-break), self-join-back
+    * to the cached temp_cf, weakest-product partitioned ROW_NUMBER, tuple-IN
+    * semi-join, worst-issues ROW_NUMBER, conjunctive rank+ratio filter.
+    * Faithful to the reference's quirk of comparing the *summed*
+    * timely_responses to 1 (analysis.sql:182, 201, 213, 228) and of joining
+    * Top5Information without dedup (row multiplication cancels in ratios).
+    * Operators: O3 J6 J7 W2 W3 P7 S5. */
+  def q3bWorstIssues(spark: SparkSession, dir: String): DataFrame = {
+    val tempCf = q3aCfView(spark, dir).cache() // scanned 3× (analysis.sql:194,216,231)
+    val ratio = count(when(col("timely_responses") === 1, 1)) / count(lit(1))
+    val top5 = tempCf
+      .groupBy(col("company"))
+      .agg(ratio.as("timely_response_ratio"))
+      .orderBy(col("timely_response_ratio").desc, col("company")) // tie-break (§5)
+      .limit(5)
+      .select("company")
+    val top5Info = tempCf.join(broadcast(top5), Seq("company"))
+    val weakest = tempCf
+      .join(top5Info.select("company", "state"),
+        Seq("company", "state")) // no dedup — faithful row multiplication; AQE sizes the join
+      .groupBy(col("company"), col("state"), col("product"))
+      .agg(ratio.as("timely_response_ratio"))
+      .withColumn("product_rank",
+        row_number().over(Window.partitionBy(col("company"), col("state"))
+          .orderBy(col("timely_response_ratio").asc, col("product"))).cast("long"))
+    val weakestKeys = weakest.filter(col("product_rank") <= 2)
+      .select("company", "state", "product")
+    tempCf
+      .join(broadcast(weakestKeys), Seq("company", "state", "product"), "left_semi")
+      .groupBy(col("company"), col("state"), col("product"), col("issue"))
+      .agg(ratio.as("timely_response_ratio"))
+      .withColumn("issue_rank",
+        row_number().over(
+          Window.partitionBy(col("company"), col("state"), col("product"))
+            .orderBy(col("timely_response_ratio").asc, col("issue"))).cast("long"))
+      .filter(col("issue_rank") <= 2 && col("timely_response_ratio") < 1)
+      .orderBy("company", "state", "product", "issue")
+  }
+
+  val q3bWorstIssuesSql: String =
+    s"""WITH $tempCfCteSql, top5 AS (
+       |  SELECT company,
+       |         count(CASE WHEN timely_responses = 1 THEN 1 END) / count(*) AS timely_response_ratio
+       |  FROM temp_cf GROUP BY company
+       |  ORDER BY timely_response_ratio DESC, company LIMIT 5
+       |), top5_info AS (
+       |  SELECT cf.* FROM temp_cf cf JOIN top5 USING (company)
+       |), weakest AS (
+       |  SELECT cf.company, cf.state, cf.product,
+       |         count(CASE WHEN cf.timely_responses = 1 THEN 1 END) / count(*) AS timely_response_ratio,
+       |         ROW_NUMBER() OVER (PARTITION BY cf.company, cf.state
+       |           ORDER BY count(CASE WHEN cf.timely_responses = 1 THEN 1 END) / count(*) ASC,
+       |                    cf.product) AS product_rank
+       |  FROM temp_cf cf
+       |  JOIN (SELECT company, state FROM top5_info) t5i
+       |    ON cf.company = t5i.company AND cf.state = t5i.state
+       |  GROUP BY cf.company, cf.state, cf.product
+       |)
+       |SELECT company, state, product, issue,
+       |       count(CASE WHEN timely_responses = 1 THEN 1 END) / count(*) AS timely_response_ratio,
+       |       ROW_NUMBER() OVER (PARTITION BY company, state, product
+       |         ORDER BY count(CASE WHEN timely_responses = 1 THEN 1 END) / count(*) ASC,
+       |                  issue) AS issue_rank
+       |FROM temp_cf
+       |WHERE (company, state, product) IN
+       |      (SELECT (company, state, product) FROM weakest WHERE product_rank <= 2)
+       |GROUP BY company, state, product, issue
+       |QUALIFY issue_rank <= 2 AND timely_response_ratio < 1
+       |ORDER BY company, state, product, issue""".stripMargin
 }
