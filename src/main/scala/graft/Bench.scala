@@ -34,7 +34,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { n => exec(n); n -> exec(n) } // warm-up, then timed
+    val results = names.map { n =>
+      exec(n) // warm-up (also populates any .cache() the query declares)
+      val t = n -> exec(n) // timed, cache-warm
+      // Drop cached blocks between queries so per-query .cache() calls
+      // (e.g. q3b's temp_cf) don't accumulate memory across the suite.
+      spark.catalog.clearCache()
+      t
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -84,7 +84,11 @@ object Queries {
       |ORDER BY timely_rank, s_name""".stripMargin
 
   /** Q1b disputed twin (analysis.sql:63-107): identical shape to Q1a over
-    * the consumer_disputed measure. Operators: A1 A2 A3 A5 A8 W1 P6 O1. */
+    * the consumer_disputed measure. The undisputed rank/ratio come directly
+    * from undisputed_count (mirroring the reference's ORDER BY
+    * undisputed_response_ratio DESC, analysis.sql:99-100) rather than as
+    * complements of the disputed ratio — the complement identity only holds
+    * for non-null binary flags. Operators: A1 A2 A3 A5 A8 W1 P6 O1. */
   def q1bDisputedRank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val sup = Tables.supplier(spark, dir)
@@ -96,16 +100,17 @@ object Queries {
         count(when(col("l_linestatus") === "F", 1)).as("disputed_count"),
         count(when(col("l_linestatus") =!= "F", 1)).as("undisputed_count"))
       .filter(col("total_responses") >= 10)
-    val raw = col("disputed_count") / col("total_responses")
+    val dRaw = col("disputed_count") / col("total_responses")
+    val uRaw = col("undisputed_count") / col("total_responses")
     val ranked = agg
-      .withColumn("disputed_rank", rank().over(Window.orderBy(raw.desc)).cast("long"))
-      .withColumn("undisputed_rank", rank().over(Window.orderBy(raw.asc)).cast("long"))
+      .withColumn("disputed_rank", rank().over(Window.orderBy(dRaw.desc)).cast("long"))
+      .withColumn("undisputed_rank", rank().over(Window.orderBy(uRaw.desc)).cast("long"))
     ranked
       .filter(col("disputed_rank") <= 10 || col("undisputed_rank") <= 10)
       .select(
         col("s_name"), col("total_responses"),
-        round(raw, 6).as("disputed_response_ratio"),
-        round(lit(1) - raw, 6).as("undisputed_response_ratio"),
+        round(dRaw, 6).as("disputed_response_ratio"),
+        round(uRaw, 6).as("undisputed_response_ratio"),
         col("disputed_rank"), col("undisputed_rank"))
       .orderBy(col("undisputed_rank"), col("s_name"))
   }
@@ -122,54 +127,75 @@ object Queries {
       |), ranked AS (
       |  SELECT agg.*,
       |         disputed_count / total_responses AS dr_raw,
-      |         RANK() OVER (ORDER BY disputed_count / total_responses DESC) AS disputed_rank,
-      |         RANK() OVER (ORDER BY disputed_count / total_responses ASC)  AS undisputed_rank
+      |         undisputed_count / total_responses AS ur_raw,
+      |         RANK() OVER (ORDER BY disputed_count / total_responses DESC)   AS disputed_rank,
+      |         RANK() OVER (ORDER BY undisputed_count / total_responses DESC) AS undisputed_rank
       |  FROM agg
       |)
       |SELECT s_name, total_responses,
       |       round(dr_raw, 6) AS disputed_response_ratio,
-      |       round(1 - dr_raw, 6) AS undisputed_response_ratio,
+      |       round(ur_raw, 6) AS undisputed_response_ratio,
       |       disputed_rank, undisputed_rank
       |FROM ranked
       |WHERE disputed_rank <= 10 OR undisputed_rank <= 10
       |ORDER BY undisputed_rank, s_name""".stripMargin
 
   /** SQL fragment shared by Q1c/Q2/Q3: the distinct company list from the
-    * union of Q1a and Q1b winners (analysis.sql:110-116). DuckDB CTEs. */
+    * union of Q1a and Q1b winners (analysis.sql:110-116). Both CTE chains
+    * aggregate the same join with the same HAVING floor, so the union of the
+    * two rank-filtered lists equals a single aggregation with all four ranks
+    * and a disjunctive filter — one fact scan instead of two. */
   private val companiesCteSql: String =
-    """agg1 AS (
+    """stats AS (
       |  SELECT s_name, count(*) AS total_responses,
-      |         count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS timely_responses
+      |         count(CASE WHEN l_returnflag = 'N' THEN 1 END)  AS timely_responses,
+      |         count(CASE WHEN l_linestatus = 'F' THEN 1 END)  AS disputed_count,
+      |         count(CASE WHEN l_linestatus <> 'F' THEN 1 END) AS undisputed_count
       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |  GROUP BY s_name HAVING count(*) >= 10
-      |), r1 AS (
+      |), rstats AS (
       |  SELECT s_name,
-      |         RANK() OVER (ORDER BY timely_responses / total_responses DESC) AS tr,
-      |         RANK() OVER (ORDER BY timely_responses / total_responses ASC)  AS ur
-      |  FROM agg1
-      |), agg2 AS (
-      |  SELECT s_name, count(*) AS total_responses,
-      |         count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS disputed_count
-      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |  GROUP BY s_name HAVING count(*) >= 10
-      |), r2 AS (
-      |  SELECT s_name,
-      |         RANK() OVER (ORDER BY disputed_count / total_responses DESC) AS dr,
-      |         RANK() OVER (ORDER BY disputed_count / total_responses ASC)  AS udr
-      |  FROM agg2
+      |         RANK() OVER (ORDER BY timely_responses / total_responses DESC)  AS tr,
+      |         RANK() OVER (ORDER BY timely_responses / total_responses ASC)   AS ur,
+      |         RANK() OVER (ORDER BY disputed_count / total_responses DESC)    AS dr,
+      |         RANK() OVER (ORDER BY undisputed_count / total_responses DESC)  AS udr
+      |  FROM stats
       |), comp AS (
-      |  SELECT s_name AS company FROM r1 WHERE tr <= 10 OR ur <= 10
-      |  UNION
-      |  SELECT s_name FROM r2 WHERE dr <= 10 OR udr <= 10
+      |  SELECT s_name AS company FROM rstats
+      |  WHERE tr <= 10 OR ur <= 10 OR dr <= 10 OR udr <= 10
       |)""".stripMargin
 
   /** Q1c (analysis.sql:110-116): distinct union of the Q1a and Q1b company
-    * lists. Operators: U2 A7. Spark union is UNION ALL → explicit distinct. */
-  def q1cCompanies(spark: SparkSession, dir: String): DataFrame =
-    q1RatioRank(spark, dir).select(col("s_name").as("company"))
-      .union(q1bDisputedRank(spark, dir).select(col("s_name").as("company")))
-      .distinct()
+    * lists. Operators: U2 A7. Both lists come from the same per-company
+    * aggregate (same join, same HAVING), so instead of two fact scans
+    * union-ed (Spark union is UNION ALL → would need distinct), this computes
+    * ONE aggregation, all four ranks over it, and a disjunctive filter —
+    * set-identical output, half the fact I/O. groupBy guarantees s_name
+    * uniqueness, so no distinct is needed. */
+  def q1cCompanies(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val stats = li
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(
+        count(lit(1)).as("total_responses"),
+        count(when(col("l_returnflag") === "N", 1)).as("timely_responses"),
+        count(when(col("l_linestatus") === "F", 1)).as("disputed_count"),
+        count(when(col("l_linestatus") =!= "F", 1)).as("undisputed_count"))
+      .filter(col("total_responses") >= 10)
+    val t = col("timely_responses") / col("total_responses")
+    val d = col("disputed_count") / col("total_responses")
+    val u = col("undisputed_count") / col("total_responses")
+    stats
+      .withColumn("tr", rank().over(Window.orderBy(t.desc)))
+      .withColumn("ur", rank().over(Window.orderBy(t.asc)))
+      .withColumn("dr", rank().over(Window.orderBy(d.desc)))
+      .withColumn("udr", rank().over(Window.orderBy(u.desc)))
+      .filter(col("tr") <= 10 || col("ur") <= 10 || col("dr") <= 10 || col("udr") <= 10)
+      .select(col("s_name").as("company"))
       .orderBy("company")
+  }
 
   val q1cCompaniesSql: String =
     s"""WITH $companiesCteSql
@@ -279,9 +305,21 @@ object Queries {
     * to the cached temp_cf, weakest-product partitioned ROW_NUMBER, tuple-IN
     * semi-join, worst-issues ROW_NUMBER, conjunctive rank+ratio filter.
     * Faithful to the reference's quirk of comparing the *summed*
-    * timely_responses to 1 (analysis.sql:182, 201, 213, 228) and of joining
-    * Top5Information without dedup (row multiplication cancels in ratios).
-    * Operators: O3 J6 J7 W2 W3 P7 S5. */
+    * timely_responses to 1 (analysis.sql:182, 201, 213, 228).
+    *
+    * The reference joins temp_cf back to Top5Information without dedup
+    * (analysis.sql:192-196), multiplying every temp_cf row of a
+    * (company, state) group by that group's Top5Information row count m.
+    * The downstream aggregate is a ratio count(CASE…)/count(*) per
+    * (company, state, product); both counts scale by the same per-group m,
+    * and IEEE division is correctly rounded, so (a·m)/(b·m) and a/b yield
+    * the same double. The join is therefore replaced by a broadcast
+    * left-semi against the top-5 list — identical output, and the quadratic
+    * row blow-up (the reference's 23 s hot spot at sf0.1) disappears.
+    * Semi-joining on company alone is equivalent to semi-joining on the
+    * distinct (company, state) pairs of Top5Information: every temp_cf row
+    * of a top-5 company has its (company, state) present there by
+    * construction. Operators: O3 J6 J7 W2 W3 P7 S5. */
   def q3bWorstIssues(spark: SparkSession, dir: String): DataFrame = {
     val tempCf = q3aCfView(spark, dir).cache() // scanned 3× (analysis.sql:194,216,231)
     val ratio = count(when(col("timely_responses") === 1, 1)) / count(lit(1))
@@ -291,10 +329,8 @@ object Queries {
       .orderBy(col("timely_response_ratio").desc, col("company")) // tie-break (§5)
       .limit(5)
       .select("company")
-    val top5Info = tempCf.join(broadcast(top5), Seq("company"))
     val weakest = tempCf
-      .join(top5Info.select("company", "state"),
-        Seq("company", "state")) // no dedup — faithful row multiplication; AQE sizes the join
+      .join(broadcast(top5), Seq("company"), "left_semi")
       .groupBy(col("company"), col("state"), col("product"))
       .agg(ratio.as("timely_response_ratio"))
       .withColumn("product_rank",
@@ -320,17 +356,19 @@ object Queries {
        |         count(CASE WHEN timely_responses = 1 THEN 1 END) / count(*) AS timely_response_ratio
        |  FROM temp_cf GROUP BY company
        |  ORDER BY timely_response_ratio DESC, company LIMIT 5
-       |), top5_info AS (
-       |  SELECT cf.* FROM temp_cf cf JOIN top5 USING (company)
        |), weakest AS (
+       |  -- The reference's non-deduped Top5Information join-back
+       |  -- (analysis.sql:192-196) multiplies numerator and denominator of the
+       |  -- per-(company,state,product) ratio by the same factor; correctly
+       |  -- rounded IEEE division makes that a no-op, so a company semi-join
+       |  -- is value-identical (see q3bWorstIssues scaladoc).
        |  SELECT cf.company, cf.state, cf.product,
        |         count(CASE WHEN cf.timely_responses = 1 THEN 1 END) / count(*) AS timely_response_ratio,
        |         ROW_NUMBER() OVER (PARTITION BY cf.company, cf.state
        |           ORDER BY count(CASE WHEN cf.timely_responses = 1 THEN 1 END) / count(*) ASC,
        |                    cf.product) AS product_rank
        |  FROM temp_cf cf
-       |  JOIN (SELECT company, state FROM top5_info) t5i
-       |    ON cf.company = t5i.company AND cf.state = t5i.state
+       |  WHERE cf.company IN (SELECT company FROM top5)
        |  GROUP BY cf.company, cf.state, cf.product
        |)
        |SELECT company, state, product, issue,
