@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
-import graft.warehouse.{Dims, Facts}
+import graft.warehouse.{Dims, Facts, Scd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 registers here as a
@@ -29,7 +29,9 @@ object SparkEntry {
     "company_dim" -> ((s, d) => Dims.companyDim(s, d)),
     "fact_multijoin" -> ((s, d) => Facts.factMultijoin(s, d)),
     "expr_join_date_dim" -> ((s, d) => Facts.exprJoinDateDim(s, d)),
-    "nullsafe_join" -> ((s, d) => Facts.nullsafeJoin(s, d))
+    "nullsafe_join" -> ((s, d) => Facts.nullsafeJoin(s, d)),
+    "scd2_resolution" -> ((s, d) => Scd.scd2Resolution(s, d)),
+    "scd3_issue" -> ((s, d) => Scd.scd3Issue(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,6 +49,8 @@ object SparkEntry {
     "company_dim" -> Dims.companyDimSql,
     "fact_multijoin" -> Facts.factMultijoinSql,
     "expr_join_date_dim" -> Facts.exprJoinDateDimSql,
-    "nullsafe_join" -> Facts.nullsafeJoinSql
+    "nullsafe_join" -> Facts.nullsafeJoinSql,
+    "scd2_resolution" -> Scd.scd2ResolutionSql,
+    "scd3_issue" -> Scd.scd3IssueSql
   )
 }

@@ -1,0 +1,245 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch SCD Type 2 / Type 3 kernels — set-oriented rebuilds of the
+  * reference's per-row PL/pgSQL triggers (M6/M7, the only nontrivial
+  * bespoke logic in the reference; SURVEY.md §2.8).
+  *
+  * Reference semantics being reproduced:
+  *  - SCD2 (creating-tables.sql:221-239, fired by inserting-data.sql:111-118):
+  *    BEFORE INSERT on resolution_dimension, close out every existing row of
+  *    the incoming key — `set end_date = current_date, active = false where
+  *    complain_number = new.complain_number` (note: the reference has NO
+  *    `active = true` guard, so even already-closed versions get their
+  *    end_date bumped — reproduced faithfully) — then the new row lands with
+  *    (start_date = current_date, end_date = '2099-12-31', active = true).
+  *  - SCD3 (creating-tables.sql:244-270): BEFORE INSERT on issue_dimension,
+  *    when the stored consumer_consent IS DISTINCT FROM the incoming one,
+  *    copy it to consumer_consent_old, overwrite with the new value, and
+  *    stamp effective_date; unmatched keys insert fresh (shadow column '',
+  *    per the initial load inserting-data.sql:94-104). The reference's
+  *    trigger references OLD inside a BEFORE INSERT trigger (undefined in
+  *    PostgreSQL) — the stored row's value is the only sensible reading.
+  *
+  * `current_date` is replaced by an explicit as-of parameter (F5) so runs
+  * are deterministic and oracle-testable (SURVEY.md §5).
+  *
+  * Scale notes: both kernels are two joins on the dimension key — the
+  * close-out/update marker join and the insert-if-absent anti-join. No
+  * broadcast hints: the incoming batch is usually far smaller than the
+  * dimension, and AQE picks broadcast when it is; both sides scale, so a
+  * static hint would OOM at large SF. No windows, no collects — the whole
+  * kernel is shuffle-partitioned on the key.
+  */
+object Scd {
+
+  /** SCD2 batch apply. `existing` carries the full dimension schema
+    * including start_date/end_date/active; `incoming` carries the key +
+    * attribute columns only (one row per key). All existing versions of an
+    * incoming key are closed out (end_date = asOf, active = false — the
+    * reference's unguarded UPDATE), then incoming rows are appended as the
+    * new active versions. */
+  def scd2Apply(existing: DataFrame, incoming: DataFrame, key: String,
+                asOf: String): DataFrame = {
+    val hitKeys = incoming.select(col(key)).distinct().withColumn("__hit", lit(true))
+    val closed = existing
+      .join(hitKeys, Seq(key), "left")
+      .withColumn("end_date",
+        when(col("__hit"), lit(asOf).cast("date")).otherwise(col("end_date")))
+      .withColumn("active",
+        when(col("__hit"), lit(false)).otherwise(col("active")))
+      .drop("__hit")
+    val fresh = incoming
+      .withColumn("start_date", lit(asOf).cast("date"))
+      .withColumn("end_date", lit("2099-12-31").cast("date"))
+      .withColumn("active", lit(true))
+    closed.unionByName(fresh)
+  }
+
+  /** SCD3 batch apply. `existing` carries key + attributes + the tracked
+    * column, its `<tracked>_old` shadow, and effective_date; `incoming`
+    * carries key + the same attribute/tracked columns (one row per key,
+    * tracked value non-null — the reference COALESCEs to '',
+    * inserting-data.sql:99). Matched keys with a distinct tracked value get
+    * shadow-copied + restamped; matched keys with an equal value are
+    * untouched (the reference's ON CONFLICT DO NOTHING suppresses the
+    * insert); unmatched keys insert fresh with an empty shadow. */
+  def scd3Apply(existing: DataFrame, incoming: DataFrame, key: String,
+                tracked: String, asOf: String): DataFrame = {
+    val old = s"${tracked}_old"
+    val inNew = incoming.select(col(key), col(tracked).as("__new"))
+    val changed = col("__new").isNotNull && !(col("__new") <=> col(tracked))
+    val updated = existing
+      .join(inNew, Seq(key), "left")
+      .withColumn(old, when(changed, col(tracked)).otherwise(col(old)))
+      .withColumn("effective_date",
+        when(changed, lit(asOf).cast("date")).otherwise(col("effective_date")))
+      .withColumn(tracked, when(changed, col("__new")).otherwise(col(tracked)))
+      .drop("__new")
+    val fresh = incoming
+      .join(existing.select(col(key)), Seq(key), "left_anti")
+      .withColumn(old, lit(""))
+      .withColumn("effective_date", lit(asOf).cast("date"))
+    updated.unionByName(fresh)
+  }
+
+  // ---------------------------------------------------------------- fixtures
+
+  /** Deterministic as-of date standing in for the reference's current_date
+    * (F5; inserting-data.sql:102, 117). */
+  val AsOf = "2020-06-15"
+
+  /** Synthetic resolution_dimension state derived from orders
+    * (FIXTURES.md role mapping: SCD2 resolution_dimension ← orders keyed by
+    * o_orderkey): odd keys form the current load, and keys ≡1 (mod 10) also
+    * carry an older closed-out version, so the kernel's unguarded close-out
+    * path over pre-closed rows is exercised. */
+  private def resolutionExisting(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val current = o.filter(col("o_orderkey") % 2 === 1).select(
+      col("o_orderkey").as("complain_number"),
+      col("o_orderstatus").as("public_response"),
+      col("o_orderpriority").as("response_to_consumer"),
+      lit("2020-01-01").cast("date").as("start_date"),
+      lit("2099-12-31").cast("date").as("end_date"),
+      lit(true).as("active"))
+    val preClosed = o.filter(col("o_orderkey") % 10 === 1).select(
+      col("o_orderkey").as("complain_number"),
+      col("o_orderstatus").as("public_response"),
+      lit("OLD").as("response_to_consumer"),
+      lit("2019-01-01").cast("date").as("start_date"),
+      lit("2020-01-01").cast("date").as("end_date"),
+      lit(false).as("active"))
+    current.unionByName(preClosed)
+  }
+
+  /** Incoming SCD2 change batch: keys ≡0 (mod 3) — overlapping the odd
+    * existing keys on half the batch, net-new on the other half. */
+  private def resolutionIncoming(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey").as("complain_number"),
+      col("o_orderstatus").as("public_response"),
+      concat(lit("R2-"), col("o_orderpriority")).as("response_to_consumer"))
+
+  /** Registered SCD2 query (M6 + F5 + M4): one batch applied over the
+    * synthetic dimension state, surrogate keys assigned deterministically
+    * post-apply. */
+  def scd2Resolution(spark: SparkSession, dir: String): DataFrame = {
+    val applied = scd2Apply(
+      resolutionExisting(spark, dir), resolutionIncoming(spark, dir),
+      "complain_number", AsOf)
+    applied
+      .withColumn("resolution_id",
+        row_number().over(Window.orderBy(
+          col("complain_number"), col("start_date"), col("response_to_consumer"))).cast("long"))
+      .select("resolution_id", "complain_number", "public_response",
+        "response_to_consumer", "start_date", "end_date", "active")
+      .orderBy("resolution_id")
+  }
+
+  val scd2ResolutionSql: String =
+    """WITH existing AS (
+      |  SELECT o_orderkey AS complain_number, o_orderstatus AS public_response,
+      |         o_orderpriority AS response_to_consumer,
+      |         DATE '2020-01-01' AS start_date, DATE '2099-12-31' AS end_date,
+      |         true AS active
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, 'OLD',
+      |         DATE '2019-01-01', DATE '2020-01-01', false
+      |  FROM orders WHERE o_orderkey % 10 = 1
+      |), incoming AS (
+      |  SELECT o_orderkey AS complain_number, o_orderstatus AS public_response,
+      |         'R2-' || o_orderpriority AS response_to_consumer
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), applied AS (
+      |  SELECT complain_number, public_response, response_to_consumer, start_date,
+      |         CASE WHEN complain_number IN (SELECT complain_number FROM incoming)
+      |              THEN DATE '2020-06-15' ELSE end_date END AS end_date,
+      |         CASE WHEN complain_number IN (SELECT complain_number FROM incoming)
+      |              THEN false ELSE active END AS active
+      |  FROM existing
+      |  UNION ALL
+      |  SELECT complain_number, public_response, response_to_consumer,
+      |         DATE '2020-06-15', DATE '2099-12-31', true
+      |  FROM incoming
+      |)
+      |SELECT row_number() OVER (ORDER BY complain_number, start_date, response_to_consumer) AS resolution_id,
+      |       complain_number, public_response, response_to_consumer,
+      |       start_date, end_date, active
+      |FROM applied ORDER BY resolution_id""".stripMargin
+
+  /** Synthetic issue_dimension state (SCD3 role: orders keyed by o_orderkey,
+    * tracked column consumer_consent ← o_orderpriority). */
+  private def issueExisting(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderkey") % 2 === 1).select(
+      col("o_orderkey").as("complain_number"),
+      col("o_orderstatus").as("submitted_via"),
+      col("o_orderpriority").as("consumer_consent"),
+      lit("").as("consumer_consent_old"),
+      lit("2020-01-01").cast("date").as("effective_date"))
+
+  /** Incoming SCD3 batch: keys ≡0 (mod 3); keys ≡3 (mod 15) (odd, so
+    * matched) resubmit an UNCHANGED value — exercising the IS DISTINCT FROM
+    * guard — while the rest change. */
+  private def issueIncoming(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey").as("complain_number"),
+      col("o_orderstatus").as("submitted_via"),
+      when(col("o_orderkey") % 15 === 3, col("o_orderpriority"))
+        .otherwise(concat(lit("NEW-"), col("o_orderpriority")))
+        .as("consumer_consent"))
+
+  /** Registered SCD3 query (M7 + F5 + M4). */
+  def scd3Issue(spark: SparkSession, dir: String): DataFrame = {
+    val applied = scd3Apply(
+      issueExisting(spark, dir), issueIncoming(spark, dir),
+      "complain_number", "consumer_consent", AsOf)
+    applied
+      .withColumn("issue_id",
+        row_number().over(Window.orderBy(col("complain_number"))).cast("long"))
+      .select("issue_id", "complain_number", "submitted_via",
+        "consumer_consent", "consumer_consent_old", "effective_date")
+      .orderBy("issue_id")
+  }
+
+  val scd3IssueSql: String =
+    """WITH existing AS (
+      |  SELECT o_orderkey AS complain_number, o_orderstatus AS submitted_via,
+      |         o_orderpriority AS consumer_consent,
+      |         '' AS consumer_consent_old,
+      |         DATE '2020-01-01' AS effective_date
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |), incoming AS (
+      |  SELECT o_orderkey AS complain_number, o_orderstatus AS submitted_via,
+      |         CASE WHEN o_orderkey % 15 = 3 THEN o_orderpriority
+      |              ELSE 'NEW-' || o_orderpriority END AS consumer_consent
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), applied AS (
+      |  SELECT e.complain_number, e.submitted_via,
+      |         CASE WHEN i.consumer_consent IS NOT NULL
+      |                   AND i.consumer_consent IS DISTINCT FROM e.consumer_consent
+      |              THEN i.consumer_consent ELSE e.consumer_consent END AS consumer_consent,
+      |         CASE WHEN i.consumer_consent IS NOT NULL
+      |                   AND i.consumer_consent IS DISTINCT FROM e.consumer_consent
+      |              THEN e.consumer_consent ELSE e.consumer_consent_old END AS consumer_consent_old,
+      |         CASE WHEN i.consumer_consent IS NOT NULL
+      |                   AND i.consumer_consent IS DISTINCT FROM e.consumer_consent
+      |              THEN DATE '2020-06-15' ELSE e.effective_date END AS effective_date
+      |  FROM existing e LEFT JOIN incoming i USING (complain_number)
+      |  UNION ALL
+      |  SELECT i.complain_number, i.submitted_via, i.consumer_consent,
+      |         '' AS consumer_consent_old, DATE '2020-06-15' AS effective_date
+      |  FROM incoming i
+      |  WHERE i.complain_number NOT IN (SELECT complain_number FROM existing)
+      |)
+      |SELECT row_number() OVER (ORDER BY complain_number) AS issue_id,
+      |       complain_number, submitted_via, consumer_consent,
+      |       consumer_consent_old, effective_date
+      |FROM applied ORDER BY issue_id""".stripMargin
+}
