@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
+import graft.etl.Transforms
 import graft.warehouse.{Dims, Facts, Scd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,7 +32,11 @@ object SparkEntry {
     "expr_join_date_dim" -> ((s, d) => Facts.exprJoinDateDim(s, d)),
     "nullsafe_join" -> ((s, d) => Facts.nullsafeJoin(s, d)),
     "scd2_resolution" -> ((s, d) => Scd.scd2Resolution(s, d)),
-    "scd3_issue" -> ((s, d) => Scd.scd3Issue(s, d))
+    "scd3_issue" -> ((s, d) => Scd.scd3Issue(s, d)),
+    "etl_melt_pivot" -> ((s, d) => Transforms.meltPivot(s, d)),
+    "etl_group_impute" -> ((s, d) => Transforms.groupImpute(s, d)),
+    "etl_clean_events" -> ((s, d) => Transforms.cleanEvents(s, d)),
+    "etl_json_flatten" -> ((s, d) => Transforms.jsonFlatten(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,6 +56,10 @@ object SparkEntry {
     "expr_join_date_dim" -> Facts.exprJoinDateDimSql,
     "nullsafe_join" -> Facts.nullsafeJoinSql,
     "scd2_resolution" -> Scd.scd2ResolutionSql,
-    "scd3_issue" -> Scd.scd3IssueSql
+    "scd3_issue" -> Scd.scd3IssueSql,
+    "etl_melt_pivot" -> Transforms.meltPivotSql,
+    "etl_group_impute" -> Transforms.groupImputeSql,
+    "etl_clean_events" -> Transforms.cleanEventsSql,
+    "etl_json_flatten" -> Transforms.jsonFlattenSql
   )
 }

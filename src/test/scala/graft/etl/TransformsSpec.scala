@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** ETL transform invariants: melt↔pivot inversion, imputation completeness,
+  * deterministic random-choice reproducibility. */
+class TransformsSpec extends SparkSpec {
+
+  test("melt(pivot(x)) restores the long shape") {
+    val long = Transforms.meltPivot(spark, sfDir).cache()
+    // the round-tripped long table must equal the direct per-(grp,type) agg
+    val direct = Tables.events(spark, sfDir)
+      .groupBy((col("user_id") % 50).as("grp"), col("event_type"))
+      .agg(round(sum(col("value")), 6).as("total"),
+        min_by(col("value"), col("event_id")).as("first_val"))
+    assert(long.count() == direct.count())
+    assert(long.except(direct).isEmpty && direct.except(long).isEmpty)
+  }
+
+  test("group imputation leaves no nulls and only fills the masked rows") {
+    val out = Transforms.groupImpute(spark, sfDir).cache()
+    assert(out.filter(
+      col("value_filled").isNull || col("type_filled").isNull || col("type_random").isNull)
+      .isEmpty)
+    // unmasked rows keep their original value
+    val orig = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 7 =!= 0)
+      .select(col("event_id"), round(col("value"), 6).as("v"))
+    val changed = out.join(orig, "event_id")
+      .filter(col("value_filled") =!= col("v"))
+    assert(changed.isEmpty)
+  }
+
+  test("deterministic random-choice imputation is reproducible") {
+    val a = Transforms.groupImpute(spark, sfDir).select("event_id", "type_random").collect()
+    val b = Transforms.groupImpute(spark, sfDir).select("event_id", "type_random").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("clean chain drops masked columns and pushes the ts range filter") {
+    val out = Transforms.cleanEvents(spark, sfDir)
+    assert(!out.columns.contains("props") && !out.columns.contains("user_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("Filter"))
+  }
+
+  test("json flatten parses every row (no corrupt-record nulls)") {
+    val ev = Tables.events(spark, sfDir)
+    val flat = Transforms.jsonFlatten(spark, sfDir)
+    val n = flat.agg(sum("n")).head().getLong(0)
+    assert(n == ev.count())
+  }
+}
