@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
 import graft.etl.Transforms
+import graft.llm.TextAnalysis
 import graft.warehouse.{Dims, Facts, Scd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -36,7 +37,11 @@ object SparkEntry {
     "etl_melt_pivot" -> ((s, d) => Transforms.meltPivot(s, d)),
     "etl_group_impute" -> ((s, d) => Transforms.groupImpute(s, d)),
     "etl_clean_events" -> ((s, d) => Transforms.cleanEvents(s, d)),
-    "etl_json_flatten" -> ((s, d) => Transforms.jsonFlatten(s, d))
+    "etl_json_flatten" -> ((s, d) => Transforms.jsonFlatten(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.textQuality(s, d)),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    "exact_dedup" -> ((s, d) => TextAnalysis.exactDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,6 +65,10 @@ object SparkEntry {
     "etl_melt_pivot" -> Transforms.meltPivotSql,
     "etl_group_impute" -> Transforms.groupImputeSql,
     "etl_clean_events" -> Transforms.cleanEventsSql,
-    "etl_json_flatten" -> Transforms.jsonFlattenSql
+    "etl_json_flatten" -> Transforms.jsonFlattenSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "lang_id" -> TextAnalysis.langIdSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "exact_dedup" -> TextAnalysis.exactDedupSql
   )
 }

@@ -1,0 +1,168 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` corpus table (beyond-reference surface; builder brief +
+  * SURVEY.md §7.2 item 6): token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting, plus exact deduplication.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * expressions (regexp/higher-order functions) — no UDFs, so the whole
+  * pipeline stays inside WholeStageCodegen and distributes embarrassingly:
+  * per-document work with no shuffle except the dedup groupBy.
+  *
+  * Determinism: all scoring is closed-form arithmetic over per-document
+  * counts; the language heuristic breaks ties by a fixed language priority;
+  * ratios are rounded to 6dp for engine-stable comparison.
+  */
+object TextAnalysis {
+
+  /** Shared token regexes. Character classes only — identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB oracle). */
+  private val BpeTokenRe = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
+  private val StopRe = "\\b(the|a|an|of|to|in|and)\\b"
+
+  /** Token counting (whitespace + BPE-ish regex), length stats, stopword /
+    * punctuation ratios, and a composite quality score — the
+    * length/punct/stopword-ratio heuristics a pretraining-data quality
+    * filter runs per document. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
+    val nStop = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val charsNoSpace = length(regexp_replace(col("text"), "\\s+", ""))
+    val avgTokLen = charsNoSpace.cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val punctRatio = nPunct.cast("double") / length(col("text"))
+    // quality: long-enough docs with organic stopword density and low
+    // punctuation noise score high; clamped linear terms, weights sum to 1
+    val score =
+      least(nTok.cast("double") / 100d, lit(1d)) * 0.4 +
+        least(stopRatio * 5d, lit(1d)) * 0.4 +
+        (lit(1d) - least(punctRatio * 10d, lit(1d))) * 0.2
+    d.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      nTok.cast("long").as("n_tokens"), nBpe.cast("long").as("n_tokens_bpe"),
+      round(avgTokLen, 6).as("avg_token_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(score, 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |         len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+      |         len(regexp_extract_all(text, '\b(the|a|an|of|to|in|and)\b')) AS n_stop,
+      |         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+      |         length(regexp_replace(text, '\s+', '', 'g')) AS chars_ns
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, n_chars, n_tokens, n_tokens_bpe,
+      |       round(chars_ns * 1.0 / n_tokens, 6) AS avg_token_len,
+      |       round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+      |       round(n_punct * 1.0 / length(text), 6) AS punct_ratio,
+      |       round(least(n_tokens / 100.0, 1.0) * 0.4
+      |             + least(n_stop * 1.0 / n_tokens * 5, 1.0) * 0.4
+      |             + (1.0 - least(n_punct * 1.0 / length(text) * 10, 1.0)) * 0.2, 6) AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Language-ID n-gram/stopword heuristic: count per-language marker hits
+    * and take the best-scoring language with a fixed priority tie-break
+    * (en > de > fr > es > zh). Real pipelines use fastText-style models;
+    * the heuristic shape (per-language evidence counts → argmax) is the
+    * distributed part and is what's exercised here. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def hits(re: String) = size(regexp_extract_all(lower(col("text")), lit(re), lit(0)))
+    val cEn = hits("\\b(the|and|of|to|a|in|is)\\b")
+    val cDe = hits("\\b(der|die|das|und|ist|nicht)\\b")
+    val cFr = hits("\\b(le|la|les|et|est|une)\\b")
+    val cEs = hits("\\b(el|los|las|y|es|una)\\b")
+    val cZh = hits("[\\x{4e00}-\\x{9fff}]")
+    val best = greatest(cEn, cDe, cFr, cEs, cZh)
+    val pred = when(best === 0, "und")
+      .when(cEn === best, "en").when(cDe === best, "de")
+      .when(cFr === best, "fr").when(cEs === best, "es")
+      .otherwise("zh")
+    d.select(col("doc_id"), col("lang").as("lang_label"), pred.as("lang_pred"),
+        cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"),
+        cFr.cast("long").as("c_fr"), cEs.cast("long").as("c_es"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang,
+      |         len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b'))    AS c_en,
+      |         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS c_de,
+      |         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b'))      AS c_fr,
+      |         len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b'))       AS c_es,
+      |         len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))                    AS c_zh
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang AS lang_label,
+      |       CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'und'
+      |            WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'en'
+      |            WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'de'
+      |            WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'fr'
+      |            WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
+      |            ELSE 'zh' END AS lang_pred,
+      |       c_en, c_de, c_fr, c_es
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: an md5 content fingerprint over
+    * whitespace-normalized lowercased text, plus a 31-base polynomial
+    * rolling hash mod 1e9+7 folded sequentially over the characters
+    * (higher-order `aggregate` — stays in codegen, no UDF).
+    * Char iteration uses substr over sequence(1, length) because Spark's
+    * split-on-empty emits a trailing "" (Java regex, limit -1) that
+    * DuckDB's does not. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    d.select(
+      col("doc_id"),
+      md5(norm).as("md5_fp"),
+      expr("""aggregate(
+               transform(sequence(1, length(lower(regexp_replace(text, '\\s+', ' ')))),
+                         i -> CAST(ascii(substr(lower(regexp_replace(text, '\\s+', ' ')), i, 1)) AS BIGINT)),
+               CAST(0 AS BIGINT),
+               (acc, c) -> (acc * 31 + c) % 1000000007)""").as("poly_fp"))
+      .orderBy("doc_id")
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS md5_fp,
+      |       list_reduce(
+      |         list_prepend(0::BIGINT,
+      |           list_transform(range(1, length(lower(regexp_replace(text, '\s+', ' ', 'g'))) + 1),
+      |                          i -> ascii(substr(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 1))::BIGINT)),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS poly_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact deduplication (hash-groupBy): group documents by the md5 of
+    * their normalized text, keep the lowest doc_id per group. The groupBy
+    * shuffles only (hash, doc_id) — 48 bytes/doc at any corpus size — and
+    * Spark's partial aggregation collapses duplicates map-side. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("text_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  val exactDedupSql: String =
+    """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_key,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+}

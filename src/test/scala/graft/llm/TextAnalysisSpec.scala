@@ -1,0 +1,40 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("text quality covers every document with sane ranges") {
+    val q = TextAnalysis.textQuality(spark, sfDir).cache()
+    assert(q.count() == Tables.documents(spark, sfDir).count())
+    val bad = q.filter(
+      col("n_tokens") <= 0 ||
+        col("quality_score") < 0 || col("quality_score") > 1 ||
+        col("stop_ratio") < 0 || col("stop_ratio") > 1)
+    assert(bad.isEmpty)
+  }
+
+  test("fingerprints are content-determined: equal text <=> equal fingerprint") {
+    val fp = TextAnalysis.docFingerprint(spark, sfDir)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+    val joined = fp.join(d, "doc_id")
+    // same norm text -> same md5 and poly fp (group count == distinct fp count)
+    val groups = joined.groupBy("norm")
+      .agg(countDistinct("md5_fp").as("nmd5"), countDistinct("poly_fp").as("npoly"))
+    assert(groups.filter(col("nmd5") =!= 1 || col("npoly") =!= 1).isEmpty)
+  }
+
+  test("exact dedup keeps the minimum doc_id and partitions the corpus") {
+    val dd = TextAnalysis.exactDedup(spark, sfDir)
+    val total = dd.agg(sum("n_copies")).head().getLong(0)
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("lang id predicts a language for every doc") {
+    val li = TextAnalysis.langId(spark, sfDir)
+    assert(li.filter(col("lang_pred").isNull).isEmpty)
+  }
+}
