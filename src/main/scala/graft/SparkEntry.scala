@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
 import graft.etl.Transforms
-import graft.llm.{Dedup, TextAnalysis}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.warehouse.{Dims, Facts, Scd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,7 +44,10 @@ object SparkEntry {
     "exact_dedup" -> ((s, d) => TextAnalysis.exactDedup(s, d)),
     "ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
-    "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d))
+    "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "embedding_topk" -> ((s, d) => Similarity.embeddingTopk(s, d)),
+    "embedding_knn_native" -> ((s, d) => Similarity.embeddingKnnNative(s, d)),
+    "embedding_ann_lsh" -> ((s, d) => Similarity.embeddingAnnLsh(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,6 +78,9 @@ object SparkEntry {
     "exact_dedup" -> TextAnalysis.exactDedupSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
     "minhash_dedup" -> Dedup.minhashDedupSql,
-    "simhash_dedup" -> Dedup.simhashDedupSql
+    "simhash_dedup" -> Dedup.simhashDedupSql,
+    "embedding_topk" -> Similarity.embeddingTopkSql,
+    "embedding_knn_native" -> Similarity.embeddingKnnNativeSql,
+    "embedding_ann_lsh" -> Similarity.embeddingAnnLshSql
   )
 }
