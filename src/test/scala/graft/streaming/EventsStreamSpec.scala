@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class EventsStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming window agg over MemoryStream matches the batch transform") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val df = source.toDF().toDF("ts", "event_type", "value")
+    val query = EventsStream.runToMemory(df, "win_agg_test")
+    try {
+      val rows = Seq(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:10:00"), "view", 5.0),
+        (ts("2024-01-01 14:00:00"), "click", 7.0)) // advances watermark past 10-12h
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      // windows whose end <= watermark (12:00) are final: the 10h and 11h windows
+      val emitted = spark.table("win_agg_test")
+        .select("hour_start", "event_type", "n", "value_sum").collect()
+      val expected = EventsStream.windowAggTransform(
+        rows.toDF("ts", "event_type", "value"))
+        .filter(col("hour_start") < ts("2024-01-01 12:00:00"))
+        .collect()
+      assert(emitted.toSet == expected.toSet)
+    } finally query.stop()
+  }
+
+  test("batch window agg buckets align with date_trunc(hour)") {
+    val wa = EventsStream.windowAgg(spark, sfDir).cache()
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(wa.count() == direct.count())
+    assert(wa.agg(sum("n")).head().getLong(0) ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("sessionizer splits on the 30-minute gap and counts events") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[EventsStream.Event]
+    val query = EventsStream.sessionize(source.toDS()).writeStream
+      .format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        EventsStream.Event(1L, ts("2024-01-01 10:00:00"), "click"),
+        EventsStream.Event(1L, ts("2024-01-01 10:10:00"), "view"),
+        // > 30 min later: closes session 1 (2 events), opens session 2
+        EventsStream.Event(1L, ts("2024-01-01 11:00:00"), "click"),
+        EventsStream.Event(2L, ts("2024-01-01 10:00:00"), "click"))
+      query.processAllAvailable()
+      val closed = spark.table("sessions_test").as[EventsStream.Session].collect()
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.user_id == 1L && s.n_events == 2
+        && s.start == ts("2024-01-01 10:00:00") && s.end == ts("2024-01-01 10:10:00"))
+    } finally query.stop()
+  }
+}
