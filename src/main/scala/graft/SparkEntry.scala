@@ -34,6 +34,7 @@ object SparkEntry {
     "expr_join_date_dim" -> ((s, d) => Facts.exprJoinDateDim(s, d)),
     "nullsafe_join" -> ((s, d) => Facts.nullsafeJoin(s, d)),
     "scd2_resolution" -> ((s, d) => Scd.scd2Resolution(s, d)),
+    "scd2_active_view" -> ((s, d) => Scd.scd2ActiveView(s, d)),
     "scd3_issue" -> ((s, d) => Scd.scd3Issue(s, d)),
     "etl_melt_pivot" -> ((s, d) => Transforms.meltPivot(s, d)),
     "etl_group_impute" -> ((s, d) => Transforms.groupImpute(s, d)),
@@ -73,6 +74,7 @@ object SparkEntry {
     "expr_join_date_dim" -> Facts.exprJoinDateDimSql,
     "nullsafe_join" -> Facts.nullsafeJoinSql,
     "scd2_resolution" -> Scd.scd2ResolutionSql,
+    "scd2_active_view" -> Scd.scd2ActiveViewSql,
     "scd3_issue" -> Scd.scd3IssueSql,
     "etl_melt_pivot" -> Transforms.meltPivotSql,
     "etl_group_impute" -> Transforms.groupImputeSql,

@@ -142,8 +142,9 @@ object Scd {
       .orderBy("resolution_id")
   }
 
-  val scd2ResolutionSql: String =
-    """WITH existing AS (
+  /** Shared CTE chain for the scd2 oracle SQLs. */
+  private val scd2CtesSql: String =
+    """existing AS (
       |  SELECT o_orderkey AS complain_number, o_orderstatus AS public_response,
       |         o_orderpriority AS response_to_consumer,
       |         DATE '2020-01-01' AS start_date, DATE '2099-12-31' AS end_date,
@@ -168,11 +169,14 @@ object Scd {
       |  SELECT complain_number, public_response, response_to_consumer,
       |         DATE '2020-06-15', DATE '2099-12-31', true
       |  FROM incoming
-      |)
-      |SELECT row_number() OVER (ORDER BY complain_number, start_date, response_to_consumer) AS resolution_id,
-      |       complain_number, public_response, response_to_consumer,
-      |       start_date, end_date, active
-      |FROM applied ORDER BY resolution_id""".stripMargin
+      |)""".stripMargin
+
+  val scd2ResolutionSql: String =
+    s"""WITH $scd2CtesSql
+       |SELECT row_number() OVER (ORDER BY complain_number, start_date, response_to_consumer) AS resolution_id,
+       |       complain_number, public_response, response_to_consumer,
+       |       start_date, end_date, active
+       |FROM applied ORDER BY resolution_id""".stripMargin
 
   /** Synthetic issue_dimension state (SCD3 role: orders keyed by o_orderkey,
     * tracked column consumer_consent ← o_orderpriority). */
@@ -207,6 +211,20 @@ object Scd {
         "consumer_consent", "consumer_consent_old", "effective_date")
       .orderBy("issue_id")
   }
+
+  /** P5 equality filter: the current-rows view of the SCD2 dimension —
+    * the reference's `where r.active = true` (inserting-data.sql:178) as
+    * its own registered surface. */
+  def scd2ActiveView(spark: SparkSession, dir: String): DataFrame =
+    scd2Resolution(spark, dir)
+      .filter(col("active"))
+      .select("complain_number", "public_response", "response_to_consumer", "start_date")
+      .orderBy("complain_number")
+
+  val scd2ActiveViewSql: String =
+    s"""WITH $scd2CtesSql
+       |SELECT complain_number, public_response, response_to_consumer, start_date
+       |FROM applied WHERE active ORDER BY complain_number""".stripMargin
 
   val scd3IssueSql: String =
     """WITH existing AS (
