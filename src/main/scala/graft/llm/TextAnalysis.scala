@@ -127,19 +127,19 @@ object TextAnalysis {
     * split-on-empty emits a trailing "" (Java regex, limit -1) that
     * DuckDB's does not. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
     val d = Tables.documents(spark, dir)
     // normalize ONCE into a column: inlining the regexp into the per-char
-    // lambda would re-run it per character (O(n²) regex work per doc —
-    // measured 30 s at sf0.1 vs ~1 s with the materialized column)
+    // hash would re-run it per character (O(n²) regex work per doc —
+    // measured 30 s at sf0.1 vs ~1 s with the materialized column). The
+    // rolling hash itself is the native PolyHash expression; the
+    // equivalent HOF fold is `aggregate(transform(sequence(...)))` (kept
+    // as the spec's cross-check).
     d.withColumn("norm", lower(regexp_replace(col("text"), "\\s+", " ")))
       .select(
         col("doc_id"),
         md5(col("norm")).as("md5_fp"),
-        expr("""aggregate(
-                 transform(sequence(1, length(norm)),
-                           i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
-                 CAST(0 AS BIGINT),
-                 (acc, c) -> (acc * 31 + c) % 1000000007)""").as("poly_fp"))
+        expr("poly_hash(norm)").as("poly_fp"))
       .orderBy("doc_id")
   }
 
