@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Queries
 import graft.etl.Transforms
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.SkewJoin
 import graft.streaming.EventsStream
 import graft.warehouse.{Dims, Facts, Lifecycle, Scd}
 
@@ -54,7 +55,10 @@ object SparkEntry {
     "fk_integrity" -> ((s, d) => Lifecycle.fkIntegrity(s, d)),
     "nested_projection" -> ((s, d) => Lifecycle.nestedProjection(s, d)),
     "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
-    "window_agg" -> ((s, d) => EventsStream.windowAgg(s, d))
+    "window_agg" -> ((s, d) => EventsStream.windowAgg(s, d)),
+    "year_dim" -> ((s, d) => Dims.yearDim(s, d)),
+    "population_fact" -> ((s, d) => Facts.populationFact(s, d)),
+    "skew_salted_agg" -> ((s, d) => SkewJoin.skewSaltedAgg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,6 +98,9 @@ object SparkEntry {
     "fk_integrity" -> Lifecycle.fkIntegritySql,
     "nested_projection" -> Lifecycle.nestedProjectionSql,
     "media_features" -> Multimodal.mediaFeaturesSql,
-    "window_agg" -> EventsStream.windowAggSql
+    "window_agg" -> EventsStream.windowAggSql,
+    "year_dim" -> Dims.yearDimSql,
+    "population_fact" -> Facts.populationFactSql,
+    "skew_salted_agg" -> SkewJoin.skewSaltedAggSql
   )
 }

@@ -48,6 +48,23 @@ object Dims {
       |      FROM generate_series(DATE '1995-01-01', DATE '2002-12-31', INTERVAL 1 DAY) t(gs))
       |ORDER BY date_id""".stripMargin
 
+  /** Year dimension via 1-year sequence generation (M3, reference
+    * inserting-data.sql:53-57: generate_series '1 year' + EXTRACT,
+    * ON CONFLICT DO NOTHING ≡ the generated set is already unique). */
+  def yearDim(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      "SELECT explode(sequence(DATE'1992-01-01', DATE'2002-01-01', interval 1 year)) AS d")
+      .select(year(col("d")).cast("long").as("year"))
+      .withColumn("year_id", row_number().over(Window.orderBy(col("year"))).cast("long"))
+      .select("year_id", "year")
+      .orderBy("year_id")
+
+  val yearDimSql: String =
+    """SELECT row_number() OVER (ORDER BY y) AS year_id, y AS year
+      |FROM (SELECT CAST(year(CAST(gs AS DATE)) AS BIGINT) AS y
+      |      FROM generate_series(DATE '1992-01-01', DATE '2002-01-01', INTERVAL 1 YEAR) t(gs))
+      |ORDER BY year_id""".stripMargin
+
   /** Location dimension: two-source UNION-distinct + broadcast snowflake
     * join + surrogate keys (U1 + M1 + M4 + J1, reference
     * inserting-data.sql:22-30 — states from demographics UNION complaints). */

@@ -61,6 +61,63 @@ object Facts {
       |GROUP BY r_name, l_returnflag
       |ORDER BY region, l_returnflag""".stripMargin
 
+  /** population_fact analog (J1, reference inserting-data.sql:128-141):
+    * the 2-way surrogate-key resolution join — yearly per-location measures
+    * joined to year_dimension and location_dimension to swap natural keys
+    * for surrogate ids. Both dims are dimension-sized → broadcast. */
+  def populationFact(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val yearly = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("year"),
+        col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_price"))
+    val yd = Dims.yearDim(spark, dir)
+    val ld = Dims.locationDim(spark, dir)
+    yearly
+      .join(broadcast(yd), Seq("year"))
+      .join(broadcast(ld), Seq("nation"))
+      .withColumn("population_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("year_id"), col("location_id"))).cast("long"))
+      .select("population_id", "year_id", "location_id", "n_orders", "total_price")
+      .orderBy("population_id")
+  }
+
+  val populationFactSql: String =
+    """WITH yearly AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS year, n_name AS nation,
+      |         count(*) AS n_orders,
+      |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |), yd AS (
+      |  SELECT row_number() OVER (ORDER BY y) AS year_id, y AS year
+      |  FROM (SELECT CAST(year(CAST(gs AS DATE)) AS BIGINT) AS y
+      |        FROM generate_series(DATE '1992-01-01', DATE '2002-01-01', INTERVAL 1 YEAR) t(gs))
+      |), keys AS (
+      |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |  UNION
+      |  SELECT DISTINCT s_nationkey FROM supplier
+      |), ld AS (
+      |  SELECT row_number() OVER (ORDER BY n_name) AS location_id,
+      |         n_name AS nation, r_name AS region
+      |  FROM keys
+      |  JOIN nation ON nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |)
+      |SELECT row_number() OVER (ORDER BY year_id, location_id) AS population_id,
+      |       year_id, location_id, n_orders, total_price
+      |FROM yearly JOIN yd USING (year) JOIN ld USING (nation)
+      |ORDER BY population_id""".stripMargin
+
   /** Expression-keyed equi-join to the generated date dimension (J3 + M3 +
     * F1/F2, reference inserting-data.sql:164-169: join keys computed with
     * EXTRACT(… FROM TO_DATE(...))). Still hash-joinable in Catalyst. */
