@@ -6,6 +6,7 @@ import graft.analytics.Queries
 import graft.etl.Transforms
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.SkewJoin
+import graft.sources.Csv
 import graft.streaming.EventsStream
 import graft.warehouse.{Dims, Facts, Lifecycle, Scd}
 
@@ -58,7 +59,9 @@ object SparkEntry {
     "window_agg" -> ((s, d) => EventsStream.windowAgg(s, d)),
     "year_dim" -> ((s, d) => Dims.yearDim(s, d)),
     "population_fact" -> ((s, d) => Facts.populationFact(s, d)),
-    "skew_salted_agg" -> ((s, d) => SkewJoin.skewSaltedAgg(s, d))
+    "skew_salted_agg" -> ((s, d) => SkewJoin.skewSaltedAgg(s, d)),
+    "q4_bottom_states" -> ((s, d) => Queries.q4BottomStates(s, d)),
+    "csv_roundtrip" -> ((s, d) => Csv.csvRoundtrip(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,6 +104,8 @@ object SparkEntry {
     "window_agg" -> EventsStream.windowAggSql,
     "year_dim" -> Dims.yearDimSql,
     "population_fact" -> Facts.populationFactSql,
-    "skew_salted_agg" -> SkewJoin.skewSaltedAggSql
+    "skew_salted_agg" -> SkewJoin.skewSaltedAggSql,
+    "q4_bottom_states" -> Queries.q4BottomStatesSql,
+    "csv_roundtrip" -> Csv.csvRoundtripSql
   )
 }

@@ -350,6 +350,37 @@ object Queries {
       .orderBy("company", "state", "product", "issue")
   }
 
+  /** Q4 (analysis.sql:240 — present in the reference only as a comment,
+    * "find the states for which employed population is the lowest, in
+    * terms of percentage"): realized over the population_fact analog as
+    * the bottom-5 locations by orders-per-price ratio, with explicit
+    * tie-breaks. Q5's `select * from population_fact` (analysis.sql:245)
+    * is the population_fact entry itself. */
+  def q4BottomStates(spark: SparkSession, dir: String): DataFrame = {
+    val pf = graft.warehouse.Facts.populationFact(spark, dir)
+    pf.groupBy(col("location_id"))
+      .agg(sum(col("n_orders")).as("orders"),
+        round(sum(col("total_price").cast("decimal(18,2)")), 2)
+          .cast("double").as("price"))
+      // all-double ratio arithmetic, identical cast chain on both engines
+      .withColumn("orders_per_million",
+        round(col("orders").cast("double") / (col("price") / 1e6), 6))
+      .orderBy(col("orders_per_million").asc, col("location_id"))
+      .limit(5)
+      .select("location_id", "orders", "price", "orders_per_million")
+  }
+
+  val q4BottomStatesSql: String =
+    s"""WITH pf AS (${graft.warehouse.Facts.populationFactSql.replace("ORDER BY population_id", "")})
+       |SELECT location_id, orders, price,
+       |       round(CAST(orders AS DOUBLE) / (price / 1e6), 6) AS orders_per_million
+       |FROM (
+       |  SELECT location_id, CAST(sum(n_orders) AS BIGINT) AS orders,
+       |         CAST(round(sum(CAST(total_price AS DECIMAL(18,2))), 2) AS DOUBLE) AS price
+       |  FROM pf GROUP BY location_id
+       |)
+       |ORDER BY orders_per_million ASC, location_id LIMIT 5""".stripMargin
+
   val q3bWorstIssuesSql: String =
     s"""WITH $tempCfCteSql, top5 AS (
        |  SELECT company,
