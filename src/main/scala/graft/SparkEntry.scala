@@ -52,6 +52,7 @@ object SparkEntry {
     "embedding_topk" -> ((s, d) => Similarity.embeddingTopk(s, d)),
     "embedding_knn_native" -> ((s, d) => Similarity.embeddingKnnNative(s, d)),
     "embedding_ann_lsh" -> ((s, d) => Similarity.embeddingAnnLsh(s, d)),
+    "embedding_ann_ivf" -> ((s, d) => Similarity.embeddingAnnIvf(s, d)),
     "table_lifecycle" -> ((s, d) => Lifecycle.tableLifecycle(s, d)),
     "fk_integrity" -> ((s, d) => Lifecycle.fkIntegrity(s, d)),
     "nested_projection" -> ((s, d) => Lifecycle.nestedProjection(s, d)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "embedding_topk" -> Similarity.embeddingTopkSql,
     "embedding_knn_native" -> Similarity.embeddingKnnNativeSql,
     "embedding_ann_lsh" -> Similarity.embeddingAnnLshSql,
+    "embedding_ann_ivf" -> Similarity.embeddingAnnIvfSql,
     "table_lifecycle" -> Lifecycle.tableLifecycleSql,
     "fk_integrity" -> Lifecycle.fkIntegritySql,
     "nested_projection" -> Lifecycle.nestedProjectionSql,

@@ -177,6 +177,81 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** IVF parameters: K coarse cells, nprobe probed cells per query. */
+  private val IvfK = 8
+  private val IvfNprobe = 2
+
+  /** IVF-bucketed ANN: a coarse quantizer of K cells (deterministic
+    * seeds — the first K vectors; production would k-means-train them,
+    * the index/probe structure is identical), every vector assigned to
+    * its max-cosine cell, queries probing their nprobe best cells and
+    * searching top-3 only among the probed cells' members. Cell
+    * assignment is K small cosines per vector (centroids broadcast);
+    * the search never touches vectors outside the probed cells —
+    * candidates shrink from n to ~n·nprobe/K. */
+  def embeddingAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("n2", norm2(col("ed")))
+      .select("vec_id", "ed", "n2")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("ed").as("ced"), col("n2").as("cn2"))
+    val centSims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("n2"), col("cent_id"),
+        round(dotCol(col("ed"), col("ced")) /
+          (sqrt(col("n2")) * sqrt(col("cn2"))), 6).as("csim"))
+    val ranked = centSims.withColumn("crank", row_number().over(
+      Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))))
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("ed"), col("n2"), col("cent_id").as("cell"))
+    val probes = ranked
+      .filter(col("vec_id") >= 100 && col("vec_id") < 105 && col("crank") <= IvfNprobe)
+      .select(col("vec_id").as("q_id"), col("ed").as("qed"),
+        col("n2").as("qn2"), col("cent_id").as("cell"))
+    probes
+      .join(assign, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(dotCol(col("qed"), col("ed")) /
+          (sqrt(col("qn2")) * sqrt(col("n2"))), 6).as("sim"))
+      .dropDuplicates("q_id", "c_id") // a candidate can sit in both probed cells
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "c_id", "sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val embeddingAnnIvfSql: String =
+    s"""WITH $cosineCteSql, cents AS (
+       |  SELECT vec_id AS cent_id, ed AS ced, n2 AS cn2 FROM emb WHERE vec_id < $IvfK
+       |), ranked AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
+       |  FROM emb e CROSS JOIN (SELECT cent_id, cn2, ced AS ed, cn2 AS n2 FROM cents) c
+       |), assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell FROM ranked
+       |  WHERE vec_id >= 100 AND vec_id < 105 AND crank <= $IvfNprobe
+       |), cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+       |  FROM probes p JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> p.q_id
+       |)
+       |SELECT q_id, c_id, sim,
+       |       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+       |FROM (
+       |  SELECT cand.q_id, cand.c_id, ${pairSimSql("q", "c")} AS sim
+       |  FROM cand
+       |  JOIN emb q ON q.vec_id = cand.q_id
+       |  JOIN emb c ON c.vec_id = cand.c_id
+       |)
+       |QUALIFY rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   val embeddingAnnLshSql: String = {
     val bucketExpr = (0 until NumPlanes).map { p =>
       s"(CASE WHEN ${projSql(p, i => s"ed[$i]")} > 0 THEN ${1L << p} ELSE 0 END)"
