@@ -6,7 +6,7 @@ import graft.analytics.Queries
 import graft.etl.Transforms
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.SkewJoin
-import graft.sources.Csv
+import graft.sources.{Csv, Layout}
 import graft.streaming.EventsStream
 import graft.warehouse.{Dims, Facts, Lifecycle, Scd}
 
@@ -62,7 +62,9 @@ object SparkEntry {
     "population_fact" -> ((s, d) => Facts.populationFact(s, d)),
     "skew_salted_agg" -> ((s, d) => SkewJoin.skewSaltedAgg(s, d)),
     "q4_bottom_states" -> ((s, d) => Queries.q4BottomStates(s, d)),
-    "csv_roundtrip" -> ((s, d) => Csv.csvRoundtrip(s, d))
+    "csv_roundtrip" -> ((s, d) => Csv.csvRoundtrip(s, d)),
+    "bucketed_join" -> ((s, d) => Layout.bucketedJoin(s, d)),
+    "partitioned_scan" -> ((s, d) => Layout.partitionedScan(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +110,8 @@ object SparkEntry {
     "population_fact" -> Facts.populationFactSql,
     "skew_salted_agg" -> SkewJoin.skewSaltedAggSql,
     "q4_bottom_states" -> Queries.q4BottomStatesSql,
-    "csv_roundtrip" -> Csv.csvRoundtripSql
+    "csv_roundtrip" -> Csv.csvRoundtripSql,
+    "bucketed_join" -> Layout.bucketedJoinSql,
+    "partitioned_scan" -> Layout.partitionedScanSql
   )
 }

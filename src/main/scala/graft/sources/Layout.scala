@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Physical-layout operators — the storage-side half of the shuffle-
+  * minimization story (builder brief: "bucketing for co-located joins",
+  * partition pruning):
+  *
+  *  - bucketedJoin: both join sides written as bucketed+sorted tables on
+  *    the join key; the sort-merge join then needs NO exchange and NO
+  *    per-query sort — at 100 TB this converts every recurring join on
+  *    that key from a full shuffle into a local merge (pay the shuffle
+  *    once at write time, amortize over every query).
+  *  - partitionedScan: a write partitioned by a low-cardinality column;
+  *    an equality filter then prunes entire directories at planning time
+  *    (`PartitionFilters` in the scan, pinned by LayoutSpec) — the
+  *    columnar analogue of the reference's B-tree point lookups
+  *    (creating-tables.sql:11-21).
+  *
+  * Both entries rebuild their tables per run (same catalog/location
+  * hygiene as Lifecycle.tableLifecycle) and return plain aggregates whose
+  * oracles are the unbucketed/unpartitioned formulations — layout must
+  * never change results.
+  */
+object Layout {
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(); ()
+  }
+
+  private def recreate(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    rm(new java.io.File(s"spark-warehouse/$table"))
+  }
+
+  /** Co-located join via bucketing: orders and a lineitem projection both
+    * bucketed+sorted into 8 buckets on the order key. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    recreate(spark, "graft_orders_b")
+    recreate(spark, "graft_lineitem_b")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_orders_b")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_lineitem_b")
+    spark.table("graft_lineitem_b")
+      .join(spark.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+          .cast("double").as("qty_sum"))
+      .orderBy("o_orderstatus")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderstatus, count(*) AS n_lines,
+      |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty_sum
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Partition-pruned scan: events written partitioned by event_type; the
+    * equality filter prunes all other partitions at planning time. */
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    recreate(spark, "graft_events_p")
+    Tables.events(spark, dir)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.partitionBy("event_type")
+      .mode("overwrite").saveAsTable("graft_events_p")
+    spark.table("graft_events_p")
+      .filter(col("event_type") === "purchase") // prunes to one directory
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 6)
+          .cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val partitionedScanSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS value_sum
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+}
