@@ -53,6 +53,7 @@ object SparkEntry {
     "embedding_knn_native" -> ((s, d) => Similarity.embeddingKnnNative(s, d)),
     "embedding_ann_lsh" -> ((s, d) => Similarity.embeddingAnnLsh(s, d)),
     "embedding_ann_ivf" -> ((s, d) => Similarity.embeddingAnnIvf(s, d)),
+    "embedding_cosine_dedup" -> ((s, d) => Similarity.embeddingCosineDedup(s, d)),
     "table_lifecycle" -> ((s, d) => Lifecycle.tableLifecycle(s, d)),
     "fk_integrity" -> ((s, d) => Lifecycle.fkIntegrity(s, d)),
     "nested_projection" -> ((s, d) => Lifecycle.nestedProjection(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "embedding_knn_native" -> Similarity.embeddingKnnNativeSql,
     "embedding_ann_lsh" -> Similarity.embeddingAnnLshSql,
     "embedding_ann_ivf" -> Similarity.embeddingAnnIvfSql,
+    "embedding_cosine_dedup" -> Similarity.embeddingCosineDedupSql,
     "table_lifecycle" -> Lifecycle.tableLifecycleSql,
     "fk_integrity" -> Lifecycle.fkIntegritySql,
     "nested_projection" -> Lifecycle.nestedProjectionSql,

@@ -177,6 +177,36 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-family member over
+    * the embedding space): all pairs with cosine ≥ 0.45 via the native
+    * kernel. This corpus has no injected embedding near-dups (max pair
+    * cosine ≈ 0.51), so the threshold sits just below the observed top
+    * pairs to keep the surface exercised; a production run at ≥0.95 would
+    * route candidates through the LSH/IVF buckets instead of all-pairs
+    * (at that similarity the bucket-collision probability is high, which
+    * it is not at 0.45 — hence the exact path here). */
+  def embeddingCosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val b = e.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("cosine_similarity(ea, eb)"), 6).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val embeddingCosineDedupSql: String =
+    s"""WITH $cosineCteSql
+       |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |       ${pairSimSql("a", "b")} AS cosine
+       |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+       |WHERE ${pairSimSql("a", "b")} >= 0.45
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** IVF parameters: K coarse cells, nprobe probed cells per query. */
   private val IvfK = 8
   private val IvfNprobe = 2
