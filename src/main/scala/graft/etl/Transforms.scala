@@ -169,7 +169,7 @@ object Transforms {
     // P3: keep columns whose name does not end in `_id` (metadata-level
     // projection, mirroring python.py:121-124's census-name filter) — plus
     // event_id retained explicitly as the row key.
-    val kept = raw.columns.filterNot(_.endsWith("_id"))
+    val kept = raw.columns.toSeq.filterNot(_.endsWith("_id"))
     val df = raw.select((col("event_id") +: kept.map(col)): _*)
     df
       .filter(col("ts").between("2024-01-05", "2024-01-25")) // P4
