@@ -8,31 +8,39 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression computing cosine similarity between two
-  * `ArrayType(FloatType)` embedding columns, with whole-stage codegen
-  * (`doGenCode` emits a tight primitive loop — no ArrayData boxing, no
-  * interpreted higher-order functions). This is the hot-path kernel for
-  * similarity joins: the brute-force HOF formulation
-  * (`aggregate(zip_with(...))`) does not participate in codegen and
-  * interprets three lambda folds per pair, which dominates an all-pairs
-  * kNN join; this expression keeps the whole join stage compiled.
+  * embedding columns of `ArrayType(FloatType)` or `ArrayType(DoubleType)`
+  * (each side independently), with whole-stage codegen (`doGenCode` emits
+  * a tight primitive loop — no ArrayData boxing, no interpreted
+  * higher-order functions). This is the hot-path kernel for similarity
+  * joins: the brute-force HOF formulation (`aggregate(zip_with(...))`)
+  * does not participate in codegen and interprets three lambda folds per
+  * pair, which dominates an all-pairs kNN join; this expression keeps the
+  * whole join stage compiled. The double overload exists because the
+  * LSH/IVF paths carry `array<double>` vectors (their bucket projections
+  * must accumulate as doubles for oracle parity), and casting back to
+  * float would perturb the low bits.
   *
   * Arithmetic contract (oracle compatibility): accumulates dot product and
-  * both squared norms in ascending element order as doubles, result =
-  * dot / (sqrt(na) * sqrt(nb)) — the same sequential fold the HOF
-  * formulation and the DuckDB oracle use, so all three produce identical
-  * IEEE doubles. NULL when either norm is zero.
+  * both squared norms in ascending element order as doubles (floats are
+  * widened per element, exactly), result = dot / (sqrt(na) * sqrt(nb)) —
+  * the same sequential fold the HOF formulation and the DuckDB oracle use,
+  * so all three produce identical IEEE doubles. NULL when either norm is
+  * zero.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(elemType(_).isDefined)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity expects two array<float> arguments, " +
+      s"cosine_similarity expects two array<float>/array<double> arguments, " +
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -42,17 +50,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity"
 
+  private def isDoubleSide(e: Expression): Boolean =
+    elemType(e).contains(DoubleType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = isDoubleSide(left)
+    val yd = isDoubleSide(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0d
     var na = 0d
     var nb = 0d
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -72,12 +85,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val getX =
+        if (isDoubleSide(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY =
+        if (isDoubleSide(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;
