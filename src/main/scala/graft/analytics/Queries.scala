@@ -32,12 +32,15 @@ object Queries {
   /** Q1a flagship (analysis.sql:13-57): per-company response counts,
     * filtered aggregates, HAVING floor, ratio projection, dual global RANK,
     * disjunctive rank filter, presentation ORDER BY.
-    * Operators: A1 A2 A3 A5 A8 W1 P6 O1 F6 J1(broadcast). */
+    * Operators: A1 A2 A3 A5 A8 W1 P6 O1 F6 J1. The supplier join carries
+    * no broadcast hint — supplier scales with SF (~10⁹ rows at 100 TB), so
+    * strategy choice is left to AQE, which still picks broadcast at small
+    * SF from runtime stats and switches to shuffle join at scale. */
   def q1RatioRank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val sup = Tables.supplier(spark, dir)
     val agg = li
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(
         count(lit(1)).as("total_responses"),
@@ -93,7 +96,7 @@ object Queries {
     val li = Tables.lineitem(spark, dir)
     val sup = Tables.supplier(spark, dir)
     val agg = li
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(
         count(lit(1)).as("total_responses"),
@@ -176,7 +179,7 @@ object Queries {
     val li = Tables.lineitem(spark, dir)
     val sup = Tables.supplier(spark, dir)
     val stats = li
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(
         count(lit(1)).as("total_responses"),

@@ -25,7 +25,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * widened per element, exactly), result = dot / (sqrt(na) * sqrt(nb)) —
   * the same sequential fold the HOF formulation and the DuckDB oracle use,
   * so all three produce identical IEEE doubles. NULL when either norm is
-  * zero.
+  * zero or any visited element is null (matching the HOF fold, where a
+  * null element propagates through `aggregate`); the per-element null
+  * check is emitted only for inputs whose ArrayType admits null elements,
+  * so non-null arrays keep the branch-free loop.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -53,17 +56,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def isDoubleSide(e: Expression): Boolean =
     elemType(e).contains(DoubleType)
 
+  // hoisted: dataType pattern-matching must not run once per interpreted row
+  @transient private lazy val xd = isDoubleSide(left)
+  @transient private lazy val yd = isDoubleSide(right)
+  @transient private lazy val xMayHaveNulls = left.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+  @transient private lazy val yMayHaveNulls = right.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val xd = isDoubleSide(left)
-    val yd = isDoubleSide(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0d
     var na = 0d
     var nb = 0d
     var i = 0
     while (i < n) {
+      // a null element poisons the whole similarity (same as the HOF
+      // formulation, where null propagates through the fold)
+      if ((xMayHaveNulls && x.isNullAt(i)) || (yMayHaveNulls && y.isNullAt(i)))
+        return null
       val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
@@ -85,14 +102,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val sawNull = ctx.freshName("sawNull")
       val getX =
         if (isDoubleSide(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
       val getY =
         if (isDoubleSide(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
+      // the null-element guard is only emitted for sides whose ArrayType
+      // admits null elements — non-null-element arrays keep the tight
+      // branch-free loop
+      val nullChecks = Seq(
+        if (xMayHaveNulls) Some(s"$a.isNullAt($i)") else None,
+        if (yMayHaveNulls) Some(s"$b.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { $sawNull = true; break; }"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $sawNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  double $xi = $getX;
          |  double $yi = $getY;
          |  $dot += $xi * $yi;
@@ -100,7 +129,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $nb += $yi * $yi;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) {
+         |if ($sawNull || $denom == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / $denom;

@@ -152,8 +152,14 @@ object Similarity {
   /** Random-hyperplane LSH ANN: 8-bit bucket from projection signs, then
     * top-1 cosine neighbor within the bucket (expected bucket size
     * n/256 — candidate pairs n²/256 instead of n²). Vectors alone in
-    * their bucket yield no row: the recall/price of ANN. */
+    * their bucket yield no row: the recall/price of ANN. Per-pair cosine
+    * runs on the native codegen'd CosineSimilarity kernel (the HOF
+    * `aggregate(zip_with(...))` formulation interprets three lambda folds
+    * per pair and blocks whole-stage codegen); the kernel recomputes the
+    * norms inside its single compiled loop, which also lets the bucket
+    * join shuffle (vec_id, ed, bucket) without a precomputed-norm column. */
   def embeddingAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
     val bucket = (0 until NumPlanes).map { p =>
@@ -161,14 +167,12 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val b = e.select(col("vec_id"), col("ed"), bucket.as("bucket"))
-    val withNorm = b.withColumn("n2", norm2(col("ed")))
-    val pairs = withNorm.as("a")
-      .join(withNorm.as("b"),
+    val pairs = b.as("a")
+      .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("c_id"),
         col("a.bucket").as("bucket"),
-        round(dotCol(col("a.ed"), col("b.ed")) /
-          (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("sim"))
+        round(expr("cosine_similarity(a.ed, b.ed)"), 6).as("sim"))
     pairs
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
@@ -220,31 +224,28 @@ object Similarity {
     * the search never touches vectors outside the probed cells —
     * candidates shrink from n to ~n·nprobe/K. */
   def embeddingAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
-      .withColumn("n2", norm2(col("ed")))
-      .select("vec_id", "ed", "n2")
+      .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
     val cents = e.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cent_id"), col("ed").as("ced"), col("n2").as("cn2"))
+      .select(col("vec_id").as("cent_id"), col("ed").as("ced"))
     val centSims = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("ed"), col("n2"), col("cent_id"),
-        round(dotCol(col("ed"), col("ced")) /
-          (sqrt(col("n2")) * sqrt(col("cn2"))), 6).as("csim"))
+      .select(col("vec_id"), col("ed"), col("cent_id"),
+        round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
     val ranked = centSims.withColumn("crank", row_number().over(
       Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))))
     val assign = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("ed"), col("n2"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("ed"), col("cent_id").as("cell"))
     val probes = ranked
       .filter(col("vec_id") >= 100 && col("vec_id") < 105 && col("crank") <= IvfNprobe)
-      .select(col("vec_id").as("q_id"), col("ed").as("qed"),
-        col("n2").as("qn2"), col("cent_id").as("cell"))
+      .select(col("vec_id").as("q_id"), col("ed").as("qed"), col("cent_id").as("cell"))
     probes
       .join(assign, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
-        round(dotCol(col("qed"), col("ed")) /
-          (sqrt(col("qn2")) * sqrt(col("n2"))), 6).as("sim"))
+        round(expr("cosine_similarity(qed, ed)"), 6).as("sim"))
       .dropDuplicates("q_id", "c_id") // a candidate can sit in both probed cells
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))

@@ -141,7 +141,7 @@ object Dims {
     // Distinct the narrow int key BEFORE the name join: the map-side partial
     // aggregate shuffles only distinct suppkeys, not fact-sized rows of names.
     val incoming = li.select(col("l_suppkey")).distinct()
-      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(sup, col("l_suppkey") === sup("s_suppkey"))
       .select(col("s_name").as("company")).distinct()
     val fresh = incoming.join(existing, Seq("company"), "left_anti")
     existing.union(fresh)

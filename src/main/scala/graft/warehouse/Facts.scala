@@ -159,7 +159,7 @@ object Facts {
     val dimSide = p
       .groupBy(nullif(col("p_brand"), lit("Brand#13")).as("brand"))
       .agg(count(lit(1)).as("n_parts"))
-    val factSide = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val factSide = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(nullif(col("p_brand"), lit("Brand#13")).as("brand"))
       .agg(sum(col("l_quantity")).as("sum_qty"))
     factSide.join(dimSide, factSide("brand") <=> dimSide("brand"))

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 import graft.analytics.Queries
 import graft.etl.Transforms
@@ -16,9 +18,42 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  test("q1: supplier dimension joins via broadcast (no fact-side shuffle)") {
-    val plan = planString(Queries.q1RatioRank(spark, sfDir))
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  /** Tables whose size scales with SF: a plan-time broadcast HINT on a raw
+    * scan of one of these is a guaranteed OOM at large SF (supplier is
+    * ~10⁹ rows at 100 TB). Strategy choice for them belongs to AQE. A hint
+    * is fine when the hinted subtree has already reduced cardinality
+    * (Aggregate / LIMIT) — the broadcast then ships the reduced result,
+    * not the table. */
+  private val scalingTables = Seq("customer", "supplier", "part", "orders", "lineitem")
+
+  private def offendingHints(plan: LogicalPlan): Seq[String] =
+    plan.collect { case h: ResolvedHint =>
+      val reduced = h.child.collectFirst {
+        case a: Aggregate => a
+        case d: Deduplicate => d
+        case l: GlobalLimit => l
+      }.isDefined
+      if (reduced) Nil
+      else h.child.collect { case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+              .flatMap(p => scalingTables.filter(t => p.contains(s"/$t.parquet")))
+          case _ => Nil
+        }
+      }.flatten
+    }.flatten
+
+  test("no registered plan broadcast-hints an unreduced scaling-table scan") {
+    // Inverse of the old "q1 broadcasts supplier" pin: the 100 TB contract
+    // (SCALE.md) is that customer/supplier/part/orders/lineitem are NEVER
+    // hint-broadcast; AQE may still choose broadcast at small SF.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val df = q(spark, sfDir)
+      offendingHints(df.queryExecution.analyzed).map(t => s"$name hints broadcast($t)")
+    }
+    spark.catalog.clearCache() // some entries cache intermediates at build time
+    assert(bad.isEmpty, bad.mkString(", "))
   }
 
   test("clean chain: the ts range filter is pushed into the parquet scan") {
@@ -40,6 +75,16 @@ class PlanSpec extends SparkSpec {
   test("q3b: the top-5 companies use TakeOrderedAndProject (true top-k, no full sort)") {
     val plan = planString(Queries.q3bWorstIssues(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("ann_lsh / ann_ivf: per-pair cosine uses the native kernel, not HOF folds") {
+    for (q <- Seq(Similarity.embeddingAnnLsh(spark, sfDir),
+                  Similarity.embeddingAnnIvf(spark, sfDir))) {
+      val initial = q.queryExecution.executedPlan.toString
+      assert(initial.contains("cosine_similarity"), initial.take(3000))
+      // the interpreted HOF cosine would show up as aggregate(zip_with(...))
+      assert(!initial.contains("zip_with"), initial.take(3000))
+    }
   }
 
   test("native kNN: cosine kernel runs inside whole-stage codegen") {
