@@ -19,11 +19,14 @@ import graft.Tables
   *  - Per-document signatures (shingles → minhash/simhash) are computed
   *    with higher-order functions inside whole-stage codegen — no UDFs, no
   *    explode of per-shingle rows except at the final bucket join.
-  *  - Skew guard: an ultra-common shingle would fan out quadratically in
-  *    the inverted-index join; production runs cap shingle document
-  *    frequency. The cap is not applied here so the exact oracle stays
-  *    exact (the synthetic corpus has no such skew); at real scale add
-  *    `HAVING count(*) <= maxDf` on the shingle index.
+  *  - Skew guard: an ultra-common shingle fans out quadratically in the
+  *    inverted-index join (Zipfian corpora always have a hot head), so the
+  *    exact-Jaccard path drops shingles whose document frequency exceeds
+  *    `maxDf` from the index before the self-join — bounded fan-out per
+  *    shingle at any corpus size. The cap is mirrored in the oracle SQL;
+  *    the default (64) sits far above this corpus's max shingle df (9), so
+  *    the registered entry stays exact while the guard is real code on the
+  *    hot path.
   *
   * Determinism/oracle notes: MinHash banding is probabilistic, but the
   * final output filters candidates by EXACT Jaccard ≥ 0.8, and the corpus
@@ -36,12 +39,15 @@ object Dedup {
 
   /** Distinct word-3-gram shingles per document, identical on both engines:
     * whitespace-split of trimmed text, trigrams joined with single spaces. */
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private[llm] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(trim(col("text")), "\\s+"))
       .filter(size(col("ws")) >= 3)
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")))
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir))
 
   private val shinglesCteSql: String =
     """docs AS (
@@ -53,16 +59,36 @@ object Dedup {
       |  FROM docs WHERE len(ws) >= 3
       |)""".stripMargin
 
+  /** Document-frequency cap for the inverted shingle index: shingles in
+    * more than this many documents are dropped from the index (skew
+    * guard). Far above this corpus's max shingle df (9), so the default
+    * entry is exact; set lower at real scale to bound the hot head. */
+  val DefaultMaxShingleDf = 64
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join: explode
     * shingles, join docs sharing a shingle (the only candidate generator —
     * never all-pairs), count intersections, compute J = |∩|/|∪| ≥ 0.5.
     * The join key is the 64-bit xxhash of the shingle, not the string —
     * a fixed-width shuffle key at any shingle length. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(spark, dir)
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsFrom(withShingles(spark, dir), DefaultMaxShingleDf)
+
+  /** Core kernel over a prepared (doc_id, shingles) frame. Shingles with
+    * df > maxDf are anti-joined out of the index before the self-join, so
+    * one hot shingle can fan out to at most maxDf² candidate pairs instead
+    * of corpus². Jaccard denominators still use the FULL shingle sets;
+    * only intersection counting sees the capped index, so pairs whose
+    * overlap is entirely hot shingles are missed — the documented recall
+    * trade of df-capping (a pair that near-duplicates in hot shingles
+    * alone is boilerplate, not duplication). */
+  private[llm] def ngramJaccardPairsFrom(sh: DataFrame, maxDf: Int): DataFrame = {
+    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    // the hot set is the skewed head — tiny, and AQE broadcasts the anti-join
+    val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
     // cached: both sides of the self-join read this subtree
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s")).cache()
+    val ex = ex0.join(hot, Seq("s"), "left_anti").cache()
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -79,8 +105,12 @@ object Dedup {
   }
 
   val ngramJaccardPairsSql: String =
-    s"""WITH $shinglesCteSql, ex AS (
+    s"""WITH $shinglesCteSql, ex0 AS (
        |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), hot AS (
+       |  SELECT s FROM ex0 GROUP BY s HAVING count(*) > $DefaultMaxShingleDf
+       |), ex AS (
+       |  SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
        |), inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
