@@ -27,15 +27,22 @@ import graft.Tables
   */
 object Layout {
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm)
-    f.delete(); ()
+  /** Drop a managed table and clear any leftover files at its warehouse
+    * location (a fresh JVM has an empty in-memory catalog, but a previous
+    * run's files survive on disk and CTAS refuses a non-empty location).
+    * Deletion goes through the Hadoop FileSystem resolved from the
+    * warehouse URI — not java.io.File — so the same code works when
+    * spark.sql.warehouse.dir points at HDFS or an object store. */
+  private[graft] def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(loc, true); ()
   }
 
-  private def recreate(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    rm(new java.io.File(s"spark-warehouse/$table"))
-  }
+  private def recreate(spark: SparkSession, table: String): Unit =
+    dropManagedTable(spark, table)
 
   /** Co-located join via bucketing: orders and a lineitem projection both
     * bucketed+sorted into 8 buckets on the order key. */

@@ -22,15 +22,8 @@ object Lifecycle {
     * every invocation, exercising the full create→append→scan→drop cycle. */
   def tableLifecycle(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_src")
-    spark.sql("DROP TABLE IF EXISTS graft_preview") // S8
-    // a fresh JVM has an empty in-memory catalog but the previous run's
-    // managed-table files survive on disk; clear them or CTAS refuses the
-    // non-empty location
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File("spark-warehouse/graft_preview"))
+    // S8 drop + object-store-safe cleanup of leftover files from prior JVMs
+    graft.sources.Layout.dropManagedTable(spark, "graft_preview")
     spark.sql(
       """CREATE TABLE graft_preview USING parquet AS
         |SELECT o_orderkey, o_orderstatus, o_totalprice
