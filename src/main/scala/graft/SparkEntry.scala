@@ -54,6 +54,7 @@ object SparkEntry {
     "embedding_ann_lsh" -> ((s, d) => Similarity.embeddingAnnLsh(s, d)),
     "embedding_ann_ivf" -> ((s, d) => Similarity.embeddingAnnIvf(s, d)),
     "embedding_cosine_dedup" -> ((s, d) => Similarity.embeddingCosineDedup(s, d)),
+    "embedding_lsh_dedup" -> ((s, d) => Similarity.embeddingLshDedup(s, d)),
     "table_lifecycle" -> ((s, d) => Lifecycle.tableLifecycle(s, d)),
     "fk_integrity" -> ((s, d) => Lifecycle.fkIntegrity(s, d)),
     "nested_projection" -> ((s, d) => Lifecycle.nestedProjection(s, d)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "embedding_ann_lsh" -> Similarity.embeddingAnnLshSql,
     "embedding_ann_ivf" -> Similarity.embeddingAnnIvfSql,
     "embedding_cosine_dedup" -> Similarity.embeddingCosineDedupSql,
+    "embedding_lsh_dedup" -> Similarity.embeddingLshDedupSql,
     "table_lifecycle" -> Lifecycle.tableLifecycleSql,
     "fk_integrity" -> Lifecycle.fkIntegritySql,
     "nested_projection" -> Lifecycle.nestedProjectionSql,

@@ -142,12 +142,15 @@ object Similarity {
   }
 
   /** Signed projection of `ed` (1-based element access syntax shared by
-    * Spark SQL element_at and DuckDB indexing) onto plane p. */
-  private def projSql(p: Int, elem: Int => String): String =
-    planeWeights(p).zipWithIndex.map { case (w, d) =>
+    * Spark SQL element_at and DuckDB indexing) onto a ±1 plane. */
+  private def projSqlW(weights: Seq[Int], elem: Int => String): String =
+    weights.zipWithIndex.map { case (w, d) =>
       val sign = if (w > 0) "+" else "-"
       s"$sign ${elem(d + 1)}"
     }.mkString("(", " ", ")")
+
+  private def projSql(p: Int, elem: Int => String): String =
+    projSqlW(planeWeights(p), elem)
 
   /** Random-hyperplane LSH ANN: 8-bit bucket from projection signs, then
     * top-1 cosine neighbor within the bucket (expected bucket size
@@ -211,26 +214,139 @@ object Similarity {
        |WHERE ${pairSimSql("a", "b")} >= 0.45
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** IVF parameters: K coarse cells, nprobe probed cells per query. */
+  /** Multi-table LSH parameters for the production-threshold near-dup
+    * path: 8 independent tables of 6 hyperplanes each, drawn from the same
+    * deterministic md5-parity family as [[planeWeights]] (key
+    * "table_plane_dim", disjoint from the single-table family's keys). */
+  private val DedupTables = 8
+  private val DedupPlanes = 6
+  private val DedupCosine = 0.95
+  private[llm] val dedupPlaneWeights: Seq[Seq[Seq[Int]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until DedupTables).map { t =>
+      (0 until DedupPlanes).map { p =>
+        (0 until Dim).map { d =>
+          val h = md.digest(s"${t}_${p}_$d".getBytes("UTF-8"))
+          if ((h(0) & 1) == 0) 1 else -1
+        }
+      }
+    }
+  }
+
+  /** Embedding near-dup pairs at the production threshold (cosine ≥ 0.95)
+    * routed through multi-table LSH buckets — the scaled sibling of
+    * [[embeddingCosineDedup]], which stays all-pairs only because its 0.45
+    * demo threshold sits below LSH's useful collision range.
+    *
+    * Candidate generation: each vector lands in one 6-bit bucket per
+    * table (8 tables), so candidate pairs are bounded by the per-table
+    * bucket self-joins (expected n²/2⁶ per table) instead of n²; at real
+    * scale the bucket join shuffles on (table, bucket) exactly like the
+    * single-table ANN path. Precision is exact — every candidate is
+    * confirmed with the native cosine kernel before the ≥ 0.95 filter
+    * (cosine is computed before the pair-dedup so the dedup exchange
+    * shuffles 3-column rows, not 2×64-double payloads).
+    *
+    * Recall argument (the minhash-style bound): a pair at cosine exactly
+    * 0.95 agrees on one hyperplane with p = 1 − acos(0.95)/π ≈ 0.8989, so
+    * one 6-plane table catches it with p⁶ ≈ 0.528 and 8 independent
+    * tables give 1 − (1 − 0.528)⁸ ≈ 0.9975; at 0.99 cosine the same bound
+    * is ≈ 0.99998. On this corpus (max pair cosine ≈ 0.51) the entry is
+    * empty on both engines by construction; SimilaritySpec drives the
+    * non-empty path with synthetic near-identical vectors. */
+  def embeddingLshDedup(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshDedupFrom(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ed")))
+
+  /** Core kernel over a prepared (vec_id, ed: array&lt;double&gt;) frame. */
+  private[llm] def embeddingLshDedupFrom(e: DataFrame): DataFrame = {
+    CosineSimilarity.register(e.sparkSession)
+    val tb = explode(array((0 until DedupTables).map { t =>
+      val code = (0 until DedupPlanes).map { p =>
+        val proj = expr(projSqlW(dedupPlaneWeights(t)(p), i => s"element_at(ed, $i)"))
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), code.as("bkt"))
+    }: _*))
+    val b = e.select(col("vec_id"), col("ed"), tb.as("tb"))
+      .select(col("vec_id"), col("ed"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    b.as("a")
+      .join(b.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        round(expr("cosine_similarity(a.ed, b.ed)"), 6).as("cosine"))
+      .filter(col("cosine") >= DedupCosine)
+      .dropDuplicates("doc_a", "doc_b") // a pair can collide in several tables
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the all-pairs formulation at the same threshold — valid
+    * because LSH only prunes candidates and the ≥ 0.9975 recall bound
+    * (scaladoc above) exceeds any pair this corpus contains. */
+  val embeddingLshDedupSql: String =
+    s"""WITH $cosineCteSql
+       |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |       ${pairSimSql("a", "b")} AS cosine
+       |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+       |WHERE ${pairSimSql("a", "b")} >= $DedupCosine
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** IVF parameters: K coarse cells, nprobe probed cells per query,
+    * Lloyd iterations for centroid training, and the decimal precision
+    * trained centroids are rounded to (rounding per dimension makes the
+    * engine-order-dependent low bits of the mean irrelevant, so Spark's
+    * partial-aggregated avg and DuckDB's sequential avg produce the same
+    * centroid literals). */
   private val IvfK = 8
   private val IvfNprobe = 2
+  private val IvfIters = 2
+  private val CentroidDp = 4
 
-  /** IVF-bucketed ANN: a coarse quantizer of K cells (deterministic
-    * seeds — the first K vectors; production would k-means-train them,
-    * the index/probe structure is identical), every vector assigned to
-    * its max-cosine cell, queries probing their nprobe best cells and
-    * searching top-3 only among the probed cells' members. Cell
-    * assignment is K small cosines per vector (centroids broadcast);
-    * the search never touches vectors outside the probed cells —
-    * candidates shrink from n to ~n·nprobe/K. */
+  /** Deterministic k-means coarse quantizer: seeds = the first K vectors,
+    * then [[IvfIters]] Lloyd iterations of (assign every vector to its
+    * max-cosine centroid with a cent_id tie-break, recompute each
+    * centroid as the per-dimension mean rounded to [[CentroidDp]]
+    * decimals). Every step is a broadcast-join + window + 64-column avg
+    * aggregate — no driver-side loops over data, only over the K-row
+    * centroid frame between iterations. Cells that lose all members drop
+    * out identically on both engines. */
+  private[llm] def trainIvfCentroids(e: DataFrame): DataFrame = {
+    var cents = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("ed").as("ced"))
+    for (_ <- 1 to IvfIters) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("ed"), col("cent_id"),
+          round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))))
+        .filter(col("crank") === 1)
+      val dimAvgs = (0 until Dim).map(d =>
+        round(avg(element_at(col("ed"), d + 1)), CentroidDp).as(s"c$d"))
+      cents = assigned.groupBy("cent_id")
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .select(col("cent_id"), array((0 until Dim).map(d => col(s"c$d")): _*).as("ced"))
+    }
+    cents
+  }
+
+  /** IVF-bucketed ANN: a trained coarse quantizer of K cells
+    * ([[trainIvfCentroids]] — deterministic k-means, seeded with the
+    * first K vectors, centroids shared with the oracle through the
+    * mirrored SQL formulation rather than literals), every vector
+    * assigned to its max-cosine cell, queries probing their nprobe best
+    * cells and searching top-3 only among the probed cells' members.
+    * Cell assignment is K small cosines per vector (centroids
+    * broadcast); the search never touches vectors outside the probed
+    * cells — candidates shrink from n to ~n·nprobe/K. */
   def embeddingAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val cents = e.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cent_id"), col("ed").as("ced"))
+    val cents = trainIvfCentroids(e)
     val centSims = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("ed"), col("cent_id"),
         round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
@@ -254,14 +370,43 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** The k-means training chain, unrolled once per Lloyd iteration (the
+    * CTE text is generated by the same loop bounds the Spark side uses,
+    * so engine and oracle can never drift on K / iterations / rounding).
+    * Each cents_i exposes (cent_id, ed, n2) so [[pairSimSql]] applies to
+    * centroids exactly as it does to data vectors. */
+  private def kmeansCteSql: String = {
+    val n2OfEd =
+      """list_reduce(list_prepend(0.0::DOUBLE,
+        |           list_transform(ed, x -> x * x)), (a, b) -> a + b)""".stripMargin
+    val avgList = (0 until Dim)
+      .map(d => s"round(avg(ed[${d + 1}]), $CentroidDp)").mkString("[", ", ", "]")
+    val sb = new StringBuilder(
+      s"""cents0 AS (
+         |  SELECT vec_id AS cent_id, ed, n2 FROM emb WHERE vec_id < $IvfK
+         |)""".stripMargin)
+    for (i <- 1 to IvfIters) {
+      sb.append(s""", assign$i AS (
+         |  SELECT vec_id, ed, cent_id FROM (
+         |    SELECT e.vec_id, e.ed, c.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
+         |    FROM emb e CROSS JOIN cents${i - 1} c)
+         |  WHERE crank = 1
+         |), cents$i AS (
+         |  SELECT cent_id, ed, $n2OfEd AS n2
+         |  FROM (SELECT cent_id, $avgList AS ed FROM assign$i GROUP BY cent_id)
+         |)""".stripMargin)
+    }
+    sb.toString
+  }
+
   val embeddingAnnIvfSql: String =
-    s"""WITH $cosineCteSql, cents AS (
-       |  SELECT vec_id AS cent_id, ed AS ced, n2 AS cn2 FROM emb WHERE vec_id < $IvfK
-       |), ranked AS (
+    s"""WITH $cosineCteSql, $kmeansCteSql, ranked AS (
        |  SELECT e.vec_id, c.cent_id,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
-       |  FROM emb e CROSS JOIN (SELECT cent_id, cn2, ced AS ed, cn2 AS n2 FROM cents) c
+       |  FROM emb e CROSS JOIN cents$IvfIters c
        |), assign AS (
        |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
        |), probes AS (
