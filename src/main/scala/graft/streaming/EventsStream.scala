@@ -71,13 +71,37 @@ object EventsStream {
     * close the session. */
   val SessionGapMs: Long = 30 * 60 * 1000L
 
+  /** Shared per-batch state step: fold this batch's events (time-sorted)
+    * into the open session, emitting every session the gap rule closes. */
+  private def foldEvents(userId: Long, it: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = it.toSeq.sortBy(_.ts.getTime)
+    var closed = List.empty[Session]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= SessionGapMs =>
+          cur = Some(s.copy(last = t, n = s.n + 1))
+        case Some(s) =>
+          closed ::= Session(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last), s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach(state.update)
+    closed.reverseIterator
+  }
+
   /** flatMapGroupsWithState sessionizer: per-user state holds the open
     * session; an event beyond the gap closes and emits it.
     * KeyValueGroupedDataset custom state — the mapGroupsWithState surface
     * the brief calls for. Open sessions stay in state until a later event
-    * closes them (a production run would add GroupStateTimeout to flush
-    * idle users; kept timeout-free so test harness micro-batches drain
-    * deterministically). */
+    * closes them (timeout-free so test harness micro-batches drain
+    * deterministically); [[sessionizeWithTimeout]] is the production
+    * variant that also flushes idle users. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
@@ -85,24 +109,36 @@ object EventsStream {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var closed = List.empty[Session]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= SessionGapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
-            }
+          foldEvents(userId, it, state)
+      }
+  }
+
+  /** Production sessionizer: same gap rule plus an event-time timeout —
+    * a user idle past the session gap (relative to the stream's
+    * watermark) has their open session flushed and state dropped, so
+    * state size is bounded by ACTIVE users, not ever-seen users. The
+    * input must carry a watermark (the caller picks the lateness bound);
+    * the timeout timestamp is re-armed at (last event + gap) on every
+    * update, and Spark fires the group with hasTimedOut once the
+    * watermark passes it. */
+  def sessionizeWithTimeout(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val out = foldEvents(userId, it, state)
+            state.getOption.foreach(s =>
+              state.setTimeoutTimestamp(s.last + SessionGapMs))
+            out
           }
-          cur.foreach(state.update)
-          closed.reverseIterator
       }
   }
 }

@@ -1,8 +1,9 @@
 package graft.warehouse
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.Tables
 
@@ -24,6 +25,40 @@ import graft.Tables
   * partial-aggregated by Spark's HashAggregate before the shuffle.
   */
 object Dims {
+
+  /** Scalable surrogate-key assignment (M4 at 100 TB) — the
+    * per-partition-offset alternative to the single-partition
+    * `row_number()` window. The dimension builders in this file keep the
+    * window because their inputs are dimension-sized by construction; a
+    * fact-sized key assignment must not funnel through one partition,
+    * and this is that path:
+    *
+    *  1. range-partition + locally sort on the key ordering (one shuffle,
+    *     any number of partitions);
+    *  2. assign id = exclusive-prefix-sum of partition sizes + local
+    *     position, via `zipWithIndex` — a count job over partition sizes
+    *     (K longs to the driver, K = #partitions) and a map; no global
+    *     single-partition exchange anywhere.
+    *
+    * Produces EXACTLY the ids `row_number() OVER (ORDER BY ordering)`
+    * assigns, provided the ordering is total (ties may straddle a range
+    * boundary, where tie order would become partition-placement-
+    * dependent) — property-tested against the window path in DimsSpec.
+    * The RDD hop is the point: zipWithIndex's two-job
+    * count-then-stamp is the per-partition imperative step Catalyst has
+    * no operator for. */
+  def surrogateKeysScalable(df: DataFrame, idCol: String, order: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    val schema = StructType(ranged.schema.fields :+
+      StructField(idCol, LongType, nullable = false))
+    val rows = ranged.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Date dimension via sequence generation (M3 + F1, reference
     * inserting-data.sql:38-44: generate_series 1-day + EXTRACT). */

@@ -46,6 +46,39 @@ class EventsStreamSpec extends SparkSpec {
       Tables.events(spark, sfDir).count())
   }
 
+  test("timeout sessionizer flushes an idle session once the watermark passes it") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[EventsStream.Event]
+    val query = EventsStream.sessionizeWithTimeout(
+        source.toDS().withWatermark("ts", "10 seconds").as[EventsStream.Event])
+      .writeStream
+      .format("memory").queryName("sessions_timeout_test")
+      .outputMode("append").start()
+    try {
+      // user 1 goes idle; no later event of their own ever closes the session
+      source.addData(
+        EventsStream.Event(1L, ts("2024-01-01 10:00:00"), "click"),
+        EventsStream.Event(1L, ts("2024-01-01 10:10:00"), "view"))
+      query.processAllAvailable()
+      assert(spark.table("sessions_timeout_test").isEmpty)
+      // another user's much later event advances the watermark far past
+      // user 1's (last + gap) timeout timestamp...
+      source.addData(EventsStream.Event(2L, ts("2024-01-01 13:00:00"), "click"))
+      query.processAllAvailable()
+      // ...and timeouts fire against the previous batch's watermark, so one
+      // further (empty-for-user-1) batch makes the flush observable
+      source.addData(EventsStream.Event(2L, ts("2024-01-01 13:01:00"), "click"))
+      query.processAllAvailable()
+      val closed = spark.table("sessions_timeout_test")
+        .as[EventsStream.Session].collect().filter(_.user_id == 1L)
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.n_events == 2
+        && s.start == ts("2024-01-01 10:00:00") && s.end == ts("2024-01-01 10:10:00"))
+    } finally query.stop()
+  }
+
   test("sessionizer splits on the 30-minute gap and counts events") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
