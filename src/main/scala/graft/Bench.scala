@@ -18,11 +18,15 @@ import java.nio.file.{Files, Paths}
   *    pass r runs the whole suite before pass r+1 touches any query, so
   *    slow environment drift (GC pressure, page cache, JIT recompiles)
   *    lands across all queries instead of biasing whichever query was
-  *    visited at the wrong moment;
+  *    visited at the wrong moment; the cache is cleared at each pass
+  *    boundary so per-query `.cache()` blocks are rebuilt (and paid for)
+  *    identically in every pass instead of accumulating across the suite;
   *  - per-query reported time = median over passes; `total` = sum of
-  *    medians; per-query spread (max-min) and a suite-level relative-noise
-  *    summary ship in the same JSON line so a reader can tell signal from
-  *    jitter before crediting any round-over-round delta.
+  *    medians; a suite-level relative-noise summary ships in the same
+  *    JSON line so a reader can tell signal from jitter before crediting
+  *    any round-over-round delta. Per-query spreads (max-min) ship in the
+  *    BENCH_OUT file only — the stdout line must stay inside the driver's
+  *    2 KB tail-capture window.
   *
   * Each execution drives the full pipeline through the noop sink (final
   * sort included; nothing is collected to the driver).
@@ -54,8 +58,15 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(exec) // warm-up pass (uncounted)
+    // clear per-query .cache() blocks between passes: every pass re-pays
+    // cache population the same way, instead of pass 1 paying it for the
+    // suite and later passes riding (or evicting) accumulated blocks —
+    // the cross-pass bias the interleaved design is meant to remove
     val passes: Seq[Map[String, Double]] =
-      (1 to reps).map(_ => names.map(n => n -> exec(n)).toMap)
+      (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        names.map(n => n -> exec(n)).toMap
+      }
     def samples(n: String): Seq[Double] = passes.map(_(n)).filter(_ >= 0).sorted
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
@@ -72,16 +83,25 @@ object Bench {
       if (xs.nonEmpty && m > 0) Some((xs.max - xs.min) / m) else None
     }.sorted
     val total = med.map(_._2).filter(_ >= 0).sum
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 chars of stdout; round 5's
+    // line carried a second full-precision per-query map (spread_sec) and
+    // overflowed that window, so the driver recorded parsed:null. The
+    // stdout line therefore stays compact (3dp medians + a 2-number noise
+    // summary, ~1.4 KB at 45 queries); the full-precision detail including
+    // per-query spreads goes only to the BENCH_OUT side channel.
+    def r3(v: Double): String = f"$v%.3f"
+    def jmap(kv: Seq[(String, Double)], fmt: Double => String): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val noise =
       if (relSpreads.isEmpty) """{"rel_spread_median":-1,"rel_spread_max":-1}"""
-      else s"""{"rel_spread_median":${median(relSpreads)},"rel_spread_max":${relSpreads.max}}"""
+      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps,"spread_sec":${jmap(spreads)},"noise":$noise}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(med, r3)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps,"noise":$noise}"""
     println(line)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med, _.toString)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps,"spread_sec":${jmap(spreads, _.toString)},"noise":$noise}"""
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n")
+    try Files.writeString(Paths.get(out), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

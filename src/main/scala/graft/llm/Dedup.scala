@@ -80,7 +80,16 @@ object Dedup {
     * only intersection counting sees the capped index, so pairs whose
     * overlap is entirely hot shingles are missed — the documented recall
     * trade of df-capping (a pair that near-duplicates in hot shingles
-    * alone is boilerplate, not duplication). */
+    * alone is boilerplate, not duplication).
+    *
+    * Oracle note (shared hash-collision assumption): BOTH the df count and
+    * the intersection join key are `xxhash64(shingle)` on the Spark side
+    * but the raw shingle string in the DuckDB oracle — a 64-bit collision
+    * would merge two shingles' postings (and, since the cap landed, their
+    * df counts) on the engine side only. The two divergence paths ride the
+    * same assumption and fail together; at 64-bit width the birthday bound
+    * keeps the collision probability negligible below ~10⁹ distinct
+    * shingles per corpus. */
   private[llm] def ngramJaccardPairsFrom(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))

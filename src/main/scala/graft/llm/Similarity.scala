@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
   * ArrayType(FloatType) 64-dim, label) — beyond-reference surface for a
@@ -152,6 +152,20 @@ object Similarity {
   private def projSql(p: Int, elem: Int => String): String =
     projSqlW(planeWeights(p), elem)
 
+  /** The same signed projection on the Spark side, as ONE native codegen'd
+    * [[DotProduct]] node against a constant ±1 weight array — instead of a
+    * 64-node `element_at` sum per plane. The textual-sum form blew past
+    * Janino's method limits on the multi-table dedup path (8 tables × 6
+    * planes, duplicated across both sides of the bucket self-join → a
+    * ~13.7k-line compile unit that failed with InternalCompilerException
+    * and ran interpreted at 22-29 s per execution at sf0.1); one loop node
+    * per plane compiles cleanly. Bit-identical to the oracle's textual sum:
+    * both accumulate doubles in ascending element order and ±1.0 multiplies
+    * are exact (see [[DotProduct]] scaladoc). Requires
+    * `DotProduct.register` on the session. */
+  private def projDotExpr(weights: Seq[Int]): org.apache.spark.sql.Column =
+    expr(s"dot_product(ed, array(${weights.map(w => s"${w.toDouble}D").mkString(",")}))")
+
   /** Random-hyperplane LSH ANN: 8-bit bucket from projection signs, then
     * top-1 cosine neighbor within the bucket (expected bucket size
     * n/256 — candidate pairs n²/256 instead of n²). Vectors alone in
@@ -163,11 +177,11 @@ object Similarity {
     * join shuffle (vec_id, ed, bucket) without a precomputed-norm column. */
   def embeddingAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
+    DotProduct.register(spark)
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
     val bucket = (0 until NumPlanes).map { p =>
-      val proj = expr(projSql(p, i => s"element_at(ed, $i)"))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      when(projDotExpr(planeWeights(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val b = e.select(col("vec_id"), col("ed"), bucket.as("bucket"))
     val pairs = b.as("a")
@@ -262,10 +276,10 @@ object Similarity {
   /** Core kernel over a prepared (vec_id, ed: array&lt;double&gt;) frame. */
   private[llm] def embeddingLshDedupFrom(e: DataFrame): DataFrame = {
     CosineSimilarity.register(e.sparkSession)
+    DotProduct.register(e.sparkSession)
     val tb = explode(array((0 until DedupTables).map { t =>
       val code = (0 until DedupPlanes).map { p =>
-        val proj = expr(projSqlW(dedupPlaneWeights(t)(p), i => s"element_at(ed, $i)"))
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+        when(projDotExpr(dedupPlaneWeights(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("t"), code.as("bkt"))
     }: _*))
@@ -295,10 +309,23 @@ object Similarity {
 
   /** IVF parameters: K coarse cells, nprobe probed cells per query,
     * Lloyd iterations for centroid training, and the decimal precision
-    * trained centroids are rounded to (rounding per dimension makes the
-    * engine-order-dependent low bits of the mean irrelevant, so Spark's
-    * partial-aggregated avg and DuckDB's sequential avg produce the same
-    * centroid literals). */
+    * trained centroids are rounded to.
+    *
+    * Centroid means accumulate as DECIMAL(28,14), not double: decimal
+    * addition is exact and therefore order-independent, so Spark's
+    * partial aggregation (partition-order-dependent) and DuckDB's
+    * sequential sum produce the IDENTICAL sum, which both engines then
+    * cast to double and divide by the count with the same IEEE ops. The
+    * earlier round(avg(double), 4) formulation left a flake vector: a
+    * mean within ~1 ULP of a 4dp rounding boundary could round
+    * differently across engines — or across Spark RUNS, since partition
+    * order varies — and cascade through Lloyd iterations into different
+    * assignments. With exact accumulation the only remaining divergence
+    * class is a per-value double→decimal cast landing exactly on a
+    * half-way point at the 14th decimal (deterministic per value, not
+    * order-dependent, and requires the double to be exactly x.5e-14 —
+    * astronomically unlikely at unit scale where doubles carry ~17
+    * significant digits). */
   private val IvfK = 8
   private val IvfNprobe = 2
   private val IvfIters = 2
@@ -323,7 +350,10 @@ object Similarity {
           Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))))
         .filter(col("crank") === 1)
       val dimAvgs = (0 until Dim).map(d =>
-        round(avg(element_at(col("ed"), d + 1)), CentroidDp).as(s"c$d"))
+        round(
+          sum(element_at(col("ed"), d + 1).cast("decimal(28,14)")).cast("double")
+            / count(lit(1)),
+          CentroidDp).as(s"c$d"))
       cents = assigned.groupBy("cent_id")
         .agg(dimAvgs.head, dimAvgs.tail: _*)
         .select(col("cent_id"), array((0 until Dim).map(d => col(s"c$d")): _*).as("ced"))
@@ -379,8 +409,12 @@ object Similarity {
     val n2OfEd =
       """list_reduce(list_prepend(0.0::DOUBLE,
         |           list_transform(ed, x -> x * x)), (a, b) -> a + b)""".stripMargin
+    // decimal-exact mean, mirroring the Spark side (see the IVF-parameter
+    // scaladoc): exact order-independent DECIMAL sum, then the same
+    // cast-to-double + divide + round on both engines
     val avgList = (0 until Dim)
-      .map(d => s"round(avg(ed[${d + 1}]), $CentroidDp)").mkString("[", ", ", "]")
+      .map(d => s"round(CAST(sum(CAST(ed[${d + 1}] AS DECIMAL(28,14))) AS DOUBLE)" +
+        s" / count(*), $CentroidDp)").mkString("[", ", ", "]")
     val sb = new StringBuilder(
       s"""cents0 AS (
          |  SELECT vec_id AS cent_id, ed, n2 FROM emb WHERE vec_id < $IvfK

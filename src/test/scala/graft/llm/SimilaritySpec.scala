@@ -99,6 +99,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.embeddingLshDedup(spark, sfDir).isEmpty)
   }
 
+  test("corpus invariant: no embedding pair reaches the 0.95 dedup threshold") {
+    // embedding_lsh_dedup's oracle is the exact all-pairs formulation while
+    // the engine path is probabilistic multi-table LSH (recall ≈ 0.9975 at
+    // cosine exactly 0.95); they are hash-equal only while the corpus has
+    // no pair at the threshold, which makes both sides empty by
+    // construction. Pin that invariant on the ORACLE-GATE corpus (sf0.01,
+    // what the driver verifies against) so a testdata regeneration that
+    // introduces a genuine near-dup fails loudly here instead of
+    // intermittently (~0.25% per pair) at the oracle compare.
+    CosineSimilarity.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val maxCos = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .agg(max(expr("cosine_similarity(a.embedding, b.embedding)")))
+      .head.getDouble(0)
+    assert(maxCos < 0.95,
+      f"corpus grew a near-dup pair (max all-pairs cosine $maxCos%.4f); " +
+        "embedding_lsh_dedup's all-pairs oracle is no longer LSH-recall-safe")
+  }
+
   test("IVF: k-means training moves centroids off their first-K seeds") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)
