@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Queries
 import graft.etl.Transforms
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.SkewJoin
+import graft.operators.{AsofJoin, RangeJoin, SkewJoin}
 import graft.sources.{Csv, Layout}
 import graft.streaming.EventsStream
 import graft.warehouse.{Dims, Facts, Lifecycle, Scd}
@@ -66,7 +66,9 @@ object SparkEntry {
     "q4_bottom_states" -> ((s, d) => Queries.q4BottomStates(s, d)),
     "csv_roundtrip" -> ((s, d) => Csv.csvRoundtrip(s, d)),
     "bucketed_join" -> ((s, d) => Layout.bucketedJoin(s, d)),
-    "partitioned_scan" -> ((s, d) => Layout.partitionedScan(s, d))
+    "partitioned_scan" -> ((s, d) => Layout.partitionedScan(s, d)),
+    "asof_join" -> ((s, d) => AsofJoin.asofJoin(s, d)),
+    "range_join_bands" -> ((s, d) => RangeJoin.rangeJoinBands(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,6 +118,8 @@ object SparkEntry {
     "q4_bottom_states" -> Queries.q4BottomStatesSql,
     "csv_roundtrip" -> Csv.csvRoundtripSql,
     "bucketed_join" -> Layout.bucketedJoinSql,
-    "partitioned_scan" -> Layout.partitionedScanSql
+    "partitioned_scan" -> Layout.partitionedScanSql,
+    "asof_join" -> AsofJoin.asofJoinSql,
+    "range_join_bands" -> RangeJoin.rangeJoinBandsSql
   )
 }

@@ -51,6 +51,14 @@ object AsofJoin {
       tie: Column,
       payload: Column,
       strict: Boolean): DataFrame = {
+    // the kernel claims _side/_tie/_rp/_asof as working columns; a left
+    // frame already carrying one would be silently overwritten by
+    // withColumn and corrupt the _rp.isNull filter / unionByName alignment
+    val reserved = Set("_side", "_tie", "_rp", "_asof")
+    val clash = left.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"asOf reserves column names ${reserved.mkString(", ")}; " +
+        s"left frame carries ${clash.mkString(", ")} — rename before joining")
     // side ordinal: inclusive → right(0) sorts before left(1) at equal ts
     // (current-row frame sees it); strict → right(1) after left(0)
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
