@@ -56,7 +56,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite while
+    // iterating on one query; the driver never sets it, so driver runs
+    // always measure the full registry
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) => only.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     names.foreach(exec) // warm-up pass (uncounted)
     // clear per-query .cache() blocks between passes: every pass re-pays
     // cache population the same way, instead of pass 1 paying it for the
@@ -89,7 +95,12 @@ object Bench {
     // stdout line therefore stays compact (3dp medians + a 2-number noise
     // summary, ~1.4 KB at 45 queries); the full-precision detail including
     // per-query spreads goes only to the BENCH_OUT side channel.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator delegates to the DEFAULT locale, so
+    // under e.g. de_DE the decimal separator becomes ',' and the stdout
+    // line is no longer valid JSON — exactly the parsed:null failure mode
+    // this line is built to avoid
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(kv: Seq[(String, Double)], fmt: Double => String): String =
       kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val noise =

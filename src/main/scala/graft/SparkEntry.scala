@@ -68,7 +68,9 @@ object SparkEntry {
     "bucketed_join" -> ((s, d) => Layout.bucketedJoin(s, d)),
     "partitioned_scan" -> ((s, d) => Layout.partitionedScan(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.asofJoin(s, d)),
-    "range_join_bands" -> ((s, d) => RangeJoin.rangeJoinBands(s, d))
+    "range_join_bands" -> ((s, d) => RangeJoin.rangeJoinBands(s, d)),
+    "ivf_index_search" -> ((s, d) => Similarity.ivfIndexSearch(s, d)),
+    "lsh_index_search" -> ((s, d) => Similarity.lshIndexSearch(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,6 +122,8 @@ object SparkEntry {
     "bucketed_join" -> Layout.bucketedJoinSql,
     "partitioned_scan" -> Layout.partitionedScanSql,
     "asof_join" -> AsofJoin.asofJoinSql,
-    "range_join_bands" -> RangeJoin.rangeJoinBandsSql
+    "range_join_bands" -> RangeJoin.rangeJoinBandsSql,
+    "ivf_index_search" -> Similarity.ivfIndexSearchSql,
+    "lsh_index_search" -> Similarity.lshIndexSearchSql
   )
 }

@@ -29,10 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `(+ ed[1] - ed[2] - ...)` form: both are left-to-right double
   * accumulations, and multiplication by ±1.0 is exact in IEEE 754, so
   * `acc + ed[i]*w[i]` and `acc ± ed[i]` are the same double at every step.
-  * NULL when either array is null or any visited element is null (matching
-  * the `aggregate(zip_with(...))` HOF fold, where a null poisons the
-  * fold); the per-element null check is emitted only for inputs whose
-  * ArrayType admits null elements.
+  * NULL when either array is null, when the arrays differ in length, or
+  * when any visited element is null — matching the
+  * `aggregate(zip_with(...))` HOF fold, where `zip_with` pads the shorter
+  * array with nulls and the null then poisons the fold. The per-element
+  * null check is emitted only for inputs whose ArrayType admits null
+  * elements.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -75,7 +77,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0d
     var i = 0
     while (i < n) {
@@ -106,12 +109,14 @@ case class DotProduct(left: Expression, right: Expression)
         if (nullChecks.isEmpty) ""
         else s"if (${nullChecks.mkString(" || ")}) { $sawNull = true; break; }"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |boolean $sawNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullGuard
-         |  $dot += ($getX) * ($getY);
+         |boolean $sawNull = $n != $b.numElements();
+         |if (!$sawNull) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $dot += ($getX) * ($getY);
+         |  }
          |}
          |if ($sawNull) {
          |  ${ev.isNull} = true;

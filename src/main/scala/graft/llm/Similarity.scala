@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{CosineSimilarity, DotProduct}
+import graft.sources.Layout
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
   * ArrayType(FloatType) 64-dim, label) — beyond-reference surface for a
@@ -28,27 +29,19 @@ import graft.functions.{CosineSimilarity, DotProduct}
   */
 object Similarity {
 
-  /** Per-element double widening + ascending-order fold for the squared
-    * norm, shared by the HOF paths. */
-  private def norm2(emb: org.apache.spark.sql.Column) =
-    aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Brute-force cosine top-k (k=10) for the query set vec_id < 5, via
-    * higher-order functions: the exact baseline every ANN variant is
-    * measured against. */
+  /** Brute-force cosine top-k (k=10) for the query set vec_id < 5: the
+    * exact baseline every ANN variant is measured against. Cosine runs on
+    * the native codegen'd [[CosineSimilarity]] kernel — bit-identical to
+    * the HOF fold (same double widening, same ascending-order sum; pinned
+    * by SimilaritySpec's kernel-parity test), so the oracle contract is
+    * unchanged while the whole pair stream stays inside codegen. */
   def embeddingTopk(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val sim = round(
-      dotCol(col("q_emb"), col("c_emb")) /
-        (sqrt(norm2(col("q_emb"))) * sqrt(norm2(col("c_emb")))), 6)
+    val sim = round(expr("cosine_similarity(q_emb, c_emb)"), 6)
     cands.crossJoin(broadcast(queries))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("sim", sim)
@@ -335,20 +328,33 @@ object Similarity {
     * then [[IvfIters]] Lloyd iterations of (assign every vector to its
     * max-cosine centroid with a cent_id tie-break, recompute each
     * centroid as the per-dimension mean rounded to [[CentroidDp]]
-    * decimals). Every step is a broadcast-join + window + 64-column avg
-    * aggregate — no driver-side loops over data, only over the K-row
-    * centroid frame between iterations. Cells that lose all members drop
-    * out identically on both engines. */
+    * decimals). Every step is a broadcast-join + argmax hash-aggregate
+    * ([[argmaxCell]]) + 64-column avg aggregate — no driver-side loops
+    * over data, only over the K-row centroid frame between iterations.
+    * Cells that lose all members drop out identically on both engines. */
+  /** Per-vector argmax-cosine cell pick as ONE hash aggregate instead of
+    * a sort-based window: `max_by` on the (csim, -cent_id) struct is
+    * totally ordered, so ties resolve to the LOWEST cent_id — identical
+    * to the window formulation's `ORDER BY csim DESC, cent_id ... rank=1`
+    * (and to the oracle's, which keeps that shape). The hash aggregate
+    * partially combines map-side (each vector's K candidate rows sit in
+    * one partition after the broadcast cross join), so the exchange ships
+    * ~n rows instead of sorting n×K — the shape that matters when n is
+    * 10⁹ vectors, not 10⁴. `first(ed)` is deterministic here: every row
+    * in a vec_id group carries the identical embedding. */
+  private def argmaxCell(sims: DataFrame): DataFrame =
+    sims.groupBy("vec_id")
+      .agg(first(col("ed")).as("ed"),
+        max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc")))
+          .as("cent_id"))
+
   private[llm] def trainIvfCentroids(e: DataFrame): DataFrame = {
     var cents = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("ed").as("ced"))
     for (_ <- 1 to IvfIters) {
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = argmaxCell(e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("ed"), col("cent_id"),
-          round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))))
-        .filter(col("crank") === 1)
+          round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
       val dimAvgs = (0 until Dim).map(d =>
         round(
           sum(element_at(col("ed"), d + 1).cast("decimal(28,14)")).cast("double")
@@ -372,20 +378,42 @@ object Similarity {
     * cells — candidates shrink from n to ~n·nprobe/K. */
   def embeddingAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
+    // the vector table feeds training (once per Lloyd iteration), cell
+    // assignment, and the candidate join — cache it once
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val cents = trainIvfCentroids(e)
+      .cache()
+    // The trained quantizer is a MODEL ARTIFACT of K ≤ 8 rows (bounded by
+    // the compile-time constant, never by data size): collect it once and
+    // re-plan the search against literal centroids. This cuts the
+    // 2-Lloyd-iteration lineage out of every downstream plan — leaving it
+    // inline costs ~3.7 s per execution in plan/codegen overhead alone
+    // (measured vs ivfIndexSearch, which runs the SAME training plus two
+    // table writes in 1.7 s because persistence cuts the lineage).
+    // The full lifecycle (persist + bucketed layout) is ivfIndexSearch;
+    // this entry keeps train-in-query semantics for the shared oracle.
+    val cents = spark.createDataFrame(
+      trainIvfCentroids(e).collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))))
+      .toDF("cent_id", "ced")
     val centSims = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("ed"), col("cent_id"),
         round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
-    val ranked = centSims.withColumn("crank", row_number().over(
-      Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))))
-    val assign = ranked.filter(col("crank") === 1)
+    // full-corpus assignment: argmax hash-aggregate, no sort-window
+    val assign = argmaxCell(centSims)
       .select(col("vec_id"), col("ed"), col("cent_id").as("cell"))
-    val probes = ranked
-      .filter(col("vec_id") >= 100 && col("vec_id") < 105 && col("crank") <= IvfNprobe)
+    // probe ranking needs top-nprobe (not argmax) but only for the 5
+    // query vectors — filter FIRST, then window over 5×K rows
+    val probes = e
+      .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("cent_id"),
+        round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crank") <= IvfNprobe)
       .select(col("vec_id").as("q_id"), col("ed").as("qed"), col("cent_id").as("cell"))
     probes
       .join(assign, Seq("cell"))
@@ -481,4 +509,106 @@ object Similarity {
        |WHERE rn = 1
        |ORDER BY q_id""".stripMargin
   }
+
+  /** IVF index LIFECYCLE entry — the 100 TB shape the inline
+    * [[embeddingAnnIvf]] deliberately does not model: training runs once
+    * as an INDEX BUILD and persists its artifacts (the K-row centroid
+    * table and the per-vector cell assignment, bucketed by cell); the
+    * search phase reads ONLY those tables. At scale a new query batch
+    * never touches the training chain, and the bucketed assignment layout
+    * pre-pays the candidate join's shuffle on `cell` the same way
+    * [[graft.sources.Layout.bucketedJoin]] pre-pays its order-key shuffle.
+    * Search: query vectors rank the persisted centroids (K ≤ 8 rows,
+    * broadcast), probe their nprobe best cells, and score only the probed
+    * cells' members. Results are identical to [[embeddingAnnIvf]] — same
+    * centroids (exact through the parquet double round-trip), same 6dp
+    * rounding, same tie-breaks — so the entry shares its oracle SQL. */
+  def ivfIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    // ---- index build: once per corpus, not per query ----
+    Layout.dropManagedTable(spark, "graft_ivf_centroids")
+    Layout.dropManagedTable(spark, "graft_ivf_assign")
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .cache()
+    trainIvfCentroids(e).write.mode("overwrite")
+      .saveAsTable("graft_ivf_centroids")
+    val cents = spark.table("graft_ivf_centroids")
+    argmaxCell(e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("cent_id"),
+        round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
+      .select(col("vec_id"), col("ed"), col("cent_id").as("cell"))
+      .write.bucketBy(8, "cell").mode("overwrite")
+      .saveAsTable("graft_ivf_assign")
+    // ---- search: reads ONLY the persisted artifacts ----
+    val assign = spark.table("graft_ivf_assign")
+    val probes = assign
+      .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("q_id"), col("ed").as("qed"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qed"), col("cent_id"),
+        round(expr("cosine_similarity(qed, ced)"), 6).as("csim"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crank") <= IvfNprobe)
+      .select(col("q_id"), col("qed"), col("cent_id").as("cell"))
+    probes
+      .join(assign, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(expr("cosine_similarity(qed, ed)"), 6).as("sim"))
+      .dropDuplicates("q_id", "c_id") // a candidate can sit in both probed cells
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "c_id", "sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Same result set as [[embeddingAnnIvf]] — the lifecycle differs, the
+    * math does not. */
+  val ivfIndexSearchSql: String = embeddingAnnIvfSql
+
+  /** LSH bucket-table LIFECYCLE entry — persists the 8-bit bucket codes
+    * of [[embeddingAnnLsh]] as a table bucketed (and sorted) on `bucket`,
+    * then runs the in-bucket top-1 search reading only that table. The
+    * self-join on `bucket` is then EXCHANGE-FREE (both sides are the same
+    * bucketed table — pinned by SimilaritySpec): the code computation and
+    * its shuffle are paid once at index-build time and amortized over
+    * every subsequent dedup/ANN scan, the same pay-at-write story as
+    * [[graft.sources.Layout.bucketedJoin]]. Results are identical to
+    * [[embeddingAnnLsh]], so the entry shares its oracle SQL. */
+  def lshIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    DotProduct.register(spark)
+    // ---- index build ----
+    Layout.dropManagedTable(spark, "graft_lsh_buckets")
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+    val bucket = (0 until NumPlanes).map { p =>
+      when(projDotExpr(planeWeights(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.select(col("vec_id"), col("ed"), bucket.as("bucket"))
+      .write.bucketBy(8, "bucket").sortBy("bucket")
+      .mode("overwrite").saveAsTable("graft_lsh_buckets")
+    // ---- search: bucket-colocated self-join, no exchange ----
+    val b = spark.table("graft_lsh_buckets")
+    b.as("a")
+      .join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("c_id"),
+        col("a.bucket").as("bucket"),
+        round(expr("cosine_similarity(a.ed, b.ed)"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rank") === 1)
+      .select("q_id", "c_id", "bucket", "sim")
+      .orderBy("q_id")
+  }
+
+  /** Same result set as [[embeddingAnnLsh]] — bucket layout must never
+    * change results. */
+  val lshIndexSearchSql: String = embeddingAnnLshSql
 }

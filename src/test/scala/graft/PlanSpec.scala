@@ -77,9 +77,10 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
-  test("ann_lsh / ann_ivf: per-pair cosine uses the native kernel, not HOF folds") {
+  test("ann_lsh / ann_ivf / topk: per-pair cosine uses the native kernel, not HOF folds") {
     for (q <- Seq(Similarity.embeddingAnnLsh(spark, sfDir),
-                  Similarity.embeddingAnnIvf(spark, sfDir))) {
+                  Similarity.embeddingAnnIvf(spark, sfDir),
+                  Similarity.embeddingTopk(spark, sfDir))) {
       val initial = q.queryExecution.executedPlan.toString
       assert(initial.contains("cosine_similarity"), initial.take(3000))
       // the interpreted HOF cosine would show up as aggregate(zip_with(...))

@@ -59,6 +59,26 @@ class DotProductSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("mismatched lengths yield NULL, matching the zip_with pad-with-null fold") {
+    import spark.implicits._
+    DotProduct.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)), // longer left
+      (2L, Seq(1.0), Seq(4.0, 5.0)), // longer right
+      (3L, Seq(1.0, 2.0), Seq(4.0, 5.0))) // equal → defined
+      .toDF("id", "a", "b")
+    def hof(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(col("id"), expr("dot_product(a, b)").as("nat"),
+        hof(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"id=${r.getLong(0)}: native nullness must match the HOF fold")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(byId(1L) && byId(2L) && !byId(3L))
+  }
+
   test("lsh dedup physical plan runs on dot_product (no element_at projection sums)") {
     // the textual-sum form generated ~13.7k lines of Java that failed
     // Janino compilation and ran interpreted (22-29 s at sf0.1); the plan

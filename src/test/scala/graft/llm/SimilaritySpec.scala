@@ -157,4 +157,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.groupBy("q_id").count().filter(col("count") =!= 1).isEmpty)
     assert(ann.filter(col("q_id") === col("c_id")).isEmpty)
   }
+
+  test("persisted-index searches return exactly the inline results") {
+    // lifecycle must never change the math: the build-then-read entries
+    // and their inline (retrain-per-query) twins share oracle SQL, so
+    // they must be row-identical
+    val ivfInline = Similarity.embeddingAnnIvf(spark, sfDir)
+    val ivfIndexed = Similarity.ivfIndexSearch(spark, sfDir)
+    assert(ivfIndexed.except(ivfInline).isEmpty && ivfInline.except(ivfIndexed).isEmpty)
+    val lshInline = Similarity.embeddingAnnLsh(spark, sfDir)
+    val lshIndexed = Similarity.lshIndexSearch(spark, sfDir)
+    assert(lshIndexed.except(lshInline).isEmpty && lshInline.except(lshIndexed).isEmpty)
+  }
+
+  test("lsh index search: the bucket self-join over the bucketed table is exchange-free") {
+    val df = Similarity.lshIndexSearch(spark, sfDir)
+    df.collect() // finalize AQE
+    val full = df.queryExecution.executedPlan.toString
+    val finalPlan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // the join's two inputs are the same table bucketed on the join key:
+    // no hash exchange may feed the join (the window/orderBy may shuffle
+    // AFTER it — assert no exchange between the scans and the join by
+    // requiring zero hash exchanges on `bucket`)
+    assert(!finalPlan.contains("Exchange hashpartitioning(bucket"),
+      s"bucket self-join must read co-located buckets, not reshuffle:\n${finalPlan.take(3000)}")
+  }
 }
