@@ -134,7 +134,12 @@ object Dims {
 
   /** Category dimension: multi-column natural key upsert (M1 + F3,
     * reference inserting-data.sql:74-86 — DISTINCT 4-tuple with COALESCE,
-    * ON CONFLICT DO UPDATE ≡ union + dropDuplicates on the key). */
+    * ON CONFLICT DO UPDATE ≡ union + dropDuplicates on the key). Surrogate
+    * keys come from [[surrogateKeysScalable]] — this dim exercises the
+    * per-partition-offset path in a registered oracle-gated entry (the
+    * other dims keep the single-partition window, fine at dim size). The
+    * (brand, ptype, psize) ordering is total AFTER dropDuplicates on
+    * exactly those columns, which the scalable path's contract requires. */
   def categoryDim(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir)
     val staged = part.select(
@@ -146,11 +151,10 @@ object Dims {
       coalesce(col("p_brand"), lit("")).as("brand"),
       coalesce(col("p_type"), lit("")).as("ptype"),
       col("p_size").as("psize"))
-    existing.union(staged)
+    val dedup = existing.union(staged)
       .dropDuplicates("brand", "ptype", "psize")
-      .withColumn("category_id",
-        row_number().over(
-          Window.orderBy(col("brand"), col("ptype"), col("psize"))).cast("long"))
+    surrogateKeysScalable(dedup, "category_id",
+      Seq(col("brand"), col("ptype"), col("psize")))
       .select("category_id", "brand", "ptype", "psize")
       .orderBy("category_id")
   }
