@@ -70,7 +70,8 @@ object SparkEntry {
     "asof_join" -> ((s, d) => AsofJoin.asofJoin(s, d)),
     "range_join_bands" -> ((s, d) => RangeJoin.rangeJoinBands(s, d)),
     "ivf_index_search" -> ((s, d) => Similarity.ivfIndexSearch(s, d)),
-    "lsh_index_search" -> ((s, d) => Similarity.lshIndexSearch(s, d))
+    "lsh_index_search" -> ((s, d) => Similarity.lshIndexSearch(s, d)),
+    "ingest_dedup" -> ((s, d) => EventsStream.ingestDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +125,7 @@ object SparkEntry {
     "asof_join" -> AsofJoin.asofJoinSql,
     "range_join_bands" -> RangeJoin.rangeJoinBandsSql,
     "ivf_index_search" -> Similarity.ivfIndexSearchSql,
-    "lsh_index_search" -> Similarity.lshIndexSearchSql
+    "lsh_index_search" -> Similarity.lshIndexSearchSql,
+    "ingest_dedup" -> EventsStream.ingestDedupSql
   )
 }

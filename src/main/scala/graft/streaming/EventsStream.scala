@@ -63,6 +63,48 @@ object EventsStream {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Ingest-time exact deduplication — the streaming twin of the corpus
+    * dedup family: an at-least-once source (Kafka, redelivering log
+    * shipper) re-delivers events, and the pipeline must keep exactly one
+    * row per event_id.
+    *
+    * Batch entry (registered, oracle-gated): redelivery is simulated
+    * deterministically (every event_id ≡ 0 mod 7 arrives twice) and
+    * deduped by key. Duplicate rows are bit-identical, so keep-any ≡
+    * keep-first and the result is deterministic. The dedup is a
+    * hash-groupBy on the key — partial aggregation collapses duplicates
+    * map-side, the shuffle carries one row per key per partition.
+    *
+    * Streaming path: `dropDuplicatesWithinWatermark` on the watermarked
+    * stream — state holds one key per event inside the watermark horizon
+    * and is dropped as the watermark passes (bounded by in-horizon
+    * traffic, not stream history; the unwatermarked `dropDuplicates`
+    * would grow state forever). MemoryStream-tested in EventsStreamSpec. */
+  def ingestDedupTransform(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  def ingestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val redelivered = ev.unionAll(ev.filter(col("event_id") % 7 === 0))
+    ingestDedupTransform(redelivered).orderBy("event_id")
+  }
+
+  val ingestDedupSql: String =
+    """SELECT DISTINCT event_id, user_id, ts, event_type, value
+      |FROM (SELECT * FROM events
+      |      UNION ALL
+      |      SELECT * FROM events WHERE event_id % 7 = 0)
+      |ORDER BY event_id""".stripMargin
+
+  /** The streaming dedup: exactly-once per event_id within the watermark
+    * horizon. Append-mode emits each key's first-seen row immediately;
+    * a redelivery later than the watermark bound is the documented
+    * at-least-once residue (the usual state-size/completeness trade). */
+  def streamingIngestDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Int)

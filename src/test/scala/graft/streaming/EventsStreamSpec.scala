@@ -36,6 +36,35 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming ingest dedup drops in-watermark redeliveries, batch twin dedups exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val df = source.toDF().toDF("event_id", "ts", "event_type")
+    val query = EventsStream.streamingIngestDedup(df).writeStream
+      .format("memory").queryName("ingest_dedup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: id 1 delivered twice in the same micro-batch
+      source.addData((1L, ts("2024-01-01 10:00:00"), "click"),
+        (1L, ts("2024-01-01 10:00:00"), "click"),
+        (2L, ts("2024-01-01 10:05:00"), "view"))
+      query.processAllAvailable()
+      // batch 2: id 2 redelivered across micro-batches, still in watermark
+      source.addData((2L, ts("2024-01-01 10:05:00"), "view"),
+        (3L, ts("2024-01-01 10:10:00"), "click"))
+      query.processAllAvailable()
+      val ids = spark.table("ingest_dedup_test")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"each id exactly once, got $ids")
+    } finally query.stop()
+    // batch twin: every key appears exactly once, and the 7-divisible
+    // redelivery simulation cannot create extra rows
+    val batch = EventsStream.ingestDedup(spark, sfDir).cache()
+    assert(batch.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+    assert(batch.count() == Tables.events(spark, sfDir).select("event_id").distinct().count())
+  }
+
   test("batch window agg buckets align with date_trunc(hour)") {
     val wa = EventsStream.windowAgg(spark, sfDir).cache()
     val direct = Tables.events(spark, sfDir)
