@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
 import graft.etl.Transforms
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, RangeJoin, SkewJoin}
 import graft.sources.{Csv, Layout}
 import graft.streaming.EventsStream
@@ -71,7 +71,9 @@ object SparkEntry {
     "range_join_bands" -> ((s, d) => RangeJoin.rangeJoinBands(s, d)),
     "ivf_index_search" -> ((s, d) => Similarity.ivfIndexSearch(s, d)),
     "lsh_index_search" -> ((s, d) => Similarity.lshIndexSearch(s, d)),
-    "ingest_dedup" -> ((s, d) => EventsStream.ingestDedup(s, d))
+    "ingest_dedup" -> ((s, d) => EventsStream.ingestDedup(s, d)),
+    "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,6 +128,8 @@ object SparkEntry {
     "range_join_bands" -> RangeJoin.rangeJoinBandsSql,
     "ivf_index_search" -> Similarity.ivfIndexSearchSql,
     "lsh_index_search" -> Similarity.lshIndexSearchSql,
-    "ingest_dedup" -> EventsStream.ingestDedupSql
+    "ingest_dedup" -> EventsStream.ingestDedupSql,
+    "stratified_sample" -> Sampling.stratifiedSampleSql,
+    "token_budget_select" -> Sampling.tokenBudgetSelectSql
   )
 }

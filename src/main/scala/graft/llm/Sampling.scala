@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-selection operators for training-data preparation (beyond-
+  * reference surface): deterministic stratified sampling (data-mixing
+  * weights per language) and token-budget selection (take the best
+  * documents until a token budget is exhausted). Both are pure dataflow —
+  * no `rand()` anywhere (SURVEY §5 determinism): sampling decisions hash
+  * the primary key arithmetically, so every engine, run, and retry keeps
+  * the identical rows.
+  */
+object Sampling {
+
+  /** Per-mille keep rates by language — the data-mixing weights a
+    * pretraining corpus applies to rebalance dominant languages.
+    * Shared literal-for-literal with the oracle SQL. */
+  private[llm] val RatesPerMille: Seq[(String, Int)] =
+    Seq("en" -> 300, "de" -> 800, "fr" -> 800, "es" -> 800, "zh" -> 500)
+  private val DefaultPerMille = 1000
+
+  /** Deterministic per-document bucket in [0, 1000): multiplicative
+    * hashing on the key, `(doc_id mod 1000003) * 2654435761 mod 1000003
+    * mod 1000` (Knuth's constant; the pre-reduction keeps the product
+    * under 2^52, so ANSI-mode bigint arithmetic can never overflow on
+    * either engine at any doc_id). NOT `rand()`: the keep decision is a
+    * pure function of the key, so re-runs, retried tasks, and the DuckDB
+    * oracle all select the identical sample. */
+  private def bucket1000(key: org.apache.spark.sql.Column) =
+    key % 1000003L * 2654435761L % 1000003L % 1000L
+
+  private val Bucket1000Sql =
+    "doc_id % 1000003 * 2654435761 % 1000003 % 1000"
+
+  /** Stratified sample: keep a document iff its bucket falls under its
+    * language's per-mille rate. One codegen'd filter over the scan — no
+    * shuffle at all (the sample is decided per row), which is the whole
+    * point at 100 TB: sampling must not cost a pass over the data beyond
+    * the scan itself. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val rate = RatesPerMille.foldLeft(lit(DefaultPerMille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    d.select(col("doc_id"), col("lang"), col("n_chars"),
+        bucket1000(col("doc_id")).as("bucket"))
+      .filter(col("bucket") < rate)
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleSql: String = {
+    val cases = RatesPerMille
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, n_chars,
+       |       $Bucket1000Sql AS bucket
+       |FROM documents
+       |WHERE $Bucket1000Sql < (CASE $cases ELSE $DefaultPerMille END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token budget for [[tokenBudgetSelect]] — selects the longest ~⅓ of
+    * the sf0.01 corpus; shared with the oracle SQL. */
+  private val TokenBudget = 10000L
+
+  /** Token-budget selection: rank documents by a preference ordering
+    * (longest first here; the key is pluggable) and keep documents while
+    * the running token total stays inside the budget — the "take the best
+    * N tokens" step of corpus assembly.
+    *
+    * The running sum is a GLOBAL prefix sum, which must not funnel the
+    * corpus through one partition (document metadata scales with the
+    * corpus — at 10¹¹ docs a single-partition window is terabytes). Same
+    * two-phase shape as `Dims.surrogateKeysScalable`, expressed fully in
+    * dataflow: range-partition on the total ordering, per-partition local
+    * running sums in parallel, then each partition's offset = prefix sum
+    * of the per-partition totals (a window over #partitions rows, bounded
+    * by config not data) broadcast-joined back. The ranged frame is
+    * cached because BOTH consumers (local sums, partition totals) must
+    * see the identical partition placement. Results are invariant to the
+    * partition count — the ordering is total ((n_chars, doc_id) has no
+    * ties) — pinned by SamplingSpec. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        col("n_chars"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = d.repartitionByRange(n, col("n_chars").desc, col("doc_id"))
+      .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .cache()
+    val localW = Window.partitionBy(col("_pid"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_lcum", sum(col("n_tokens")).over(localW))
+    // partition offsets: prefix-sum over ≤ #partitions rows (the single-
+    // partition window here is over config-bounded cardinality, not data)
+    val offsets = ranged.groupBy("_pid")
+      .agg(sum(col("n_tokens")).as("_ptot"))
+      .withColumn("_off", coalesce(
+        sum(col("_ptot")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("cum_tokens", col("_off") + col("_lcum"))
+      .filter(col("cum_tokens") - col("n_tokens") < TokenBudget)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .orderBy("cum_tokens")
+  }
+
+  /** Oracle: the naive single-window global prefix sum — correct at any
+    * SF, single-partition at scale, which is exactly why the engine path
+    * two-phases it. (CAST: DuckDB sum(BIGINT) returns HUGEINT.) */
+  val tokenBudgetSelectSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         n_chars
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens - n_tokens < $TokenBudget
+       |ORDER BY cum_tokens""".stripMargin
+}
