@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("props") && !readSchema.contains("user_id"), readSchema)
   }
 
+  test("stratified sample: the documents scan prunes the text column") {
+    // the sample needs only (doc_id, lang, n_chars); reading `text` would
+    // turn a metadata-cost filter into a full-corpus byte scan at 100 TB
+    val plan = planString(graft.llm.Sampling.stratifiedSample(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("text"), readSchema)
+  }
+
   test("q3b: the top-5 companies use TakeOrderedAndProject (true top-k, no full sort)") {
     val plan = planString(Queries.q3bWorstIssues(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
