@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.Queries
+import graft.analytics.{Quantiles, Queries}
 import graft.etl.Transforms
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, RangeJoin, SkewJoin}
@@ -73,7 +73,8 @@ object SparkEntry {
     "lsh_index_search" -> ((s, d) => Similarity.lshIndexSearch(s, d)),
     "ingest_dedup" -> ((s, d) => EventsStream.ingestDedup(s, d)),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
-    "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d))
+    "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
+    "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,6 +131,7 @@ object SparkEntry {
     "lsh_index_search" -> Similarity.lshIndexSearchSql,
     "ingest_dedup" -> EventsStream.ingestDedupSql,
     "stratified_sample" -> Sampling.stratifiedSampleSql,
-    "token_budget_select" -> Sampling.tokenBudgetSelectSql
+    "token_budget_select" -> Sampling.tokenBudgetSelectSql,
+    "value_quantiles" -> Quantiles.valueQuantilesSql
   )
 }

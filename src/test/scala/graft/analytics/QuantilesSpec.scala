@@ -1,0 +1,41 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class QuantilesSpec extends SparkSpec {
+
+  test("rank-arithmetic quantiles equal Spark's buffering percentile aggregate") {
+    val got = Quantiles.valueQuantiles(spark, sfDir)
+    val ref = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("q50"),
+        round(expr("percentile(value, 0.95)"), 6).as("q95"),
+        round(expr("percentile(value, 0.99)"), 6).as("q99"))
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty,
+      "sort-based path must reproduce the buffering aggregate exactly")
+  }
+
+  test("approx_percentile stays within its rank-error bound of the exact path") {
+    // the documented 100 TB knob: t-digest sketch with accuracy parameter
+    // a ⇒ rank error ≤ 1/a. With a = 100 on n rows the returned value's
+    // RANK must be within n/100 of the true quantile rank.
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).cache()
+    val approx = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(value, 0.95, 100)").as("a95"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val n = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (et, av) =>
+      val below = ev.filter(col("event_type") === et && col("value") <= av).count()
+      val trueRank = 0.95 * n(et)
+      assert(math.abs(below - trueRank) <= n(et) / 100.0 + 1,
+        s"$et: approx p95 rank $below vs true $trueRank of ${n(et)}")
+    }
+  }
+}
