@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, PolyHash}
+
+/** Library entry point for `spark.sql.extensions` — registers graft's
+  * native Catalyst expressions on every session built with
+  *
+  * {{{
+  * --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * so `cosine_similarity` / `dot_product` / `poly_hash` resolve in SQL and
+  * `expr(...)` without per-session `register(spark)` calls — the deployment
+  * shape a shared cluster uses (one config line, every notebook/job gets
+  * the functions). The per-object `register` methods stay for embedded use;
+  * both routes construct the same expression nodes, so plans and codegen
+  * are identical either way. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine similarity of two float/double arrays"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "cosine_similarity expects 2 arguments")
+        CosineSimilarity(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - dot product of two float/double arrays"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "dot_product expects 2 arguments")
+        DotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      info("poly_hash",
+        "poly_hash(s) - 31-base polynomial rolling hash of a string mod 1e9+7"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "poly_hash expects 1 argument")
+        PolyHash(args.head)
+      }))
+  }
+}

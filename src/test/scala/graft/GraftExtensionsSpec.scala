@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects all native functions into a fresh session") {
+    // Build a DEDICATED session so the extension path (not a register()
+    // call) provides the functions. getOrCreate() returns the suite's
+    // shared session if one is active — clear the bindings first, and
+    // restore them after instead of stop(): the new session shares the
+    // JVM's SparkContext, and stopping it would kill the whole suite's
+    // context. The builder goes through withExtensions because
+    // `spark.sql.extensions` is a STATIC conf read from the
+    // SparkContext's conf at session construction — with the suite's
+    // pre-existing context the config route cannot take effect in-JVM;
+    // a real deployment sets the config before the context exists and
+    // runs the exact same injection code.
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", 4)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      val r = s.sql(
+        """SELECT round(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cs,
+          |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+          |       poly_hash('ab') AS ph""".stripMargin).head()
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == 11.0)
+      // 'a'=97, 'b'=98: (0*31+97)*31+98 = 3105
+      assert(r.getLong(2) == 3105L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
