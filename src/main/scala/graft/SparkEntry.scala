@@ -74,7 +74,8 @@ object SparkEntry {
     "ingest_dedup" -> ((s, d) => EventsStream.ingestDedup(s, d)),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
-    "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d))
+    "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d)),
+    "media_frame_sample" -> ((s, d) => Multimodal.mediaFrameSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,6 +133,7 @@ object SparkEntry {
     "ingest_dedup" -> EventsStream.ingestDedupSql,
     "stratified_sample" -> Sampling.stratifiedSampleSql,
     "token_budget_select" -> Sampling.tokenBudgetSelectSql,
-    "value_quantiles" -> Quantiles.valueQuantilesSql
+    "value_quantiles" -> Quantiles.valueQuantilesSql,
+    "media_frame_sample" -> Multimodal.mediaFrameSampleSql
   )
 }

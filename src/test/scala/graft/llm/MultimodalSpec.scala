@@ -25,4 +25,28 @@ class MultimodalSpec extends SparkSpec {
       .toDF().orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("typed frame-sampler equals the columnar frame-sample twin row-for-row") {
+    val typed = Multimodal.frameDataset(spark, sfDir)
+      .toDF().orderBy("doc_id", "frame_idx").collect().toSeq
+    val cols = Multimodal.mediaFrameSample(spark, sfDir).collect().toSeq
+    assert(typed.size == cols.size && typed.nonEmpty)
+    typed.zip(cols).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1),
+        s"(doc, frame) ${a.getLong(0)}/${a.getLong(1)}")
+      assert(a.getString(2) == b.getString(2),
+        s"frame_hex for doc ${a.getLong(0)} frame ${a.getLong(1)}")
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-9, "mean_resized")
+    }
+  }
+
+  test("frame sampling keeps every FrameStep-th frame, one output row each") {
+    val fs = Multimodal.mediaFrameSample(spark, sfDir).cache()
+    import org.apache.spark.sql.functions._
+    // frames 0,2,4,6 per doc
+    val perDoc = fs.groupBy("doc_id")
+      .agg(sort_array(collect_list("frame_idx")).as("frames"))
+    assert(perDoc.filter(col("frames") =!=
+      typedLit(Seq(0L, 2L, 4L, 6L))).isEmpty)
+  }
 }
