@@ -75,7 +75,8 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
     "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d)),
-    "media_frame_sample" -> ((s, d) => Multimodal.mediaFrameSample(s, d))
+    "media_frame_sample" -> ((s, d) => Multimodal.mediaFrameSample(s, d)),
+    "distinct_users" -> ((s, d) => Quantiles.distinctUsers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,6 +135,7 @@ object SparkEntry {
     "stratified_sample" -> Sampling.stratifiedSampleSql,
     "token_budget_select" -> Sampling.tokenBudgetSelectSql,
     "value_quantiles" -> Quantiles.valueQuantilesSql,
-    "media_frame_sample" -> Multimodal.mediaFrameSampleSql
+    "media_frame_sample" -> Multimodal.mediaFrameSampleSql,
+    "distinct_users" -> Quantiles.distinctUsersSql
   )
 }

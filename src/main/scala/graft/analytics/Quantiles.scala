@@ -75,4 +75,26 @@ object Quantiles {
       |       round(quantile_cont(value, 0.99), 6) AS q99
       |FROM events WHERE value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact distinct cardinality per group (COUNT(DISTINCT user_id) by
+    * event_type) — the other distribution-profiling aggregate. Spark
+    * plans it as the two-phase Expand: partial distinct on (group, user)
+    * map-side, then the final count — no per-group set is ever
+    * materialized in one task, so the shape survives a fact-sized input.
+    * The 100 TB knob when even the expanded shuffle is too much is
+    * `approx_count_distinct` (HyperLogLog++, fixed sketch memory,
+    * mergeable across partitions) — QuantilesSpec bounds its relative
+    * error against this exact path. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -19,6 +19,23 @@ class QuantilesSpec extends SparkSpec {
       "sort-based path must reproduce the buffering aggregate exactly")
   }
 
+  test("approx_count_distinct stays within its rsd bound of the exact count") {
+    // HLL++ with rsd=0.05: the estimate must sit within a few standard
+    // deviations of the exact cardinality (3σ = 15% — loose enough to be
+    // deterministic for a fixed dataset, tight enough to catch a broken
+    // sketch)
+    val exact = Quantiles.distinctUsers(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (et, n) =>
+      assert(math.abs(approx(et) - n) <= n * 0.15,
+        s"$et: approx ${approx(et)} vs exact $n")
+    }
+  }
+
   test("approx_percentile stays within its rank-error bound of the exact path") {
     // the documented 100 TB knob: t-digest sketch with accuracy parameter
     // a ⇒ rank error ≤ 1/a. With a = 100 on n rows the returned value's
