@@ -37,10 +37,11 @@ object Sampling {
     "doc_id % 1000003 * 2654435761 % 1000003 % 1000"
 
   /** Stratified sample: keep a document iff its bucket falls under its
-    * language's per-mille rate. One codegen'd filter over the scan — no
-    * shuffle at all (the sample is decided per row), which is the whole
-    * point at 100 TB: sampling must not cost a pass over the data beyond
-    * the scan itself. */
+    * language's per-mille rate. One codegen'd filter over the scan — the
+    * sample is decided per row with no shuffle (the only exchange in the
+    * entry is the presentation orderBy, which a pipeline consumer drops).
+    * That is the whole point at 100 TB: sampling must not cost a pass
+    * over the data beyond the scan itself. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val rate = RatesPerMille.foldLeft(lit(DefaultPerMille)) {
