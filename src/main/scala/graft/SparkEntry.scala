@@ -76,7 +76,8 @@ object SparkEntry {
     "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
     "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d)),
     "media_frame_sample" -> ((s, d) => Multimodal.mediaFrameSample(s, d)),
-    "distinct_users" -> ((s, d) => Quantiles.distinctUsers(s, d))
+    "distinct_users" -> ((s, d) => Quantiles.distinctUsers(s, d)),
+    "rollup_revenue" -> ((s, d) => Quantiles.rollupRevenue(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,6 +137,7 @@ object SparkEntry {
     "token_budget_select" -> Sampling.tokenBudgetSelectSql,
     "value_quantiles" -> Quantiles.valueQuantilesSql,
     "media_frame_sample" -> Multimodal.mediaFrameSampleSql,
-    "distinct_users" -> Quantiles.distinctUsersSql
+    "distinct_users" -> Quantiles.distinctUsersSql,
+    "rollup_revenue" -> Quantiles.rollupRevenueSql
   )
 }

@@ -97,4 +97,47 @@ object Quantiles {
     """SELECT event_type, count(*) AS n_events,
       |       count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** ROLLUP aggregation — order revenue by (region, nation) with region
+    * subtotals and a grand total, the grouping-sets family the registry
+    * otherwise lacks. Spark plans rollup as ONE pass with an Expand (each
+    * input row fans out to its grouping sets before the partial
+    * aggregate), so the 3-level hierarchy costs one shuffle, not three
+    * queries — the shape that matters when the fact side is 100 TB.
+    * `grouping()` flags disambiguate subtotal NULLs from (absent-here)
+    * data NULLs; nation/region are broadcast dims, customer stays a
+    * shuffle join per the scaling-table broadcast policy. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("g_region"), col("g_nation"), col("n_orders"), col("revenue"))
+      .orderBy(col("g_region"), col("g_nation"),
+        col("region").asc_nulls_first, col("nation").asc_nulls_first)
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT r_name AS region, n_name AS nation,
+      |       CAST(GROUPING(r_name) AS INT) AS g_region,
+      |       CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |       count(*) AS n_orders,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY g_region, g_nation, region NULLS FIRST, nation NULLS FIRST""".stripMargin
 }

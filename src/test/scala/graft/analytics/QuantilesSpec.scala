@@ -19,6 +19,22 @@ class QuantilesSpec extends SparkSpec {
       "sort-based path must reproduce the buffering aggregate exactly")
   }
 
+  test("rollup emits detail + region subtotals + grand total consistently") {
+    val rr = Quantiles.rollupRevenue(spark, sfDir).cache()
+    // exactly one grand-total row, and it matches the sum of detail rows
+    val grand = rr.filter(col("g_region") === 1 && col("g_nation") === 1).collect()
+    assert(grand.length == 1)
+    val detail = rr.filter(col("g_region") === 0 && col("g_nation") === 0)
+    val detailSum = detail.agg(sum(col("n_orders"))).head.getLong(0)
+    assert(grand.head.getAs[Long]("n_orders") == detailSum)
+    // each region subtotal equals the sum of its detail rows
+    val subtotals = rr.filter(col("g_region") === 0 && col("g_nation") === 1)
+      .select(col("region"), col("n_orders").as("sub_n"))
+    val byRegion = detail.groupBy("region").agg(sum("n_orders").as("det_n"))
+    assert(subtotals.join(byRegion, "region")
+      .filter(col("sub_n") =!= col("det_n")).isEmpty)
+  }
+
   test("approx_count_distinct stays within its rsd bound of the exact count") {
     // HLL++ with rsd=0.05: the estimate must sit within a few standard
     // deviations of the exact cardinality (3σ = 15% — loose enough to be
