@@ -77,7 +77,8 @@ object SparkEntry {
     "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d)),
     "media_frame_sample" -> ((s, d) => Multimodal.mediaFrameSample(s, d)),
     "distinct_users" -> ((s, d) => Quantiles.distinctUsers(s, d)),
-    "rollup_revenue" -> ((s, d) => Quantiles.rollupRevenue(s, d))
+    "rollup_revenue" -> ((s, d) => Quantiles.rollupRevenue(s, d)),
+    "session_boundaries" -> ((s, d) => EventsStream.sessionBoundaries(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,6 +139,7 @@ object SparkEntry {
     "value_quantiles" -> Quantiles.valueQuantilesSql,
     "media_frame_sample" -> Multimodal.mediaFrameSampleSql,
     "distinct_users" -> Quantiles.distinctUsersSql,
-    "rollup_revenue" -> Quantiles.rollupRevenueSql
+    "rollup_revenue" -> Quantiles.rollupRevenueSql,
+    "session_boundaries" -> EventsStream.sessionBoundariesSql
   )
 }

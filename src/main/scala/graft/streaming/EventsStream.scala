@@ -113,6 +113,41 @@ object EventsStream {
     * close the session. */
   val SessionGapMs: Long = 30 * 60 * 1000L
 
+  /** Session boundaries via LAG — the batch twin of the sessionizer's gap
+    * rule (same [[SessionGapMs]] constant): an event whose gap to the
+    * same user's previous event exceeds the session gap STARTS a new
+    * session. `lag` over (user, (ts, event_id)) is the one classic window
+    * function the registry otherwise lacks; the (ts, event_id) ordering
+    * is total, so the previous-row choice is deterministic on both
+    * engines even with duplicate timestamps. Gap arithmetic stays in
+    * exact integer microseconds — no float division to drift. */
+  def sessionBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .filter(col("gap_us") > lit(SessionGapMs * 1000L))
+      .select("event_id", "user_id", "gap_us")
+      .orderBy("event_id")
+  }
+
+  /** Oracle note: events.parquet stores TIMESTAMP(NANOS); the Spark
+    * loader truncates to microseconds, so the oracle must difference the
+    * SAME µs integers — `epoch_us(CAST(ts AS TIMESTAMP))` truncates
+    * ns → µs identically, and ordering by the truncated value (with the
+    * event_id tie-break) keeps both engines' LAG rows aligned even for
+    * events inside the same microsecond. */
+  val sessionBoundariesSql: String =
+    s"""SELECT event_id, user_id, gap_us FROM (
+       |  SELECT event_id, user_id,
+       |         t - LAG(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap_us
+       |  FROM (SELECT event_id, user_id,
+       |               epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events)
+       |) WHERE gap_us > ${SessionGapMs * 1000L}
+       |ORDER BY event_id""".stripMargin
+
+
   /** Shared per-batch state step: fold this batch's events (time-sorted)
     * into the open session, emitting every session the gap rule closes. */
   private def foldEvents(userId: Long, it: Iterator[Event],

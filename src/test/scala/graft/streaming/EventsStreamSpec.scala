@@ -65,6 +65,24 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.count() == Tables.events(spark, sfDir).select("event_id").distinct().count())
   }
 
+  test("lag-based session boundaries agree with the sessionizer's gap rule") {
+    import spark.implicits._
+    // each boundary event closes exactly one session (the user's final
+    // session stays open and unemitted), so per-user counts must match
+    val bounds = EventsStream.sessionBoundaries(spark, sfDir)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventsStream.Event]
+    val closed = EventsStream.sessionize(ev)
+      .groupByKey(_.user_id).count()
+      .collect().map { case (u, n) => u -> n }.toMap
+      .filter(_._2 > 0)
+    assert(bounds == closed,
+      s"${bounds.size} boundary users vs ${closed.size} session users")
+  }
+
   test("batch window agg buckets align with date_trunc(hour)") {
     val wa = EventsStream.windowAgg(spark, sfDir).cache()
     val direct = Tables.events(spark, sfDir)
