@@ -78,7 +78,8 @@ object SparkEntry {
     "media_frame_sample" -> ((s, d) => Multimodal.mediaFrameSample(s, d)),
     "distinct_users" -> ((s, d) => Quantiles.distinctUsers(s, d)),
     "rollup_revenue" -> ((s, d) => Quantiles.rollupRevenue(s, d)),
-    "session_boundaries" -> ((s, d) => EventsStream.sessionBoundaries(s, d))
+    "session_boundaries" -> ((s, d) => EventsStream.sessionBoundaries(s, d)),
+    "jsonl_roundtrip" -> ((s, d) => Csv.jsonlRoundtrip(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,6 +141,7 @@ object SparkEntry {
     "media_frame_sample" -> Multimodal.mediaFrameSampleSql,
     "distinct_users" -> Quantiles.distinctUsersSql,
     "rollup_revenue" -> Quantiles.rollupRevenueSql,
-    "session_boundaries" -> EventsStream.sessionBoundariesSql
+    "session_boundaries" -> EventsStream.sessionBoundariesSql,
+    "jsonl_roundtrip" -> Csv.jsonlRoundtripSql
   )
 }

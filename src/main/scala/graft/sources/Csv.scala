@@ -40,4 +40,43 @@ object Csv {
     """SELECT r_name AS region, count(*) AS n_nations, min(n_name) AS first_nation
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1 ORDER BY region""".stripMargin
+
+  /** JSON-lines source path (S1/S3 sibling: the semi-structured file
+    * format an ingest layer actually receives). Same shape as the CSV
+    * roundtrip: materialize supplier as JSONL once, read it back with an
+    * explicit schema (no inference pass — inference reads the data twice,
+    * a non-starter at 100 TB), aggregate per nation. Numeric values
+    * survive the roundtrip exactly: s_acctbal serializes as a JSON number
+    * from DOUBLE and parses back to the same double (shortest-roundtrip
+    * printing on both ends), and the oracle aggregates the ORIGINAL
+    * parquet — so any lossy step would hash-mismatch. */
+  private val SupplierSchema = StructType(Seq(
+    StructField("s_suppkey", org.apache.spark.sql.types.LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", org.apache.spark.sql.types.LongType),
+    StructField("s_acctbal", org.apache.spark.sql.types.DoubleType)))
+
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = "target/jsonl_stage/supplier"
+    Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").json(path)
+    val sup = spark.read
+      .schema(SupplierSchema) // explicit schema: no inference scan
+      .json(path)
+    sup
+      .join(broadcast(Tables.nation(spark, dir)),
+        sup("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal").cast("decimal(18,2)")), 2)
+          .cast("double").as("acctbal_sum"))
+      .orderBy("nation")
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT n_name AS nation, count(*) AS n_suppliers,
+      |       CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS acctbal_sum
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
 }
