@@ -85,6 +85,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("rollup: the whole hierarchy runs as ONE Expand pass, no nested loops") {
+    val plan = planString(graft.analytics.Quantiles.rollupRevenue(spark, sfDir))
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("session boundaries: one hash shuffle (the user window), filter after lag") {
+    val df = graft.streaming.EventsStream.sessionBoundaries(spark, sfDir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val finalPlan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashExchanges == 1, s"saw $hashExchanges:\n${finalPlan.take(3000)}")
+    assert(finalPlan.contains("hashpartitioning(user_id"), finalPlan.take(3000))
+  }
+
+  test("token budget: both prefix-sum consumers read the cached ranged frame") {
+    val plan = planString(graft.llm.Sampling.tokenBudgetSelect(spark, sfDir))
+    // local sums AND partition totals must scan the InMemoryRelation — a
+    // second parquet scan would mean the range partitioning recomputed
+    // (and could re-place rows) per consumer
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheScans >= 2, s"expected both consumers on the cache, saw $cacheScans:\n${plan.take(3000)}")
+  }
+
   test("ann_lsh / ann_ivf / topk: per-pair cosine uses the native kernel, not HOF folds") {
     for (q <- Seq(Similarity.embeddingAnnLsh(spark, sfDir),
                   Similarity.embeddingAnnIvf(spark, sfDir),
