@@ -79,7 +79,8 @@ object SparkEntry {
     "distinct_users" -> ((s, d) => Quantiles.distinctUsers(s, d)),
     "rollup_revenue" -> ((s, d) => Quantiles.rollupRevenue(s, d)),
     "session_boundaries" -> ((s, d) => EventsStream.sessionBoundaries(s, d)),
-    "jsonl_roundtrip" -> ((s, d) => Csv.jsonlRoundtrip(s, d))
+    "jsonl_roundtrip" -> ((s, d) => Csv.jsonlRoundtrip(s, d)),
+    "dense_hourly_agg" -> ((s, d) => EventsStream.denseHourlyAgg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,6 +143,7 @@ object SparkEntry {
     "distinct_users" -> Quantiles.distinctUsersSql,
     "rollup_revenue" -> Quantiles.rollupRevenueSql,
     "session_boundaries" -> EventsStream.sessionBoundariesSql,
-    "jsonl_roundtrip" -> Csv.jsonlRoundtripSql
+    "jsonl_roundtrip" -> Csv.jsonlRoundtripSql,
+    "dense_hourly_agg" -> EventsStream.denseHourlyAggSql
   )
 }

@@ -63,6 +63,53 @@ object EventsStream {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Gap-filled (dense) hourly aggregation — the windowed aggregate with
+    * every missing hour present as an explicit zero row, the shape BI
+    * tools and downstream window functions require (a moving average over
+    * a sparse series silently skips empty hours). The hourly calendar is
+    * GENERATED from one aggregated (min, max) row — `sequence` + explode
+    * on a single row, never a driver-side collect and never a table scan
+    * — then left-joined against the sparse aggregate per (hour, type).
+    * At 100 TB the calendar side is hours × types (config-bounded
+    * cardinality), broadcast against the aggregated (already reduced)
+    * fact side. */
+  def denseHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = windowAggTransform(Tables.events(spark, dir))
+    val bounds = Tables.events(spark, dir)
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = bounds.select(
+      explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour_start"))
+    val types = Tables.events(spark, dir).select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(sparse, Seq("hour_start", "event_type"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val denseHourlyAggSql: String =
+    """WITH sparse AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |         count(*) AS n, round(sum(value), 6) AS value_sum
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      |  FROM events
+      |), hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+      |), grid AS (
+      |  SELECT hour_start, event_type
+      |  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+      |)
+      |SELECT g.hour_start, g.event_type,
+      |       coalesce(s.n, 0) AS n,
+      |       coalesce(s.value_sum, 0.0) AS value_sum
+      |FROM grid g LEFT JOIN sparse s
+      |  ON s.hour_start = g.hour_start AND s.event_type = g.event_type
+      |ORDER BY g.hour_start, g.event_type""".stripMargin
+
   /** Ingest-time exact deduplication — the streaming twin of the corpus
     * dedup family: an at-least-once source (Kafka, redelivering log
     * shipper) re-delivers events, and the pipeline must keep exactly one

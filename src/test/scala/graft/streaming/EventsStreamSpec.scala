@@ -65,6 +65,21 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.count() == Tables.events(spark, sfDir).select("event_id").distinct().count())
   }
 
+  test("dense hourly agg fills gaps with zeros and preserves the sparse totals") {
+    val dense = EventsStream.denseHourlyAgg(spark, sfDir).cache()
+    val sparse = EventsStream.windowAgg(spark, sfDir).cache()
+    // the dense grid strictly contains the sparse rows...
+    assert(dense.count() > sparse.count())
+    // ...adds only zero rows...
+    assert(dense.filter(col("n") === 0).count() == dense.count() - sparse.count())
+    // ...and changes no totals
+    assert(dense.agg(sum("n")).head.getLong(0) == sparse.agg(sum("n")).head.getLong(0))
+    // every (hour, type) cell of the bounding box is present exactly once
+    val hours = dense.select("hour_start").distinct().count()
+    val types = dense.select("event_type").distinct().count()
+    assert(dense.count() == hours * types)
+  }
+
   test("lag-based session boundaries agree with the sessionizer's gap rule") {
     import spark.implicits._
     // each boundary event closes exactly one session (the user's final
