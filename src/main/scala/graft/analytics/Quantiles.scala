@@ -10,25 +10,37 @@ import graft.Tables
   * the distribution-profiling aggregate an analytics engine needs beyond
   * the reference's count/sum family.
   *
-  * Engine path: SORT-BASED rank arithmetic, not Spark's built-in
-  * `percentile` aggregate — `percentile` buffers every (distinct value,
-  * count) of a group in the aggregation buffer, O(group) executor memory,
-  * which is exactly what dies first on a 100 TB fact table. Here the group
-  * is sorted once (shuffle + sort on (group, value), the same exchange a
-  * sort-merge aggregation would pay), every row learns its rank and the
-  * group size, and only the two rows flanking each requested quantile
-  * position contribute to the final 5-row aggregate. Memory per task is
-  * O(1); the sort is the cost, and it parallelizes by group.
+  * Engine path: TWO-PHASE distributed rank arithmetic, not Spark's
+  * built-in `percentile` aggregate — `percentile` buffers every (distinct
+  * value, count) of a group in the aggregation buffer, O(group) executor
+  * memory, which is exactly what dies first on a 100 TB fact table. And
+  * not a `Window.partitionBy(group)` sort either: that funnels EVERY row
+  * of a group through one task, so per-group parallelism equals group
+  * count — a scale-killer when a fact-sized table has 5 event types.
+  *
+  * Instead, the global rank is assembled from partition-local ranks (the
+  * `tokenBudgetSelect` prefix-sum pattern, Sampling.scala): range-
+  * partition on (group, value) so a group spans MANY ordered partitions;
+  * count rows per (partition, group) — a histogram of ≤ #partitions ×
+  * #groups rows; take the exclusive prefix sum of those counts within
+  * each group (a window over config-bounded cardinality, never data);
+  * rank locally within (partition, group) — each such window partition is
+  * bounded by the range-partition size, not the group size — and add the
+  * broadcast offset. Only the two rows flanking each requested quantile
+  * position survive into the final 5-row aggregate. Memory per task is
+  * one range partition; parallelism is the partition count at ANY group
+  * cardinality. Results are invariant to the partition count (ties split
+  * across a range boundary still yield the same value at every rank —
+  * tied rows carry equal values by definition); pinned by QuantilesSpec.
   *
   * Linear interpolation (type-7, both engines): pos = (n-1)·q,
   * result = v_lo + (pos - floor(pos)) · (v_hi - v_lo), computed on the
   * same doubles in the same order as DuckDB's `quantile_cont`, rounded to
   * 6dp for engine-stable comparison.
   *
-  * Per-group parallelism is bounded by group count (5 event types here);
-  * at scale the knobs are `approx_percentile` (t-digest sketch, fixed
-  * memory, bounded rank error — the spec pins its error against this
-  * exact path) or a secondary-sort range partitioning within hot groups.
+  * The 100 TB knob when even one sorted pass is too much is
+  * `approx_percentile` (t-digest sketch, fixed memory, bounded rank
+  * error — the spec pins its error against this exact path).
   */
 object Quantiles {
 
@@ -39,12 +51,31 @@ object Quantiles {
     val ev = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val ranked = ev
-      .withColumn("rk",
-        row_number().over(
-          Window.partitionBy(col("event_type")).orderBy(col("value"))).cast("long"))
-      .join(broadcast(counts), Seq("event_type"))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // cached: both consumers (histogram, local ranks) must see the same
+    // sampled range boundaries, hence the same _pid placement
+    val ranged = ev.repartitionByRange(nPart, col("event_type"), col("value"))
+      .withColumn("_pid", spark_partition_id())
+      .cache()
+    val hist = ranged.groupBy("_pid", "event_type").agg(count(lit(1)).as("_c"))
+    // exclusive prefix sum of per-partition counts within each group, and
+    // the group total — windows over the ≤ nPart×groups-row histogram
+    // (config-bounded cardinality, not data)
+    val offsets = hist
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("_c")).over(Window.partitionBy(col("event_type"))))
+      .select("_pid", "event_type", "_off", "n")
+    // local rank: every window partition is one range-partition's slice of
+    // one group — bounded by partition size, so no single hot task
+    val localW = Window.partitionBy(col("_pid"), col("event_type"))
+      .orderBy(col("value"))
+    val ranked = ranged
+      .withColumn("_lrk", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), Seq("_pid", "event_type"))
+      .withColumn("rk", col("_off") + col("_lrk"))
     def pos(q: Double): Column = (col("n") - lit(1L)).cast("double") * lit(q)
     // per-q flanking values: only ranks floor(pos)+1 / ceil(pos)+1 survive
     // into the aggregate (row_number is 1-based)

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
@@ -17,6 +18,34 @@ class QuantilesSpec extends SparkSpec {
         round(expr("percentile(value, 0.99)"), 6).as("q99"))
     assert(got.except(ref).isEmpty && ref.except(got).isEmpty,
       "sort-based path must reproduce the buffering aggregate exactly")
+  }
+
+  test("no data-sized single-task window in the quantile plan") {
+    // The scale contract: every Window either keys on the range-partition
+    // id (bounded by partition size) or sits above an Aggregate (the
+    // ≤ #partitions × #groups histogram). A bare partitionBy(event_type)
+    // window over the raw scan — the shape this entry replaced — fails.
+    val df = Quantiles.valueQuantiles(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window operators in the plan")
+    wins.foreach { w =>
+      val onPid = w.partitionSpec.exists(_.references.exists(_.name == "_pid"))
+      val aboveAgg = w.child.collectFirst { case a: Aggregate => a }.isDefined
+      assert(onPid || aboveAgg,
+        s"data-sized window partitioned by ${w.partitionSpec.mkString(", ")}")
+    }
+  }
+
+  test("quantiles are invariant to the partition count") {
+    // rank = offset + local rank must reassemble the same global ranking
+    // for ANY range boundary placement (ties carry equal values)
+    val base = Quantiles.valueQuantiles(spark, sfDir).collect().toSet
+    for (parts <- Seq("1", "7")) {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      val got = Quantiles.valueQuantiles(s, sfDir).collect().toSet
+      assert(got == base, s"parts=$parts differs")
+    }
   }
 
   test("rollup emits detail + region subtotals + grand total consistently") {
