@@ -60,6 +60,32 @@ object Dims {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Inputs whose Catalyst size estimate is under this are id-stamped by a
+    * single window sort; the RDD hop only pays off above it. 64 MB: a sort
+    * that one task absorbs without spilling at default executor memory. */
+  private[warehouse] val SmallInputBytes: Long = 64L << 20
+
+  /** Adaptive surrogate-key assignment (M4): the window path and the
+    * zipWithIndex path assign IDENTICAL ids under a total ordering
+    * (property-proven in DimsSpec), but their costs cross over — the
+    * single-partition `row_number()` window is ~2× cheaper on
+    * dimension-sized input (no RDD hop, stays in whole-stage codegen),
+    * while only the per-partition-offset path survives fact-sized input.
+    * Pick by Catalyst's planning-time size estimate
+    * (`optimizedPlan.stats.sizeInBytes` — file-size-derived, free, no
+    * extra job or action): at or under [[SmallInputBytes]] take the
+    * window, above it take [[surrogateKeysScalable]]. Because both paths
+    * produce the same ids, a borderline estimate can flip the choice
+    * without ever changing the result. */
+  def surrogateKeys(df: DataFrame, idCol: String, order: Seq[Column],
+      smallInputBytes: Long = SmallInputBytes): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(smallInputBytes))
+      df.withColumn(idCol,
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+    else surrogateKeysScalable(df, idCol, order)
+  }
+
   /** Date dimension via sequence generation (M3 + F1, reference
     * inserting-data.sql:38-44: generate_series 1-day + EXTRACT). */
   def dateDim(spark: SparkSession, dir: String): DataFrame = {
@@ -135,11 +161,12 @@ object Dims {
   /** Category dimension: multi-column natural key upsert (M1 + F3,
     * reference inserting-data.sql:74-86 — DISTINCT 4-tuple with COALESCE,
     * ON CONFLICT DO UPDATE ≡ union + dropDuplicates on the key). Surrogate
-    * keys come from [[surrogateKeysScalable]] — this dim exercises the
-    * per-partition-offset path in a registered oracle-gated entry (the
-    * other dims keep the single-partition window, fine at dim size). The
+    * keys come from the adaptive [[surrogateKeys]]: at test scale the size
+    * estimate picks the window; a fact-sized input routes to the
+    * per-partition-offset path with the identical id contract (the other
+    * dims keep the window unconditionally, fine at dim size). The
     * (brand, ptype, psize) ordering is total AFTER dropDuplicates on
-    * exactly those columns, which the scalable path's contract requires. */
+    * exactly those columns, which both paths' contract requires. */
   def categoryDim(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir)
     val staged = part.select(
@@ -153,7 +180,7 @@ object Dims {
       col("p_size").as("psize"))
     val dedup = existing.union(staged)
       .dropDuplicates("brand", "ptype", "psize")
-    surrogateKeysScalable(dedup, "category_id",
+    surrogateKeys(dedup, "category_id",
       Seq(col("brand"), col("ptype"), col("psize")))
       .select("category_id", "brand", "ptype", "psize")
       .orderBy("category_id")

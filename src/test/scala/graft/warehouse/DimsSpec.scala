@@ -43,4 +43,19 @@ class DimsSpec extends SparkSpec {
     val ids = out.select("id").as[Long].collect().sorted
     assert(ids.toSeq == (1L to 123L))
   }
+
+  test("adaptive path routes by size estimate and both routes agree") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => f"v$i%03d").toDF("k")
+    // small estimate → window path: plan stays declarative (no RDD scan)
+    val small = Dims.surrogateKeys(df, "id", Seq(col("k")))
+    assert(!small.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "small input must take the window path")
+    // forced-zero threshold → zipWithIndex path: RDD scan present
+    val large = Dims.surrogateKeys(df, "id", Seq(col("k")), smallInputBytes = 0L)
+    assert(large.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "over-threshold input must take the scalable path")
+    // identical ids either way — the contract that makes the switch safe
+    assert(small.except(large).isEmpty && large.except(small).isEmpty)
+  }
 }
