@@ -76,6 +76,7 @@ object SparkEntry {
     "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
     "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d)),
     "media_frame_sample" -> ((s, d) => Multimodal.mediaFrameSample(s, d)),
+    "audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
     "distinct_users" -> ((s, d) => Quantiles.distinctUsers(s, d)),
     "rollup_revenue" -> ((s, d) => Quantiles.rollupRevenue(s, d)),
     "session_boundaries" -> ((s, d) => EventsStream.sessionBoundaries(s, d)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "token_budget_select" -> Sampling.tokenBudgetSelectSql,
     "value_quantiles" -> Quantiles.valueQuantilesSql,
     "media_frame_sample" -> Multimodal.mediaFrameSampleSql,
+    "audio_features" -> Multimodal.audioFeaturesSql,
     "distinct_users" -> Quantiles.distinctUsersSql,
     "rollup_revenue" -> Quantiles.rollupRevenueSql,
     "session_boundaries" -> EventsStream.sessionBoundariesSql,

@@ -192,4 +192,115 @@ object Multimodal {
        |       round((${resized.mkString(" + ")}) / ${resized.size}.0, 6) AS mean_resized
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Audio shape: waveform feature extraction. An "audio clip" is an opaque
+  // payload whose first bytes act as a header (sample rate) and whose
+  // remainder is 16-bit big-endian signed PCM. The extracted features are
+  // the ones an audio-curation pipeline filters on: sample rate, duration,
+  // peak amplitude, RMS energy — all per-row, no shuffle, partition-local.
+  // Synthetic payload: 2 chained md5s = 32 bytes = 2-byte header + 15
+  // samples. Same stub discipline as image/video: the byte-parsing stands
+  // in for the codec, the Spark-side plumbing is real and oracle-gated.
+  // ---------------------------------------------------------------------
+
+  private val HeaderBytes = 2
+  private val BytesPerSample = 2
+  private val NumSamples = (2 * 16 - HeaderBytes) / BytesPerSample // 15
+
+  /** A document's synthetic 32-byte "audio" payload. */
+  final case class AudioRecord(doc_id: Long, content: Array[Byte])
+
+  /** Waveform features from the stub decode. */
+  final case class AudioFeature(doc_id: Long, sample_rate: Int,
+                                n_samples: Int, duration_ms: Double,
+                                peak: Int, rms: Double)
+
+  /** The 32-byte payload: md5(text) ++ md5(text+a). */
+  private def audioHex = concat(md5(col("text")), md5(concat(col("text"), lit("a"))))
+
+  def audioRecords(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(audioHex).as("content"))
+      .as[AudioRecord]
+  }
+
+  /** HALF_UP at 6dp — the same rule as Spark's `round(col, 6)` and
+    * DuckDB's `round(x, 6)`, so typed/columnar/oracle agree bit-for-bit
+    * (math.rint is half-EVEN and diverges at exact ties). */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** STUB audio decode — header parse + PCM accumulate, per record. The
+    * squares are summed in Double (a signed 16-bit sample squares to ~10⁹;
+    * 15 of them overflow Int, and ANSI mode would throw). */
+  private def decodeAudioStub(r: AudioRecord): AudioFeature = {
+    val b = r.content
+    val rate = ((b(0) & 0xff) % 4 + 1) * 8000
+    val samples = (0 until NumSamples).map { i =>
+      val raw = ((b(HeaderBytes + BytesPerSample * i) & 0xff) << 8) |
+        (b(HeaderBytes + BytesPerSample * i + 1) & 0xff)
+      if (raw >= 32768) raw - 65536 else raw
+    }
+    AudioFeature(r.doc_id, rate, NumSamples,
+      round6(NumSamples * 1000.0 / rate),
+      samples.map(math.abs).max,
+      round6(math.sqrt(samples.map(s => s.toDouble * s).sum / NumSamples)))
+  }
+
+  /** The batched decode pass — identical batch discipline to
+    * [[mediaDataset]]: partition-local, fixed-size batches where a real
+    * audio codec would amortize its setup. */
+  def audioDataset(spark: SparkSession, dir: String,
+                   batchSize: Int = 64): Dataset[AudioFeature] = {
+    import spark.implicits._
+    audioRecords(spark, dir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would go here (codec init)
+        batch.map(decodeAudioStub)
+      }
+    }
+  }
+
+  /** Registered columnar twin: the same features from hex arithmetic —
+    * pure codegen'd expressions, no shuffle beyond the presentation sort.
+    * The spec asserts it equals [[audioDataset]] row-for-row. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("h", audioHex)
+    def signedAt(i: Int) = {
+      val raw = expr(
+        s"CAST(conv(substring(h, ${2 * (HeaderBytes + BytesPerSample * i) + 1}, ${2 * BytesPerSample}), 16, 10) AS INT)")
+      when(raw >= 32768, raw - 65536).otherwise(raw)
+    }
+    val rate = (expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)") % 4 + 1) * 8000
+    val samples = (0 until NumSamples).map(signedAt)
+    val sumSq = samples.map(s => s.cast("double") * s.cast("double")).reduce(_ + _)
+    d.select(
+      col("doc_id"),
+      rate.as("sample_rate"),
+      lit(NumSamples).as("n_samples"),
+      round(lit(NumSamples * 1000.0) / rate.cast("double"), 6).as("duration_ms"),
+      greatest(samples.map(abs): _*).as("peak"),
+      round(sqrt(sumSq / NumSamples), 6).as("rms"))
+      .orderBy("doc_id")
+  }
+
+  val audioFeaturesSql: String = {
+    def rawAt(i: Int) =
+      s"('0x' || substr(h, ${2 * (HeaderBytes + BytesPerSample * i) + 1}, ${2 * BytesPerSample}))::INT"
+    def signedAt(i: Int) =
+      s"(CASE WHEN ${rawAt(i)} >= 32768 THEN ${rawAt(i)} - 65536 ELSE ${rawAt(i)} END)"
+    val sumSq = (0 until NumSamples)
+      .map(i => s"CAST(${signedAt(i)} AS DOUBLE) * ${signedAt(i)}").mkString(" + ")
+    val peak = (0 until NumSamples).map(i => s"abs(${signedAt(i)})").mkString(", ")
+    s"""WITH a AS (SELECT doc_id, md5(text) || md5(text || 'a') AS h FROM documents)
+       |SELECT doc_id,
+       |       (('0x' || substr(h, 1, 2))::INT % 4 + 1) * 8000 AS sample_rate,
+       |       $NumSamples AS n_samples,
+       |       round(${NumSamples * 1000.0}::DOUBLE / ((('0x' || substr(h, 1, 2))::INT % 4 + 1) * 8000), 6) AS duration_ms,
+       |       greatest($peak) AS peak,
+       |       round(sqrt(($sumSq) / $NumSamples), 6) AS rms
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
 }

@@ -40,6 +40,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("typed audio decoder equals the columnar audio twin row-for-row") {
+    val typed = Multimodal.audioDataset(spark, sfDir)
+      .toDF().orderBy("doc_id").collect().toSeq
+    val cols = Multimodal.audioFeatures(spark, sfDir).collect().toSeq
+    assert(typed.size == cols.size && typed.nonEmpty)
+    typed.zip(cols).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0), "doc_id")
+      assert(a.getInt(1) == b.getInt(1), s"sample_rate for doc ${a.getLong(0)}")
+      assert(a.getInt(2) == b.getInt(2), "n_samples")
+      assert(a.getDouble(3) == b.getDouble(3), s"duration_ms for doc ${a.getLong(0)}")
+      assert(a.getInt(4) == b.getInt(4), s"peak for doc ${a.getLong(0)}")
+      assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9,
+        s"rms for doc ${a.getLong(0)}")
+    }
+  }
+
+  test("audio batch size does not change the decode result") {
+    val a = Multimodal.audioDataset(spark, sfDir, batchSize = 7)
+      .toDF().orderBy("doc_id").collect().toSeq
+    val b = Multimodal.audioDataset(spark, sfDir, batchSize = 256)
+      .toDF().orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("frame sampling keeps every FrameStep-th frame, one output row each") {
     val fs = Multimodal.mediaFrameSample(spark, sfDir).cache()
     import org.apache.spark.sql.functions._
