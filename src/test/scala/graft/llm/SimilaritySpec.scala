@@ -143,12 +143,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bf.size == 15)
     val recall = (ivf & bf).size.toDouble / bf.size
+    info(f"ivf recall@3=$recall%.3f over ${bf.size} truth pairs")
     // This corpus is near-uniform random — the hardest case for ANN (true
     // neighbors are barely closer than random points), so absolute recall
     // is structurally low. The floor asserts the trained quantizer beats
     // the probed-mass chance baseline (nprobe/K = 2/8 = 0.25): probing 25%
     // of a structureless corpus at random would recover ~25% of neighbors.
     assert(recall > 0.25, s"recall $recall (ivf=${ivf.size}, bf=${bf.size})")
+  }
+
+  test("LSH ANN recall@1 vs brute-force nearest neighbor stays above its floor") {
+    val ann = Similarity.embeddingAnnLsh(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.embeddingKnnNative(spark, sfDir)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.size
+    val hits = exact.count { case (q, nn) => ann.get(q).contains(nn) }
+    val recall = hits.toDouble / n
+    val coverage = ann.size.toDouble / n
+    info(f"lsh recall@1=$recall%.3f coverage=$coverage%.3f n=$n")
+    // Floors are MEASURED on this corpus (see SCALE.md): near-uniform
+    // random unit vectors are ANN's hardest case — the true NN's angle is
+    // barely under random, so P(NN shares all 8 plane signs) is small by
+    // construction. The value of the pin is the regression direction: a
+    // parameter or bucketing change that guts recall (more planes, a
+    // broken sign expression) or strands most vectors without bucket-mates
+    // fails here instead of shipping silently. Chance baseline for
+    // recall@1 is 1/499 ≈ 0.002; measured 0.022 (11× chance) with
+    // coverage 0.876 — floors sit at half the measured values.
+    assert(recall >= 0.01, s"recall@1 $recall under floor 0.01 (measured 0.022)")
+    assert(coverage >= 0.7, s"coverage $coverage under floor 0.7 (measured 0.876)")
   }
 
   test("ANN neighbors share the query's LSH bucket and are true cosine maxima in-bucket") {
