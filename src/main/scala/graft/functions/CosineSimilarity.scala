@@ -25,10 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * widened per element, exactly), result = dot / (sqrt(na) * sqrt(nb)) —
   * the same sequential fold the HOF formulation and the DuckDB oracle use,
   * so all three produce identical IEEE doubles. NULL when either norm is
-  * zero or any visited element is null (matching the HOF fold, where a
-  * null element propagates through `aggregate`); the per-element null
-  * check is emitted only for inputs whose ArrayType admits null elements,
-  * so non-null arrays keep the branch-free loop.
+  * zero, when the array lengths differ (matching [[DotProduct]] and the
+  * `zip_with` pad-with-null fold, where the padded null poisons the
+  * aggregate), or when any visited element is null (matching the HOF
+  * fold); the per-element null check is emitted only for inputs whose
+  * ArrayType admits null elements, so non-null arrays keep the
+  * branch-free loop.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -71,7 +73,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0d
     var na = 0d
     var nb = 0d
@@ -117,16 +120,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
         if (nullChecks.isEmpty) ""
         else s"if (${nullChecks.mkString(" || ")}) { $sawNull = true; break; }"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |boolean $sawNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullGuard
-         |  double $xi = $getX;
-         |  double $yi = $getY;
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |boolean $sawNull = $n != $b.numElements();
+         |if (!$sawNull) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    double $xi = $getX;
+         |    double $yi = $getY;
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |if ($sawNull || $denom == 0.0) {

@@ -39,8 +39,7 @@ object Multimodal {
     val width = (b(0) & 0xff) % 16 + 1
     val height = (b(1) & 0xff) % 16 + 1
     val mean = b.map(_ & 0xff).sum.toDouble / b.length
-    MediaFeature(r.doc_id, width, height, b.length,
-      math.rint(mean * 1e6) / 1e6)
+    MediaFeature(r.doc_id, width, height, b.length, round6(mean))
   }
 
   /** The binary-column source: documents with an opaque 16-byte payload. */
@@ -149,7 +148,7 @@ object Multimodal {
             }
             FrameFeature(v.doc_id, f.toLong,
               frame.map(b => f"${b & 0xff}%02x").mkString,
-              math.rint(resized.sum.toDouble / resized.size * 1e6) / 1e6)
+              round6(resized.sum.toDouble / resized.size))
           }
         }
       }

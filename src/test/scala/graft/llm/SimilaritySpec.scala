@@ -25,6 +25,20 @@ class SimilaritySpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("hof")).isEmpty)
   }
 
+  test("cosine: mismatched lengths yield NULL, matching DotProduct and the zip_with fold") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)), // longer left
+      (2L, Seq(1.0), Seq(4.0, 5.0)), // longer right
+      (3L, Seq(1.0, 2.0), Seq(4.0, 5.0))) // equal → defined
+      .toDF("id", "a", "b")
+    val byId = df.select(col("id"), expr("cosine_similarity(a, b)").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(byId(1L) && byId(2L) && !byId(3L),
+      "length mismatch must be NULL on both eval and codegen paths")
+  }
+
   test("double and mixed float/double inputs equal the HOF formulation bit-for-bit") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(30)
