@@ -45,4 +45,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("one-config-line deploy: a fresh JVM with spark.sql.extensions resolves the functions") {
+    // The static-conf route CANNOT be proven in this JVM (the suite's
+    // SparkContext already exists, so the conf is never read) — launch a
+    // child JVM whose only graft wiring is the config line, exactly like
+    // `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster.
+    // The child inherits this JVM's classpath and --add-opens flags.
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a == "--add-opens" || a.endsWith("=ALL-UNNAMED")).toSeq
+    val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"), "graft.ExtensionsSmoke")
+    val p = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val rc = p.waitFor()
+    assert(rc == 0 && out.contains("EXTENSIONS_SMOKE OK"),
+      s"rc=$rc tail=${out.takeRight(1500)}")
+  }
 }
