@@ -18,15 +18,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default. Read nanos as long and convert to a µs
-    * timestamp with integer division (the corpus generator emits µs
-    * precision, so the ns remainder is 0 — lossless). */
+  /** The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+    * Spark's parquet reader rejects by default: read nanos as long and
+    * convert to a µs timestamp with integer division (the corpus
+    * generator emits µs precision, so the ns remainder is 0 — lossless).
+    * Other writers (e.g. tools/gen_scale.py via DuckDB) emit encodings
+    * Spark reads natively as TIMESTAMP_NTZ or TIMESTAMP — normalize all
+    * three to a session-TZ timestamp so every consumer sees one type. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
