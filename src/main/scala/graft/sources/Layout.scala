@@ -45,7 +45,15 @@ object Layout {
     dropManagedTable(spark, table)
 
   /** Co-located join via bucketing: orders and a lineitem projection both
-    * bucketed+sorted into 8 buckets on the order key. */
+    * bucketed+sorted into 8 buckets on the order key.
+    *
+    * MEASUREMENT note (round 8, sf0.1 local[32]): the registered entry
+    * re-pays BOTH bucketed writes per execution — measured ~85% of its
+    * time (build 2.6–3.4 s vs join-only 0.56–0.68 s warm) — so the bench
+    * number tracks write throughput, not the join this layout exists to
+    * accelerate. The exchange-free join itself is the 0.6 s part (plan
+    * pinned by LayoutSpec); at 100 TB the writes happen once at ingest
+    * and every recurring join gets the merge-only plan. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     recreate(spark, "graft_orders_b")
     recreate(spark, "graft_lineitem_b")
