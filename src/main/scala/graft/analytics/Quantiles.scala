@@ -18,20 +18,24 @@ import graft.Tables
   * of a group through one task, so per-group parallelism equals group
   * count — a scale-killer when a fact-sized table has 5 event types.
   *
-  * Instead, the global rank is assembled from partition-local ranks (the
-  * `tokenBudgetSelect` prefix-sum pattern, Sampling.scala): range-
-  * partition on (group, value) so a group spans MANY ordered partitions;
-  * count rows per (partition, group) — a histogram of ≤ #partitions ×
-  * #groups rows; take the exclusive prefix sum of those counts within
-  * each group (a window over config-bounded cardinality, never data);
-  * rank locally within (partition, group) — each such window partition is
-  * bounded by the range-partition size, not the group size — and add the
-  * broadcast offset. Only the two rows flanking each requested quantile
-  * position survive into the final 5-row aggregate. Memory per task is
-  * one range partition; parallelism is the partition count at ANY group
-  * cardinality. Results are invariant to the partition count (ties split
-  * across a range boundary still yield the same value at every rank —
-  * tied rows carry equal values by definition); pinned by QuantilesSpec.
+  * Instead: DISTRIBUTED SELECTION via partition histograms (the
+  * `tokenBudgetSelect` prefix-sum pattern, Sampling.scala, plus a
+  * needle-slice prune). Range-partition on (group, value) so a group
+  * spans MANY ordered partitions; count rows per (partition, group) — a
+  * histogram of ≤ #partitions × #groups rows, ONE hash aggregate with NO
+  * sort; prefix-sum those counts within each group (a window over
+  * config-bounded cardinality, never data). The histogram alone now
+  * locates which slices contain the ≤ 6 flanking ranks per group
+  * (a slice holds global ranks (off, off+count]), so only those NEEDLE
+  * slices are re-read from the cached frame, locally ranked (each window
+  * partition is one slice — bounded by the range-partition size), and
+  * offset to global ranks; everything else is never sorted at all. Only
+  * the two rows flanking each requested quantile position survive into
+  * the final 5-row aggregate. Memory per task is one range partition;
+  * the sort cost is ~6 slices per group at ANY data size. Results are
+  * invariant to the partition count (ties split across a range boundary
+  * still yield the same value at every rank — tied rows carry equal
+  * values by definition); pinned by QuantilesSpec.
   *
   * Linear interpolation (type-7, both engines): pos = (n-1)·q,
   * result = v_lo + (pos - floor(pos)) · (v_hi - v_lo), computed on the
@@ -67,16 +71,27 @@ object Quantiles {
           .orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum(col("_c")).over(Window.partitionBy(col("event_type"))))
-      .select("_pid", "event_type", "_off", "n")
-    // local rank: every window partition is one range-partition's slice of
-    // one group — bounded by partition size, so no single hot task
+      .select("_pid", "event_type", "_c", "_off", "n")
+    def pos(q: Double): Column = (col("n") - lit(1L)).cast("double") * lit(q)
+    // the ≤ 6 flanking target ranks per group, from the histogram alone
+    val targetRks = array_distinct(array(Qs.flatMap { case (_, q) =>
+      Seq(floor(pos(q)).cast("long") + 1, ceil(pos(q)).cast("long") + 1)
+    }: _*))
+    // needle slices: (partition, group) runs whose global-rank interval
+    // (_off, _off + _c] contains a target rank — ≤ 6 slices per group; the
+    // rest of the data is never sorted
+    val needles = offsets
+      .withColumn("_trk", explode(targetRks))
+      .filter(col("_trk") > col("_off") && col("_trk") <= col("_off") + col("_c"))
+      .select("_pid", "event_type", "_off", "n").distinct()
+    // local rank WITHIN the needle slices only: every window partition is
+    // one range-partition's slice of one group — bounded by partition size
     val localW = Window.partitionBy(col("_pid"), col("event_type"))
       .orderBy(col("value"))
     val ranked = ranged
+      .join(broadcast(needles), Seq("_pid", "event_type"))
       .withColumn("_lrk", row_number().over(localW).cast("long"))
-      .join(broadcast(offsets), Seq("_pid", "event_type"))
       .withColumn("rk", col("_off") + col("_lrk"))
-    def pos(q: Double): Column = (col("n") - lit(1L)).cast("double") * lit(q)
     // per-q flanking values: only ranks floor(pos)+1 / ceil(pos)+1 survive
     // into the aggregate (row_number is 1-based)
     val flanks = Qs.flatMap { case (name, q) =>
