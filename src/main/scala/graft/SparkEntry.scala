@@ -72,6 +72,7 @@ object SparkEntry {
     "ivf_index_search" -> ((s, d) => Similarity.ivfIndexSearch(s, d)),
     "lsh_index_search" -> ((s, d) => Similarity.lshIndexSearch(s, d)),
     "ingest_dedup" -> ((s, d) => EventsStream.ingestDedup(s, d)),
+    "click_attribution" -> ((s, d) => EventsStream.clickAttribution(s, d)),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
     "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "ivf_index_search" -> Similarity.ivfIndexSearchSql,
     "lsh_index_search" -> Similarity.lshIndexSearchSql,
     "ingest_dedup" -> EventsStream.ingestDedupSql,
+    "click_attribution" -> EventsStream.clickAttributionSql,
     "stratified_sample" -> Sampling.stratifiedSampleSql,
     "token_budget_select" -> Sampling.tokenBudgetSelectSql,
     "value_quantiles" -> Quantiles.valueQuantilesSql,

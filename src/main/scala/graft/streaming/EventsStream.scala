@@ -152,6 +152,63 @@ object EventsStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Attribution lookback: a purchase is attributed to the same user's
+    * clicks within this many minutes before it. */
+  val AttributionMinutes: Int = 30
+
+  /** Click→purchase attribution — the STREAM-STREAM interval join shape
+    * (two live streams joined on a key plus an event-time constraint),
+    * the one Structured Streaming join family the registry otherwise
+    * lacks. The shared transform is an equi-join on user_id with the
+    * time bound as a residual predicate, so batch planning gets a
+    * shuffle/broadcast HASH join (never a nested loop — pinned in
+    * EventsStreamSpec) and streaming gets symmetric state buffers whose
+    * retention the watermark + time bound derive: a buffered click can
+    * be dropped once the watermark passes c_ts + lookback, a purchase
+    * as soon as the watermark reaches it. Fan-out is bounded by per-user
+    * in-window activity — at 100 TB the join shuffles on user_id and a
+    * hot user costs its own pair count, never a cross product. */
+  def clickAttributionTransform(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $AttributionMinutes MINUTES"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+
+  /** Batch entry (registered, oracle-gated): clicks and purchases are two
+    * filtered scans of the events table; exact µs lag arithmetic. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    clickAttributionTransform(clicks, purchases).orderBy("p_id", "c_id")
+  }
+
+  val clickAttributionSql: String =
+    s"""SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
+       |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON c.user_id = p.user_id
+       | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+       | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL $AttributionMinutes MINUTE
+       |ORDER BY p_id, c_id""".stripMargin
+
+  /** The streaming twin: both sides watermarked (required for
+    * stream-stream joins — the watermark plus the join's time bound let
+    * Spark age out buffered rows instead of keeping both streams
+    * forever); inner-join matches emit as soon as both sides arrive.
+    * MemoryStream-tested against the batch transform. */
+  def streamingClickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickAttributionTransform(
+      clicks.withWatermark("c_ts", "1 hour"),
+      purchases.withWatermark("p_ts", "1 hour"))
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Int)

@@ -80,6 +80,52 @@ class EventsStreamSpec extends SparkSpec {
     assert(dense.count() == hours * types)
   }
 
+  test("stream-stream attribution join over MemoryStreams matches the batch transform") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clickSrc = MemoryStream[(Long, Long, Timestamp)]
+    val purchSrc = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clickSrc.toDF().toDF("c_id", "c_user", "c_ts")
+    val purchases = purchSrc.toDF().toDF("p_id", "p_user", "p_ts")
+    val query = EventsStream.streamingClickAttribution(clicks, purchases)
+      .writeStream.format("memory").queryName("attribution_test")
+      .outputMode("append").start()
+    try {
+      val clickRows = Seq(
+        (10L, 1L, ts("2024-01-01 10:00:00")), // in window of purchase 100
+        (11L, 1L, ts("2024-01-01 09:00:00")), // too early — outside 30 min
+        (12L, 2L, ts("2024-01-01 10:10:00")), // other user
+        (13L, 1L, ts("2024-01-01 10:20:00"))) // in window of purchase 100
+      val purchRows = Seq(
+        (100L, 1L, ts("2024-01-01 10:25:00")),
+        (101L, 3L, ts("2024-01-01 10:30:00"))) // user with no clicks
+      clickSrc.addData(clickRows: _*)
+      purchSrc.addData(purchRows: _*)
+      query.processAllAvailable()
+      val emitted = spark.table("attribution_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val expected = EventsStream.clickAttributionTransform(
+          clickRows.toDF("c_id", "c_user", "c_ts"),
+          purchRows.toDF("p_id", "p_user", "p_ts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(emitted == expected && expected ==
+        Set((100L, 10L, 1L, 25L * 60 * 1000000), (100L, 13L, 1L, 5L * 60 * 1000000)))
+    } finally query.stop()
+  }
+
+  test("batch attribution joins hash-partitioned on user_id, never a nested loop") {
+    val df = EventsStream.clickAttribution(spark, sfDir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i => plan.substring(0, i)
+    }
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join with residual:\n${finalPlan.take(2000)}")
+    assert(finalPlan.contains("Join") && df.count() > 0)
+  }
+
   test("lag-based session boundaries agree with the sessionizer's gap rule") {
     import spark.implicits._
     // each boundary event closes exactly one session (the user's final
