@@ -67,6 +67,7 @@ object SparkEntry {
     "csv_roundtrip" -> ((s, d) => Csv.csvRoundtrip(s, d)),
     "bucketed_join" -> ((s, d) => Layout.bucketedJoin(s, d)),
     "partitioned_scan" -> ((s, d) => Layout.partitionedScan(s, d)),
+    "compact_table" -> ((s, d) => Layout.compactTable(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.asofJoin(s, d)),
     "range_join_bands" -> ((s, d) => RangeJoin.rangeJoinBands(s, d)),
     "ivf_index_search" -> ((s, d) => Similarity.ivfIndexSearch(s, d)),
@@ -133,6 +134,7 @@ object SparkEntry {
     "csv_roundtrip" -> Csv.csvRoundtripSql,
     "bucketed_join" -> Layout.bucketedJoinSql,
     "partitioned_scan" -> Layout.partitionedScanSql,
+    "compact_table" -> Layout.compactTableSql,
     "asof_join" -> AsofJoin.asofJoinSql,
     "range_join_bands" -> RangeJoin.rangeJoinBandsSql,
     "ivf_index_search" -> Similarity.ivfIndexSearchSql,

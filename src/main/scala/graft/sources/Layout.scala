@@ -103,4 +103,57 @@ object Layout {
       |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS value_sum
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Target output file size for [[compactTable]]. 16 MB at test scale;
+    * production uses 128 MB–1 GB (≈ `maxPartitionBytes` so one compacted
+    * file feeds one scan task). */
+  private[sources] val CompactTargetBytes: Long = 16L << 20
+
+  /** Small-file COMPACTION — the maintenance operator every streaming or
+    * micro-batch ingest needs at scale: thousands of tiny parquet files
+    * per partition turn a scan into a file-listing + task-scheduling
+    * storm (and an object-store request bill). The entry simulates a
+    * fragmented ingest (events rewritten as 64 splinter files), then
+    * compacts: rewrite at ceil(bytes / target) output files, the file
+    * count derived from Catalyst's file-size statistics — METADATA only,
+    * no data ever reaches the driver. The rewrite is one round-robin
+    * repartition (no key skew possible) and scales as a pure map-side
+    * shuffle; at 100 TB it runs per partition-predicate slice, not
+    * whole-table. Correctness surface: an aggregate over the COMPACTED
+    * table, oracle-checked against the raw events — compaction must
+    * never change content (and CompactionSpec pins the file counts). */
+  def compactTable(spark: SparkSession, dir: String): DataFrame = {
+    recreate(spark, "graft_events_frag")
+    recreate(spark, "graft_events_compact")
+    Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(64) // simulate the many-small-files ingest pathology
+      .write.mode("overwrite").saveAsTable("graft_events_frag")
+    val frag = spark.table("graft_events_frag")
+    val bytes = frag.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((bytes + CompactTargetBytes - 1) / CompactTargetBytes)
+      .max(BigInt(1)).toInt
+    frag.repartition(nFiles)
+      .write.mode("overwrite").saveAsTable("graft_events_compact")
+    spark.table("graft_events_compact")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 6)
+          .cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val compactTableSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Parquet data-file count at a managed table's location (spec helper —
+    * counts real files, ignoring _SUCCESS/CRC markers). */
+  private[sources] def dataFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(loc).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }

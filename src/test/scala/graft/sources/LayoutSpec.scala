@@ -23,4 +23,22 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("event_type") , plan.take(3000))
   }
+
+  test("compaction collapses the splinter files and changes no content") {
+    import org.apache.spark.sql.functions._
+    val agg = Layout.compactTable(spark, sfDir)
+    val nFrag = Layout.dataFileCount(spark, "graft_events_frag")
+    val nCompact = Layout.dataFileCount(spark, "graft_events_compact")
+    // the simulated pathology really fragments, and compaction collapses
+    // it to the size-derived count (tiny table at test SF → 1 file)
+    assert(nFrag == 64, s"expected 64 splinter files, got $nFrag")
+    assert(nCompact < nFrag && nCompact >= 1, s"compacted to $nCompact")
+    // rewrite is content-preserving: row set identical, not just counts
+    val frag = spark.table("graft_events_frag")
+    val compact = spark.table("graft_events_compact")
+    assert(frag.exceptAll(compact).isEmpty && compact.exceptAll(frag).isEmpty)
+    // and the registered aggregate sees every original row
+    assert(agg.agg(sum("n")).head.getLong(0) ==
+      graft.Tables.events(spark, sfDir).count())
+  }
 }
