@@ -72,6 +72,7 @@ object SparkEntry {
     "range_join_bands" -> ((s, d) => RangeJoin.rangeJoinBands(s, d)),
     "ivf_index_search" -> ((s, d) => Similarity.ivfIndexSearch(s, d)),
     "lsh_index_search" -> ((s, d) => Similarity.lshIndexSearch(s, d)),
+    "embedding_quantize" -> ((s, d) => Similarity.embeddingQuantize(s, d)),
     "ingest_dedup" -> ((s, d) => EventsStream.ingestDedup(s, d)),
     "click_attribution" -> ((s, d) => EventsStream.clickAttribution(s, d)),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "range_join_bands" -> RangeJoin.rangeJoinBandsSql,
     "ivf_index_search" -> Similarity.ivfIndexSearchSql,
     "lsh_index_search" -> Similarity.lshIndexSearchSql,
+    "embedding_quantize" -> Similarity.embeddingQuantizeSql,
     "ingest_dedup" -> EventsStream.ingestDedupSql,
     "click_attribution" -> EventsStream.clickAttributionSql,
     "stratified_sample" -> Sampling.stratifiedSampleSql,

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
@@ -164,6 +165,47 @@ class SimilaritySpec extends SparkSpec {
     // the probed-mass chance baseline (nprobe/K = 2/8 = 0.25): probing 25%
     // of a structureless corpus at random would recover ~25% of neighbors.
     assert(recall > 0.25, s"recall $recall (ivf=${ivf.size}, bf=${bf.size})")
+  }
+
+  test("int8 quantization: reconstruction error under one step, top-k preserved") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+    val mn = array_min(col("ed"))
+    val mx = array_max(col("ed"))
+    val step = (mx - mn) / lit(255.0)
+    val codes = transform(col("ed"), x =>
+      when(mx === mn, lit(0))
+        .otherwise(floor((x - mn) * lit(255.0) / (mx - mn)).cast("int")))
+    // midpoint dequantization: x̂ = mn + (code + 0.5)·step
+    val deq = e.select(col("vec_id"), col("ed"), step.as("step"),
+        transform(codes, c => mn + (c.cast("double") + lit(0.5)) * step).as("dq"))
+      .cache()
+    // per-element |x - x̂| < one step (0.5 step nominally; boundary fp
+    // jitter can push a code one bucket over, still strictly under 1)
+    val worst = deq.select(
+      (aggregate(zip_with(col("ed"), col("dq"), (a, b) => abs(a - b)),
+        lit(0.0), (acc, v) => greatest(acc, v)) / col("step")).as("err_steps"))
+      .agg(max(col("err_steps"))).head.getDouble(0)
+    assert(worst < 1.0, s"max reconstruction error $worst steps")
+    // ANN on quantized storage: full-precision queries against
+    // dequantized candidates must keep most of the exact top-10
+    val exact = Similarity.embeddingTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("ed").as("qed"))
+    val dqTopk = deq.select(col("vec_id").as("c_id"), col("dq"))
+      .crossJoin(broadcast(queries))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        expr("cosine_similarity(qed, dq)").as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & dqTopk).size.toDouble / exact.size
+    info(f"quantized top-10 overlap=$overlap%.3f")
+    assert(overlap >= 0.8, s"overlap $overlap under 0.8 floor")
   }
 
   test("LSH ANN recall@1 vs brute-force nearest neighbor stays above its floor") {
