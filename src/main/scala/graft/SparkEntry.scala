@@ -75,6 +75,7 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) => Similarity.embeddingQuantize(s, d)),
     "ingest_dedup" -> ((s, d) => EventsStream.ingestDedup(s, d)),
     "click_attribution" -> ((s, d) => EventsStream.clickAttribution(s, d)),
+    "moving_hourly_avg" -> ((s, d) => EventsStream.movingHourlyAvg(s, d)),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
     "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "embedding_quantize" -> Similarity.embeddingQuantizeSql,
     "ingest_dedup" -> EventsStream.ingestDedupSql,
     "click_attribution" -> EventsStream.clickAttributionSql,
+    "moving_hourly_avg" -> EventsStream.movingHourlyAvgSql,
     "stratified_sample" -> Sampling.stratifiedSampleSql,
     "token_budget_select" -> Sampling.tokenBudgetSelectSql,
     "value_quantiles" -> Quantiles.valueQuantilesSql,

@@ -110,6 +110,55 @@ object EventsStream {
       |  ON s.hour_start = g.hour_start AND s.event_type = g.event_type
       |ORDER BY g.hour_start, g.event_type""".stripMargin
 
+  /** 24-hour moving average over the DENSE hourly series — the window
+    * analytic gap filling exists to enable (a moving frame over a sparse
+    * series silently spans unequal real-time intervals; over the dense
+    * grid every 24-row frame is exactly 24 hours). The accumulation is
+    * decimal-exact (sum of DECIMAL, divided as double once per row), so
+    * partial-order differences between engines cannot flip the 6dp
+    * rounding. Scale shape: the window partitions by event_type over the
+    * ALREADY-AGGREGATED hourly grid — hours × types rows, config-bounded
+    * cardinality, never the raw fact table. */
+  def movingHourlyAvg(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseHourlyAgg(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(-23, 0)
+    dense
+      .withColumn("ma24", round(
+        sum(col("value_sum").cast("decimal(28,10)")).over(w).cast("double")
+          / count(lit(1)).over(w), 6))
+      .select("hour_start", "event_type", "value_sum", "ma24")
+      .orderBy("hour_start", "event_type")
+  }
+
+  val movingHourlyAvgSql: String =
+    """WITH sparse AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |         round(sum(value), 6) AS value_sum
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      |  FROM events
+      |), hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+      |), grid AS (
+      |  SELECT hour_start, event_type
+      |  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+      |), dense AS (
+      |  SELECT g.hour_start, g.event_type,
+      |         coalesce(s.value_sum, 0.0) AS value_sum
+      |  FROM grid g LEFT JOIN sparse s
+      |    ON s.hour_start = g.hour_start AND s.event_type = g.event_type
+      |)
+      |SELECT hour_start, event_type, value_sum,
+      |       round(CAST(sum(CAST(value_sum AS DECIMAL(28,10))) OVER w AS DOUBLE)
+      |             / count(*) OVER w, 6) AS ma24
+      |FROM dense
+      |WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+      |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+      |ORDER BY hour_start, event_type""".stripMargin
+
   /** Ingest-time exact deduplication — the streaming twin of the corpus
     * dedup family: an at-least-once source (Kafka, redelivering log
     * shipper) re-delivers events, and the pipeline must keep exactly one

@@ -126,6 +126,25 @@ class EventsStreamSpec extends SparkSpec {
     assert(finalPlan.contains("Join") && df.count() > 0)
   }
 
+  test("24h moving average: flat-prefix identity and frame-bounded mean") {
+    val ma = EventsStream.movingHourlyAvg(spark, sfDir).cache()
+    // every row's ma24 is between the frame's min and max by construction;
+    // cheap global sanity — the mean of a window can never escape its range
+    val perType = ma.groupBy("event_type")
+      .agg(min("value_sum").as("lo"), max("value_sum").as("hi"))
+    assert(ma.join(perType, "event_type")
+      .filter(col("ma24") < col("lo") - 1e-6 || col("ma24") > col("hi") + 1e-6)
+      .isEmpty)
+    // the first row of each type's series has a 1-row frame: ma24 == value
+    import org.apache.spark.sql.expressions.Window
+    val first = ma.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("hour_start")))
+      .filter(col("rn") === 1)
+    assert(first.filter(abs(col("ma24") - round(col("value_sum"), 6)) > 1e-9).isEmpty)
+    // grid cardinality preserved (one output row per dense-grid cell)
+    assert(ma.count() == EventsStream.denseHourlyAgg(spark, sfDir).count())
+  }
+
   test("lag-based session boundaries agree with the sessionizer's gap rule") {
     import spark.implicits._
     // each boundary event closes exactly one session (the user's final
