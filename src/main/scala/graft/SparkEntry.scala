@@ -83,6 +83,7 @@ object SparkEntry {
     "audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
     "distinct_users" -> ((s, d) => Quantiles.distinctUsers(s, d)),
     "rollup_revenue" -> ((s, d) => Quantiles.rollupRevenue(s, d)),
+    "cube_revenue" -> ((s, d) => Quantiles.cubeRevenue(s, d)),
     "session_boundaries" -> ((s, d) => EventsStream.sessionBoundaries(s, d)),
     "jsonl_roundtrip" -> ((s, d) => Csv.jsonlRoundtrip(s, d)),
     "dense_hourly_agg" -> ((s, d) => EventsStream.denseHourlyAgg(s, d))
@@ -152,6 +153,7 @@ object SparkEntry {
     "audio_features" -> Multimodal.audioFeaturesSql,
     "distinct_users" -> Quantiles.distinctUsersSql,
     "rollup_revenue" -> Quantiles.rollupRevenueSql,
+    "cube_revenue" -> Quantiles.cubeRevenueSql,
     "session_boundaries" -> EventsStream.sessionBoundariesSql,
     "jsonl_roundtrip" -> Csv.jsonlRoundtripSql,
     "dense_hourly_agg" -> EventsStream.denseHourlyAggSql

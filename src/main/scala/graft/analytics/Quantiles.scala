@@ -186,4 +186,39 @@ object Quantiles {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY g_region, g_nation, region NULLS FIRST, nation NULLS FIRST""".stripMargin
+
+  /** CUBE aggregation — the full grouping-sets lattice over
+    * (mktsegment, orderpriority): detail, BOTH one-dimension marginals,
+    * and the grand total in ONE Expand pass / one shuffle (4 grouping
+    * sets, where ROLLUP emits the 3 hierarchical ones). The marginals
+    * over the SECOND dimension are what rollup cannot express — the
+    * cross-tab totals a data-profiling pass reads. Same
+    * `grouping()`-flag discipline as [[rollupRevenue]]. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice", "o_orderpriority")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"),
+        col("g_seg"), col("g_pri"), col("n_orders"), col("revenue"))
+      .orderBy(col("g_seg"), col("g_pri"),
+        col("segment").asc_nulls_first, col("priority").asc_nulls_first)
+  }
+
+  val cubeRevenueSql: String =
+    """SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+      |       count(*) AS n_orders,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+      |ORDER BY g_seg, g_pri, segment NULLS FIRST, priority NULLS FIRST""".stripMargin
 }

@@ -64,6 +64,21 @@ class QuantilesSpec extends SparkSpec {
       .filter(col("sub_n") =!= col("det_n")).isEmpty)
   }
 
+  test("cube emits all four grouping sets consistently") {
+    val cr = Quantiles.cubeRevenue(spark, sfDir).cache()
+    val grand = cr.filter(col("g_seg") === 1 && col("g_pri") === 1).collect()
+    assert(grand.length == 1)
+    val detail = cr.filter(col("g_seg") === 0 && col("g_pri") === 0)
+    // each marginal's total equals the grand total — both directions
+    for ((gs, gp) <- Seq((0, 1), (1, 0))) {
+      val marginalSum = cr.filter(col("g_seg") === gs && col("g_pri") === gp)
+        .agg(sum("n_orders")).head.getLong(0)
+      assert(marginalSum == grand.head.getAs[Long]("n_orders"), s"($gs,$gp)")
+    }
+    assert(detail.agg(sum("n_orders")).head.getLong(0) ==
+      grand.head.getAs[Long]("n_orders"))
+  }
+
   test("approx_count_distinct stays within its rsd bound of the exact count") {
     // HLL++ with rsd=0.05: the estimate must sit within a few standard
     // deviations of the exact cardinality (3σ = 15% — loose enough to be
