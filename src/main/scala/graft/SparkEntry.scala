@@ -58,6 +58,7 @@ object SparkEntry {
     "table_lifecycle" -> ((s, d) => Lifecycle.tableLifecycle(s, d)),
     "fk_integrity" -> ((s, d) => Lifecycle.fkIntegrity(s, d)),
     "nested_projection" -> ((s, d) => Lifecycle.nestedProjection(s, d)),
+    "schema_evolution" -> ((s, d) => Lifecycle.schemaEvolution(s, d)),
     "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "window_agg" -> ((s, d) => EventsStream.windowAgg(s, d)),
     "year_dim" -> ((s, d) => Dims.yearDim(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "table_lifecycle" -> Lifecycle.tableLifecycleSql,
     "fk_integrity" -> Lifecycle.fkIntegritySql,
     "nested_projection" -> Lifecycle.nestedProjectionSql,
+    "schema_evolution" -> Lifecycle.schemaEvolutionSql,
     "media_features" -> Multimodal.mediaFeaturesSql,
     "window_agg" -> EventsStream.windowAggSql,
     "year_dim" -> Dims.yearDimSql,

@@ -127,4 +127,50 @@ object Lifecycle {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY nation, status""".stripMargin
+
+  /** SCHEMA EVOLUTION — the append-only-warehouse reality that columns
+    * arrive over time: generation-1 files carry (event_id, user_id),
+    * generation-2 files add `value`. `mergeSchema` unions the file
+    * footers at read time; gen-1 rows surface the missing column as
+    * NULL, no rewrite of old files (at 100 TB rewriting history for a
+    * new column is not an option — this is the zero-cost path). The
+    * write goes to a raw path, not a managed table (a declared catalog
+    * schema would reject the wider generation; path + footer-merge is
+    * exactly the contract). The aggregate separates gen-1's structural
+    * NULLs from gen-2's data NULLs via the generation parity, so the
+    * oracle pins both. Footer merging costs a file-listing pass per
+    * read — production caches the merged schema in a catalog after
+    * evolution settles. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, "graft_events_evo")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(loc, true)
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id")
+      .write.mode("append").parquet(loc.toString)
+    ev.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "value")
+      .write.mode("append").parquet(loc.toString)
+    spark.read.option("mergeSchema", "true").parquet(loc.toString)
+      .groupBy((col("user_id") % 10).as("user_mod"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, 1)).as("n_missing"),
+        round(sum(col("value").cast("decimal(18,6)")), 6)
+          .cast("double").as("value_sum"))
+      .orderBy("user_mod")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH evolved AS (
+      |  SELECT event_id, user_id, NULL::DOUBLE AS value
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 1
+      |)
+      |SELECT user_id % 10 AS user_mod, count(*) AS n_rows,
+      |       count(CASE WHEN value IS NULL THEN 1 END) AS n_missing,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS value_sum
+      |FROM evolved GROUP BY 1 ORDER BY user_mod""".stripMargin
 }
