@@ -49,6 +49,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "minhash_dedup" -> ((s, d) => Dedup.minhashDedup(s, d)),
     "simhash_dedup" -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "embedding_topk" -> ((s, d) => Similarity.embeddingTopk(s, d)),
     "embedding_knn_native" -> ((s, d) => Similarity.embeddingKnnNative(s, d)),
     "embedding_ann_lsh" -> ((s, d) => Similarity.embeddingAnnLsh(s, d)),
@@ -79,6 +80,7 @@ object SparkEntry {
     "moving_hourly_avg" -> ((s, d) => EventsStream.movingHourlyAvg(s, d)),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "token_budget_select" -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
+    "hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "value_quantiles" -> ((s, d) => Quantiles.valueQuantiles(s, d)),
     "media_frame_sample" -> ((s, d) => Multimodal.mediaFrameSample(s, d)),
     "audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
@@ -120,6 +122,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
     "minhash_dedup" -> Dedup.minhashDedupSql,
     "simhash_dedup" -> Dedup.simhashDedupSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql,
     "embedding_topk" -> Similarity.embeddingTopkSql,
     "embedding_knn_native" -> Similarity.embeddingKnnNativeSql,
     "embedding_ann_lsh" -> Similarity.embeddingAnnLshSql,
@@ -150,6 +153,7 @@ object SparkEntry {
     "moving_hourly_avg" -> EventsStream.movingHourlyAvgSql,
     "stratified_sample" -> Sampling.stratifiedSampleSql,
     "token_budget_select" -> Sampling.tokenBudgetSelectSql,
+    "hash_split" -> Sampling.hashSplitSql,
     "value_quantiles" -> Quantiles.valueQuantilesSql,
     "media_frame_sample" -> Multimodal.mediaFrameSampleSql,
     "audio_features" -> Multimodal.audioFeaturesSql,

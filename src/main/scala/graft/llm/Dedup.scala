@@ -113,8 +113,11 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val ngramJaccardPairsSql: String =
-    s"""WITH $shinglesCteSql, ex0 AS (
+  /** The inverted-index Jaccard pipeline as a reusable CTE chain ending in
+    * `pairs(doc_a, doc_b, jaccard)` — shared by the pairs entry and the
+    * cluster-resolution oracle so both see the identical edge set. */
+  private val jaccardPairsCteSql: String =
+    s"""ex0 AS (
        |  SELECT doc_id, unnest(shingles) AS s FROM sh
        |), hot AS (
        |  SELECT s FROM ex0 GROUP BY s HAVING count(*) > $DefaultMaxShingleDf
@@ -124,14 +127,19 @@ object Dedup {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
-       |SELECT doc_a, doc_b,
-       |       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+       |), pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5
+       |)""".stripMargin
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH $shinglesCteSql, $jaccardPairsCteSql
+       |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash signature length / LSH banding: 64 hashes in 16 bands of 4.
     * Candidate recall at J ≥ 0.8 is 1 - (1 - 0.8^4)^16 > 0.9998; on this
@@ -266,6 +274,112 @@ object Dedup {
       .filter(col("hamming") <= HamMax)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Maximum label-propagation rounds before declaring non-convergence.
+    * With path-halving each round at least halves the remaining pointer
+    * depth, so 48 rounds cover any component diameter below 2^48. */
+  private val MaxCcRounds = 48
+
+  /** Connected components over an undirected edge list `(u, v)` — returns
+    * `(node, component)` where `component` is the minimum node id in the
+    * node's component. Only nodes that appear in at least one edge are
+    * returned (isolated nodes have no dedup decision to make).
+    *
+    * Algorithm: iterative min-label propagation with path-halving, the
+    * MapReduce-style connected-components family published in Kiveris et
+    * al., "Connected Components in MapReduce and Beyond" (SoCC '14).
+    * Each round runs
+    *   (a) neighborhood-min: label(u) ← min(label(u), min over neighbors'
+    *       labels) — one shuffle join edge⋈labels plus a hash aggregate;
+    *   (b) pointer jump (path halving): label(u) ← label(label(u)) — one
+    *       self-join of the label table on the label key.
+    * Labels are node ids, monotonically non-increasing, and bounded below
+    * by the component minimum, so the loop terminates; the pointer jump
+    * makes deep chains collapse in O(log diameter) rounds instead of
+    * O(diameter). Near-dup clusters are shallow (most are pairs/triples),
+    * so the expected round count is 2-3 at any corpus size.
+    *
+    * Scale notes: per-round cost is two shuffle joins keyed on node id —
+    * no all-pairs step, no driver-side graph. The per-round convergence
+    * check is an aggregated `isEmpty` (first-diff short-circuit), not a
+    * collect. Lineage is truncated every round with `localCheckpoint`
+    * (swap for reliable `checkpoint` on a cluster) so round N's plan does
+    * not re-embed rounds 1..N-1 — without this the plan doubles per round
+    * and the driver ooms on optimization long before the data matters. */
+  private[llm] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("label"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxCcRounds) {
+      val nbrMin = sym
+        .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
+        .groupBy("u").agg(min(col("nl")).as("nmin"))
+      val prop = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val next = prop
+        .join(prop.select(col("u").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("u"), coalesce(col("jump"), col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "u")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $MaxCcRounds rounds")
+    labels.select(col("u").as("node"), col("label").as("component"))
+  }
+
+  /** Dedup-cluster resolution — the stage after pair generation that every
+    * dedup pipeline needs before it can drop rows: near-dup PAIRS are not
+    * a keep/drop decision (A~B, B~C does not say which of {A,B,C} to keep);
+    * the transitive closure of the pair graph is. Resolves the exact-Jaccard
+    * near-dup pairs (≥ 0.5) into connected components and emits one row per
+    * clustered document with its cluster id (= min doc_id in the component,
+    * the conventional keep-one policy), the cluster size, and whether this
+    * document is the canonical survivor. Documents with no near-dup are not
+    * emitted — at corpus scale the clustered set is tiny relative to the
+    * corpus, and the anti-join against it is the caller's drop step. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairsFrom(withShingles(spark, dir), DefaultMaxShingleDf)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = connectedComponents(pairs)
+    // cluster count ≪ corpus: the size side broadcasts under AQE
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("component")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure of the same pair CTE via a recursive CTE —
+    * min reachable id per node. Tractable at oracle scale only; the Spark
+    * side never materializes reachability, just labels. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $shinglesCteSql, $jaccardPairsCteSql, edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+       |), sized AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+       |)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       |       c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sized s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   val simhashDedupSql: String =
     s"""WITH $shinglesCteSql, hs AS (

@@ -41,6 +41,62 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("connected components resolve chains, triangles, and isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, triangle 20-21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("u", "v")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("a deep path converges via path-halving, not one hop per round") {
+    import spark.implicits._
+    // a 33-node path: min-propagation alone needs 32 rounds; the pointer
+    // jump must finish well inside the 48-round guard
+    val edges = (0L until 32L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Dedup.connectedComponents(edges).collect()
+    assert(got.length == 33 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("components match a union-find model on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference model: naive union-find over the same edges
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = touched.map(x => x -> touched.filter(y => find(y.toInt) == find(x.toInt)).min).toMap
+    val got = Dedup.connectedComponents(edges.toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("dedup clusters cover exactly the paired documents and pick min ids") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir).cache()
+    val clusters = Dedup.dedupClusters(spark, sfDir).cache()
+    val byDoc = clusters.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // every paired doc is clustered, endpoints agree on the cluster id
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(byDoc(a)._1 == byDoc(b)._1)
+    }
+    // cluster id is the min member; canonical iff doc_id == cluster_id
+    byDoc.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.forall { case (doc, (_, size, canon)) =>
+        canon == (doc == cid) && size == members.size && size >= 2
+      })
+    }
+  }
+
   test("pair lists are symmetric-free and deterministic") {
     val a = Dedup.ngramJaccardPairs(spark, sfDir).collect().toSeq
     val b = Dedup.ngramJaccardPairs(spark, sfDir).collect().toSeq
