@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,61 @@ object Sampling {
       .filter(col("cum_tokens") - col("n_tokens") < TokenBudget)
       .select("doc_id", "lang", "n_tokens", "cum_tokens")
       .orderBy("cum_tokens")
+  }
+
+  /** Split-version salt: bumping it reshuffles every assignment (a fresh
+    * split epoch) without touching code; it also namespaces this split
+    * from any other md5-derived key in the pipeline. Shared literal-for-
+    * literal with the oracle SQL. */
+  private val SplitSalt = "split-v1"
+
+  /** (upper-exclusive percent bound, split name), ascending. 80/10/10. */
+  private[llm] val SplitBounds: Seq[(Int, String)] =
+    Seq(80 -> "train", 90 -> "val", 100 -> "test")
+
+  /** Deterministic train/val/test assignment: bucket = first 8 hex chars
+    * of md5("<salt>:<doc_id>") mod 100, mapped through the 80/10/10
+    * bounds. The industry-standard hash-split, chosen over rand() or
+    * percentile splits because it is
+    *   (a) a pure per-row function — one codegen'd projection over the
+    *       scan, NO shuffle, embarrassingly parallel at any corpus size
+    *       (the presentation orderBy is the only exchange, and a pipeline
+    *       consumer drops it);
+    *   (b) stable under growth — a document's split never changes when
+    *       other documents arrive or depart, so eval sets stay frozen
+    *       across corpus refreshes (a percentile/ntile split re-labels
+    *       everything on every ingest);
+    *   (c) re-derivable anywhere — any engine with md5 reproduces the
+    *       assignment from (salt, doc_id) alone, no split table to ship.
+    * Leakage note: hashing doc_id keeps near-duplicates on both sides of
+    * the split boundary; a leakage-tight split hashes the dedup cluster
+    * id from [[Dedup.dedupClusters]] instead, so a whole near-dup cluster
+    * lands in one split. Same kernel, different key column. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplitFrom(Tables.documents(spark, dir), col("doc_id"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Kernel over any frame/key: adds `bucket` (0-99) and `split`. */
+  private[llm] def hashSplitFrom(df: DataFrame, key: Column): DataFrame = {
+    val bucket = conv(
+      substring(md5(concat_ws(":", lit(SplitSalt), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+    val split = SplitBounds.init.foldRight(lit(SplitBounds.last._2): Column) {
+      case ((hi, name), acc) => when(col("bucket") < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  val hashSplitSql: String = {
+    val bucketSql =
+      s"('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+    val caseSql = SplitBounds.init
+      .map { case (hi, name) => s"WHEN bucket < $hi THEN '$name'" }.mkString(" ")
+    s"""WITH b AS (SELECT doc_id, $bucketSql AS bucket FROM documents)
+       |SELECT doc_id, bucket,
+       |       CASE $caseSql ELSE '${SplitBounds.last._2}' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
   }
 
   /** Oracle: the naive single-window global prefix sum — correct at any

@@ -40,6 +40,43 @@ class SamplingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("hash split is deterministic, complete, and near the 80/10/10 target") {
+    import spark.implicits._
+    // uniformity on a clean id range, independent of the corpus
+    val ids = (0L until 10000L).toDF("doc_id")
+    val got = Sampling.hashSplitFrom(ids, col("doc_id")).cache()
+    val byName = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == 10000L && byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 7600 && byName("train") < 8400, byName.toString)
+    assert(byName("val") > 700 && byName("val") < 1300, byName.toString)
+    assert(byName("test") > 700 && byName("test") < 1300, byName.toString)
+    // bucket ∈ [0, 100) and split follows the bounds exactly
+    assert(got.filter(col("bucket") < 0 || col("bucket") >= 100).isEmpty)
+    assert(got.filter(
+      (col("bucket") < 80 && col("split") =!= "train") ||
+      (col("bucket") >= 80 && col("bucket") < 90 && col("split") =!= "val") ||
+      (col("bucket") >= 90 && col("split") =!= "test")).isEmpty)
+  }
+
+  test("hash split assignment is stable under corpus growth") {
+    import spark.implicits._
+    // a document's split is a pure function of its id: computing it on a
+    // subset equals computing it on the full set (no rank/percentile
+    // relabeling on ingest)
+    val full = Sampling.hashSplitFrom((0L until 1000L).toDF("doc_id"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sub = Sampling.hashSplitFrom((0L until 1000L by 7).toDF("doc_id"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sub.forall { case (id, s) => full(id) == s })
+  }
+
+  test("hash split plans as a pure projection - no exchange before the presentation sort") {
+    val plan = Sampling.hashSplit(spark, sfDir).queryExecution.executedPlan.toString
+    // exactly one Exchange: the orderBy's range partitioning
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
+
   test("token budget select is invariant to the partition count") {
     // the two-phase prefix sum must produce identical rows for any
     // range-partitioning, because the (n_chars, doc_id) ordering is total
