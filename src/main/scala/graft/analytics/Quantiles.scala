@@ -144,6 +144,43 @@ object Quantiles {
       |       count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Relative-error budget the approx-distinct entry asserts per group:
+    * |approx − exact| ≤ 15% · exact — 3× Spark's requested rsd (5%), so a
+    * healthy sketch passes with huge margin and a broken one cannot. */
+  private val ApproxRelErr = "0.15"
+
+  /** The sketch path to [[distinctUsers]], oracle-gated: per event_type,
+    * the exact distinct-user count plus a boolean asserting the engine's
+    * HyperLogLog estimate (`approx_count_distinct`, rsd 0.05) lands within
+    * the 15% budget of exact. At 100 TB the sketch is the ONLY viable
+    * distinct: fixed memory per group, mergeable map-side partials, one
+    * narrow shuffle of sketches instead of the exact path's Expand over
+    * every (group, user) pair.
+    *
+    * Oracle design: HLL estimates are implementation-specific, so the raw
+    * estimate can never hash-match across engines BY DESIGN. What is
+    * cross-engine checkable is the accuracy CONTRACT — each engine runs
+    * its own sketch and asserts its own estimate against the shared exact
+    * count and budget, and those verdicts (plus the exact counts) must
+    * agree. Spark's actual estimate is additionally pinned numerically by
+    * QuantilesSpec's error-bound test. */
+  def approxDistinctCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("approx") - col("n_users")) <=
+          col("n_users") * lit(ApproxRelErr).cast("double")).as("within_bound"))
+      .orderBy("event_type")
+
+  val approxDistinctCheckSql: String =
+    s"""SELECT event_type, count(DISTINCT user_id) AS n_users,
+       |       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+       |         <= count(DISTINCT user_id) * $ApproxRelErr AS within_bound
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** ROLLUP aggregation — order revenue by (region, nation) with region
     * subtotals and a grand total, the grouping-sets family the registry
     * otherwise lacks. Spark plans rollup as ONE pass with an Expand (each

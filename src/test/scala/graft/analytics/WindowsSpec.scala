@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class WindowsSpec extends SparkSpec {
+
+  test("rolling 30-day spend matches the self-join model") {
+    val got = Windows.rollingSpend30d(spark, sfDir)
+    // model: sum over an explicit interval self-join — quadratic per
+    // customer, fine at spec scale, decimal-exact like the engine path
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val model = o.as("a")
+      .join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("b.o_orderdate") >= col("a.o_orderdate") - expr("INTERVAL 30 DAYS") &&
+          col("b.o_orderdate") <= col("a.o_orderdate"))
+      .groupBy(col("a.o_orderkey").as("o_orderkey"), col("a.o_custkey").as("o_custkey"),
+        col("a.o_orderdate").as("o_orderdate"))
+      .agg(sum(col("b.p")).cast("double").as("spend_30d"))
+    assert(got.except(model).isEmpty && model.except(got).isEmpty)
+    assert(got.count() == o.count())
+  }
+
+  test("same-day orders are RANGE peers: both rows see the full day total") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 7L, "2024-01-01", 10.00), // same day, same customer
+      (2L, 7L, "2024-01-01", 20.00),
+      (3L, 7L, "2024-02-15", 5.00), // outside the 30-day reach of Jan 1
+      (4L, 8L, "2024-01-01", 99.00) // other customer, untouched
+    ).toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    rows.createOrReplaceTempView("spec_orders")
+    val got = spark.sql(
+      """SELECT o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+        |       ) AS DOUBLE) AS spend
+        |FROM spec_orders""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 30.0, 2L -> 30.0, 3L -> 5.0, 4L -> 99.0))
+  }
+
+  test("rolling spend plans one hash exchange plus the presentation sort") {
+    val plan = Windows.rollingSpend30d(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(plan.split("Exchange").length - 1 == 2, plan)
+  }
+}
