@@ -1,0 +1,96 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch CDC MERGE — the three-clause upsert/delete kernel
+  * (`MERGE INTO target USING changes`) that completes the mutation family:
+  * `Dims` has keep-one upsert and insert-if-absent, `Scd` has versioned
+  * history; this is the in-place merge a change-data-capture feed applies,
+  * with WHEN MATCHED UPDATE, WHEN MATCHED DELETE, and WHEN NOT MATCHED
+  * INSERT in one pass.
+  *
+  * Reference anchor: inserting-data.sql:63-80 (upsert-by-dedup M1/M2,
+  * SURVEY §2.8) — extended with the delete clause those scripts enforce by
+  * trigger instead (M5; here deletion is an explicit CDC op, and
+  * immutable-parquet snapshots make the "no silent deletes" invariant
+  * free).
+  *
+  * Scale shape: ONE full-outer shuffle join keyed on the merge key — the
+  * same physical shape Delta/Iceberg MERGE plans (join changes to target,
+  * rewrite matched files). Both sides hash-partition on the key; the
+  * change feed is usually ≪ target, so AQE broadcasts it and the target
+  * side never shuffles at all. All clause arbitration is codegen'd CASE
+  * logic on the joined row — no per-clause pass, no driver loop. On a real
+  * lakehouse the output would be written per-partition copy-on-write;
+  * here the new state IS the result set.
+  */
+object Merge {
+
+  /** Clause kernel over a prepared target and change feed.
+    * Contract: `target(c_custkey, c_name, c_acctbal, c_mktsegment)`,
+    * `changes(key, op ∈ {'U','D'}, new_bal)`, at most one change per key.
+    *   matched + U   → update (acctbal := new_bal)
+    *   matched + D   → delete
+    *   unmatched + U → insert (derived name, UNKNOWN segment)
+    *   unmatched + D → no-op
+    * Note the 3VL discipline: target-only rows carry NULL op, so clause
+    * predicates test `key IS NULL OR op = 'U'` (never `NOT (op = 'D')`,
+    * which is NULL — not true — on target-only rows and would drop them). */
+  private[warehouse] def mergeInto(target: DataFrame, changes: DataFrame): DataFrame =
+    target.join(changes, target("c_custkey") === changes("key"), "full_outer")
+      .filter(col("key").isNull || col("op") === "U")
+      .select(
+        coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+        coalesce(col("c_name"), concat(lit("NEW#"), col("key"))).as("c_name"),
+        when(col("op") === "U", col("new_bal")).otherwise(col("c_acctbal")).as("c_acctbal"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("c_mktsegment"))
+
+  /** Registered entry: apply a deterministic CDC feed derived from
+    * `orders` to the `customer` dim. The feed is each customer's latest
+    * order (max date, orderkey tiebreak — unique, so the feed has exactly
+    * one row per key): finalized status ('F') → delete the customer, open
+    * status → update their balance to that order's total. Keys ≡ 0 mod 13
+    * are shifted by +500000 to model late-arriving customers missing from
+    * the dim — they exercise the insert clause (shift chosen far above any
+    * test-SF custkey range, so shifted keys never collide with real ones).
+    */
+  def mergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val changes = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        when(col("o_custkey") % 13 === 0, col("o_custkey") + 500000)
+          .otherwise(col("o_custkey")).as("key"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("new_bal"))
+    mergeInto(target, changes).orderBy("c_custkey")
+  }
+
+  val mergeCdcSql: String =
+    """WITH latest AS (
+      |  SELECT o_custkey, o_totalprice, o_orderstatus,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |), changes AS (
+      |  SELECT CASE WHEN o_custkey % 13 = 0 THEN o_custkey + 500000
+      |              ELSE o_custkey END AS key,
+      |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |         o_totalprice AS new_bal
+      |  FROM latest WHERE rn = 1
+      |)
+      |SELECT coalesce(t.c_custkey, c.key) AS c_custkey,
+      |       coalesce(t.c_name, 'NEW#' || CAST(c.key AS VARCHAR)) AS c_name,
+      |       CASE WHEN c.op = 'U' THEN c.new_bal ELSE t.c_acctbal END AS c_acctbal,
+      |       coalesce(t.c_mktsegment, 'UNKNOWN') AS c_mktsegment
+      |FROM customer t FULL OUTER JOIN changes c ON t.c_custkey = c.key
+      |WHERE c.key IS NULL OR c.op = 'U'
+      |ORDER BY c_custkey""".stripMargin
+}
