@@ -275,6 +275,79 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance budget for [[levenshteinDedup]] and the per-block
+    * document-frequency cap mirroring [[DefaultMaxShingleDf]]. */
+  private val MaxEditDist = 8
+  private val MaxBlockDf = 64
+
+  /** Edit-distance (Levenshtein) fuzzy dedup — the character-level member
+    * of the dedup family, catching small in-place edits (typo fixes,
+    * punctuation churn) that shingle-set measures dilute. Never all-pairs:
+    * candidates are generated by TWO blocking keys per document — the
+    * first 24 and last 24 chars of the normalized text — joined per key.
+    * An edit burst anywhere in the document leaves at least one end
+    * intact unless the budget is split across BOTH ends, so prefix∪suffix
+    * blocking recalls every pair whose edits stay at one end or in the
+    * middle (the residual misses — simultaneous head AND tail edits — are
+    * the documented trade, and the oracle mirrors the same blocking so
+    * the contract is exact over the candidate set).
+    *
+    * Scale notes: blocking keys are fixed-width (24 chars), so the
+    * shuffle key is bounded at any document length; a boilerplate-hot
+    * block (shared headers) is df-capped at $MaxBlockDf exactly like the
+    * shingle index, bounding per-block fan-out to df² at any corpus size.
+    * The confirm step uses Spark's banded `levenshtein(l, r, threshold)`
+    * — O(len·budget) per pair, not O(len²), and early-exits above the
+    * budget (the oracle's plain levenshtein + filter is value-identical
+    * over the candidates). */
+  def levenshteinDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+    val blocks = n.select(col("doc_id"), col("norm"), explode(array(
+      struct(lit(0).as("which"), expr("left(norm, 24)").as("key")),
+      struct(lit(1).as("which"), expr("right(norm, 24)").as("key")))).as("b"))
+      .select(col("doc_id"), col("norm"), col("b.which"), col("b.key"))
+    val hot = blocks.groupBy("which", "key").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxBlockDf).select("which", "key")
+    val kept = blocks.join(hot, Seq("which", "key"), "left_anti")
+    val cands = kept.as("a")
+      .join(kept.as("b"),
+        col("a.which") === col("b.which") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("edit_dist",
+        levenshtein(col("na"), col("nb"), MaxEditDist).cast("long"))
+      .filter(col("edit_dist") >= 0)
+      .select("doc_a", "doc_b", "edit_dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val levenshteinDedupSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+       |  FROM documents
+       |), blocks AS (
+       |  SELECT doc_id, norm, 0 AS which, left(norm, 24) AS key FROM n
+       |  UNION ALL
+       |  SELECT doc_id, norm, 1 AS which, right(norm, 24) AS key FROM n
+       |), hot AS (
+       |  SELECT which, key FROM blocks GROUP BY which, key HAVING count(*) > $MaxBlockDf
+       |), kept AS (
+       |  SELECT b.* FROM blocks b ANTI JOIN hot h USING (which, key)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.norm AS na, b.norm AS nb
+       |  FROM kept a JOIN kept b
+       |    ON a.which = b.which AND a.key = b.key AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(levenshtein(na, nb) AS BIGINT) AS edit_dist
+       |FROM cand WHERE levenshtein(na, nb) <= $MaxEditDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Maximum label-propagation rounds before declaring non-convergence.
     * With path-halving each round at least halves the remaining pointer
     * depth, so 48 rounds cover any component diameter below 2^48. */

@@ -97,6 +97,55 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("levenshtein dedup finds single-end and middle edits, skips far pairs") {
+    import spark.implicits._
+    val base = ("alpha beta gamma delta epsilon zeta eta theta " * 2).trim
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup: distance 0
+      (3L, base.replaceFirst("theta", "thetaX")), // middle edit: both ends intact
+      (4L, "XY" + base), // head edit: suffix block catches it
+      (5L, base + " xz"), // tail edit: prefix block catches it
+      (6L, "completely unrelated text about something else entirely now")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("spec_docs")
+    // run the same kernel against the temp corpus by swapping the loader:
+    // levenshteinDedup reads Tables.documents, so drive the logic inline
+    val n = docs.select(col("doc_id"),
+      lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+    val pairs = {
+      val blocks = n.select(col("doc_id"), col("norm"), explode(array(
+        struct(lit(0).as("which"), expr("left(norm, 24)").as("key")),
+        struct(lit(1).as("which"), expr("right(norm, 24)").as("key")))).as("b"))
+        .select(col("doc_id"), col("norm"), col("b.which"), col("b.key"))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.which") === col("b.which") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.norm"), col("b.norm"), 8).cast("long").as("edit_dist"))
+        .dropDuplicates("doc_a", "doc_b")
+        .filter(col("edit_dist") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs((1L, 3L)) == 1L) // single inserted char mid-document
+    assert(pairs((1L, 4L)) == 2L)
+    assert(pairs((1L, 5L)) == 3L)
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("levenshtein dedup on the corpus is ordered, bounded, deterministic") {
+    val a = Dedup.levenshteinDedup(spark, sfDir).collect().toSeq
+    val b = Dedup.levenshteinDedup(spark, sfDir).collect().toSeq
+    assert(a == b)
+    assert(a.forall(r => r.getLong(0) < r.getLong(1)
+      && r.getLong(2) >= 0 && r.getLong(2) <= 8))
+    // the corpus's exact-dup groups must appear at distance 0
+    val exactPairs = TextAnalysis.exactDedup(spark, sfDir)
+      .filter(col("n_copies") >= 2).count()
+    assert(exactPairs == 0 || a.exists(_.getLong(2) == 0L))
+  }
+
   test("pair lists are symmetric-free and deterministic") {
     val a = Dedup.ngramJaccardPairs(spark, sfDir).collect().toSeq
     val b = Dedup.ngramJaccardPairs(spark, sfDir).collect().toSeq
