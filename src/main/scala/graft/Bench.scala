@@ -78,7 +78,9 @@ object Bench {
         val unknown = asked.filterNot(SparkEntry.queries.contains)
         require(unknown.isEmpty,
           s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
-        asked.sorted
+        // dedupe: a repeated name would run twice and emit duplicate JSON
+        // keys in the queries/spread maps (mirrors Verify's Set handling)
+        asked.distinct.sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
     names.foreach(exec) // warm-up pass (uncounted)

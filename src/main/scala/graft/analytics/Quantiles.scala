@@ -56,11 +56,18 @@ object Quantiles {
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
     val nPart = spark.sessionState.conf.numShufflePartitions
-    // cached: both consumers (histogram, local ranks) must see the same
-    // sampled range boundaries, hence the same _pid placement
+    // Both consumers (histogram, local ranks) must see the same sampled
+    // range boundaries, hence the same _pid placement. No cache: the two
+    // branches contain byte-identical range exchanges, so ReuseExchange /
+    // AQE stage reuse executes ONE shuffle and both branches read its
+    // output — same partitioner, same boundaries, same _pid, and nothing
+    // stays pinned in executor memory after the query (the old .cache()
+    // here was never unpersisted and accumulated per session). Shuffle
+    // fetch order within a partition is not deterministic, but both
+    // consumers are order-insensitive: the histogram only counts, and the
+    // local rank sorts by value (ties carry equal values by definition).
     val ranged = ev.repartitionByRange(nPart, col("event_type"), col("value"))
       .withColumn("_pid", spark_partition_id())
-      .cache()
     val hist = ranged.groupBy("_pid", "event_type").agg(count(lit(1)).as("_c"))
     // exclusive prefix sum of per-partition counts within each group, and
     // the group total — windows over the ≤ nPart×groups-row histogram

@@ -192,12 +192,17 @@ object Layout {
     val bounds = o.agg(
       min("dd").as("dmin"), max("dd").as("dmax"),
       min("price").as("pmin"), max("price").as("pmax"))
+    // constant-column guard: a zero-width dimension would divide by zero
+    // (NULL zval for every row); quantize it to bucket 0 instead, matching
+    // embeddingQuantize's mx = mn handling
     o.crossJoin(broadcast(bounds))
       .select(col("o_orderkey"),
-        floor((col("dd") - col("dmin")) * lit(65535.0) / (col("dmax") - col("dmin")))
-          .cast("long").as("qd"),
-        floor((col("price") - col("pmin")) * lit(65535.0) / (col("pmax") - col("pmin")))
-          .cast("long").as("qp"))
+        when(col("dmax") === col("dmin"), lit(0L))
+          .otherwise(floor((col("dd") - col("dmin")) * lit(65535.0)
+            / (col("dmax") - col("dmin"))).cast("long")).as("qd"),
+        when(col("pmax") === col("pmin"), lit(0L))
+          .otherwise(floor((col("price") - col("pmin")) * lit(65535.0)
+            / (col("pmax") - col("pmin"))).cast("long")).as("qp"))
       .withColumn("zval",
         spreadBits(col("qd")).bitwiseOR(shiftleft(spreadBits(col("qp")), 1)))
       .orderBy("zval", "o_orderkey")
@@ -214,8 +219,12 @@ object Layout {
       |         min(price) AS pmin, max(price) AS pmax FROM o
       |), q AS (
       |  SELECT o_orderkey,
-      |         CAST(floor((dd - dmin) * 65535.0 / (dmax - dmin)) AS BIGINT) AS qd,
-      |         CAST(floor((price - pmin) * 65535.0 / (pmax - pmin)) AS BIGINT) AS qp
+      |         CASE WHEN dmax = dmin THEN 0
+      |              ELSE CAST(floor((dd - dmin) * 65535.0 / (dmax - dmin)) AS BIGINT)
+      |         END AS qd,
+      |         CASE WHEN pmax = pmin THEN 0
+      |              ELSE CAST(floor((price - pmin) * 65535.0 / (pmax - pmin)) AS BIGINT)
+      |         END AS qp
       |  FROM o, b
       |), s1 AS (SELECT o_orderkey, qd, qp, (qd | (qd << 8)) & 16711935 AS d1,
       |                 (qp | (qp << 8)) & 16711935 AS p1 FROM q
