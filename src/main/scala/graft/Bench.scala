@@ -157,11 +157,17 @@ object Bench {
   private[graft] def stdoutLine(
       med: Seq[(String, Double)], total: Double, sfDir: String,
       reps: Int, noise: String): String = {
+    // failed queries carry median -1.0; exclude them from omitted_sec (they
+    // would subtract a phantom second each and break the documented
+    // sum(queries)+omitted_sec ≈ value reconciliation) and surface them as
+    // an explicit q_failed count instead
+    val failed = med.count(_._2 < 0)
+    val fl = if (failed == 0) "" else s""","q_failed":$failed"""
     def mk(qjson: String, omitted: Seq[Double]): String = {
       val om =
         if (omitted.isEmpty) ""
-        else s""","q_omitted":${omitted.size},"omitted_sec":${r3(omitted.sum)}"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$om,"noise":$noise}"""
+        else s""","q_omitted":${omitted.size},"omitted_sec":${r3(omitted.filter(_ >= 0).sum)}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$fl$om,"noise":$noise}"""
     }
     val full3 = mk(jmap(med, r3), Nil)
     if (full3.length <= StdoutBudget) return full3
@@ -174,6 +180,13 @@ object Bench {
       k -= 1
       line = mk(jmap(bySlow.take(k).sortBy(_._1), r2), bySlow.drop(k).map(_._2))
     }
+    // even the k=0 envelope (empty queries map) can exceed the budget if a
+    // fixed field balloons (e.g. an absurdly long SPARK_GRAFT_SF_DIR path
+    // inflating "sf") — fail LOUD instead of printing a line the driver
+    // will behead into parsed:null with no trace of why
+    require(line.length <= StdoutBudget,
+      s"bench stdout line cannot fit $StdoutBudget chars even with an empty " +
+        s"queries map (len=${line.length}) — a fixed field (sf path? noise?) is oversized")
     line
   }
 }

@@ -37,7 +37,7 @@ class BenchSpec extends AnyFunSuite {
     if (line.contains("q_omitted")) {
       // the dropped tail must be the FASTEST entries and must be summed,
       // so sum(shown) + omitted_sec reconciles with value
-      val shown = """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(
+      val shown = """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(
         line.substring(line.indexOf(""""queries":{"""), line.indexOf("""},"sf""""))
       ).map(m => m.group(1) -> m.group(2).toDouble).toMap
       val omittedSec = """"omitted_sec":([0-9.]+)""".r
@@ -63,6 +63,28 @@ class BenchSpec extends AnyFunSuite {
         assert(line.contains(s""""$slowest""""), s"n=$n dropped the slowest query")
       }
     }
+  }
+
+  test("failed queries (-1.0 medians) are counted, never summed into omitted_sec") {
+    // failures sort as "fastest" under truncation, so with a big registry
+    // they all land in the omitted tail — omitted_sec must not go down by
+    // a phantom second per failure
+    val med = registry(300).take(295) ++
+      (0 until 5).map(i => (f"failed_query_$i%02d", -1.0))
+    val total = med.map(_._2).filter(_ >= 0).sum
+    val line = Bench.stdoutLine(med, total, "sf", 3, noise)
+    assert(line.length <= Bench.StdoutBudget)
+    assert(parseable(line))
+    assert(line.contains(""""q_failed":5"""))
+    assert(line.contains("q_omitted"))
+    val shown = """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(
+      line.substring(line.indexOf(""""queries":{"""), line.indexOf(""""sf""""))
+    ).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val omittedSec = """"omitted_sec":(-?[0-9.]+)""".r
+      .findFirstMatchIn(line).get.group(1).toDouble
+    assert(omittedSec >= 0, "omitted_sec went negative-adjusted by failures")
+    assert(math.abs(shown.values.filter(_ >= 0).sum + omittedSec - total) < 0.05,
+      "shown + omitted_sec does not reconcile with the non-failed total")
   }
 
   test("truncation keeps the slowest entries and counts the dropped ones") {
