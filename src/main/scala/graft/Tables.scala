@@ -38,4 +38,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Spread a sub-parallel scan to full parallelism before CPU-heavy
+    * per-row work (shingling, signature building, feature extraction).
+    * A small single-file table plans as one split, which serializes every
+    * downstream transform no matter how many cores the cluster has; at
+    * real scale file splits already exceed `defaultParallelism` and this
+    * is the identity, so the repartition only ever moves inputs small
+    * enough for the shuffle to be noise. The partition probe reads the
+    * planned scan, not the data. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -47,7 +47,7 @@ object Dedup {
         "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")))
 
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.documents(spark, dir))
+    shinglesOf(Tables.spread(Tables.documents(spark, dir)))
 
   private val shinglesCteSql: String =
     """docs AS (
@@ -74,13 +74,14 @@ object Dedup {
     ngramJaccardPairsFrom(withShingles(spark, dir), DefaultMaxShingleDf)
 
   /** Core kernel over a prepared (doc_id, shingles) frame. Shingles with
-    * df > maxDf are anti-joined out of the index before the self-join, so
-    * one hot shingle can fan out to at most maxDf² candidate pairs instead
-    * of corpus². Jaccard denominators still use the FULL shingle sets;
-    * only intersection counting sees the capped index, so pairs whose
-    * overlap is entirely hot shingles are missed — the documented recall
-    * trade of df-capping (a pair that near-duplicates in hot shingles
-    * alone is boilerplate, not duplication).
+    * df > maxDf are anti-joined out of the index before posting lists are
+    * collected, so every list is bounded by maxDf and one hot shingle can
+    * fan out to at most C(maxDf, 2) candidate pairs instead of corpus².
+    * Jaccard denominators still use the FULL shingle sets; only
+    * intersection counting sees the capped index, so pairs whose overlap
+    * is entirely hot shingles are missed — the documented recall trade of
+    * df-capping (a pair that near-duplicates in hot shingles alone is
+    * boilerplate, not duplication).
     *
     * Oracle note (shared hash-collision assumption): BOTH the df count and
     * the intersection join key are `xxhash64(shingle)` on the Spark side
@@ -91,21 +92,33 @@ object Dedup {
     * keeps the collision probability negligible below ~10⁹ distinct
     * shingles per corpus. */
   private[llm] def ngramJaccardPairsFrom(sh: DataFrame, maxDf: Int): DataFrame = {
-    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    // Shingles are hashed INSIDE the array and |shingles| rides along
+    // through the explode: the shuffled stream is (doc_id, n, hash) —
+    // fixed-width longs, no string leaves the scan stage, and no later
+    // join revisits the documents to learn set sizes.
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
+      .cache() // read twice: df head count + posting build
     // the hot set is the skewed head — tiny, and AQE broadcasts the anti-join
-    val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
-    // cached: both sides of the self-join read this subtree
-    val ex = ex0.join(hot, Seq("s"), "left_anti").cache()
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Bounded posting lists replace the index self-join: the anti-join caps
+    // every list at maxDf entries BEFORE collect_list, so no aggregation
+    // buffer can exceed the cap even on a corpus-scale hot shingle, and
+    // in-list pair expansion fans out at most C(maxDf, 2) per shingle.
+    val postings = ex.join(hot, Seq("s"), "left_anti")
+      .groupBy("s")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    // ordered in-list pairs — doc_a < doc_b by the sort on unique doc_id
+    val occ = postings.select(explode(expr(
+      """flatten(transform(ds, (a, i) ->
+        |  transform(slice(ds, i + 2, size(ds) - i - 1),
+        |            b -> named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
+    occ
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -380,9 +393,10 @@ object Dedup {
     * not re-embed rounds 1..N-1 — without this the plan doubles per round
     * and the driver ooms on optimization long before the data matters. */
   private[llm] def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    // checkpoint the DIRECTED edges first so the pair-generation subtree
+    // runs once, not once per union branch
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     var labels = sym.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("label"))
       .localCheckpoint()
