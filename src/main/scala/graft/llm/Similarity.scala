@@ -171,7 +171,9 @@ object Similarity {
   def embeddingAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
     DotProduct.register(spark)
-    val e = Tables.embeddings(spark, dir)
+    // spread: bucket codes are 8 dot products per row — a single-split
+    // scan would serialize them (identity at real scale, see Tables.spread)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
       .withColumn("ed", col("embedding").cast("array<double>"))
     val bucket = (0 until NumPlanes).map { p =>
       when(projDotExpr(planeWeights(p)) > 0, lit(1L << p)).otherwise(lit(0L))
@@ -263,7 +265,9 @@ object Similarity {
     * non-empty path with synthetic near-identical vectors. */
   def embeddingLshDedup(spark: SparkSession, dir: String): DataFrame =
     embeddingLshDedupFrom(
-      Tables.embeddings(spark, dir)
+      // spread: 8 tables × 6 planes of dot products per row serialize on a
+      // single-split scan (identity at real scale, see Tables.spread)
+      Tables.spread(Tables.embeddings(spark, dir))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("ed")))
 
   /** Core kernel over a prepared (vec_id, ed: array&lt;double&gt;) frame. */

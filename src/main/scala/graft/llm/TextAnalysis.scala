@@ -31,7 +31,9 @@ object TextAnalysis {
     * length/punct/stopword-ratio heuristics a pretraining-data quality
     * filter runs per document. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // spread: per-doc regex/hash work serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
     val nTok = size(split(trim(col("text")), "\\s+"))
     val nBpe = size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
     val nStop = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
@@ -81,7 +83,9 @@ object TextAnalysis {
     * the heuristic shape (per-language evidence counts → argmax) is the
     * distributed part and is what's exercised here. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // spread: per-doc regex/hash work serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
     def hits(re: String) = size(regexp_extract_all(lower(col("text")), lit(re), lit(0)))
     val cEn = hits("\\b(the|and|of|to|a|in|is)\\b")
     val cDe = hits("\\b(der|die|das|und|ist|nicht)\\b")
@@ -128,7 +132,9 @@ object TextAnalysis {
     * DuckDB's does not. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(spark)
-    val d = Tables.documents(spark, dir)
+    // spread: per-doc regex/hash work serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
     // normalize ONCE into a column: inlining the regexp into the per-char
     // hash would re-run it per character (O(n²) regex work per doc —
     // measured 30 s at sf0.1 vs ~1 s with the materialized column). The
@@ -158,7 +164,9 @@ object TextAnalysis {
     * shuffles only (hash, doc_id) — 48 bytes/doc at any corpus size — and
     * Spark's partial aggregation collapses duplicates map-side. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // spread: per-doc regex/hash work serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
     d.groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("text_key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
