@@ -89,28 +89,125 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         col("n_chars"))
+    globalRunningSum(spark, d, Seq(col("n_chars").desc, col("doc_id")),
+        col("n_tokens"))
+      .filter(col("cum_tokens") - col("n_tokens") < TokenBudget)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .orderBy("cum_tokens")
+  }
+
+  /** Per-source document cap for [[domainCap]] — at sf0.01 keeps 15 of
+    * each source's 25 docs. Shared with the oracle SQL. */
+  private val DomainCapN = 15
+
+  /** Per-domain cap: keep at most [[DomainCapN]] documents per source,
+    * preferring longer documents (n_chars DESC, doc_id tie-break) — the
+    * anti-domination step of corpus curation (no crawl domain may swamp
+    * the mix, boilerplate-heavy domains contribute their best pages only).
+    *
+    * Expressed as the idiomatic rank-filter so Spark 3.5+'s
+    * WindowGroupLimit kicks in: the `rank <= N` predicate is pushed below
+    * the exchange as a per-mapper partial group limit, so every map task
+    * ships at most N rows per source and the window-side sort sees
+    * N × #mappers rows per source instead of the source's full row count.
+    * That is what makes the per-source window scale-safe even when one
+    * domain is a corpus-scale hot key (the value_quantiles lesson:
+    * a bare per-group window funnels the group through one task — the
+    * pushed group limit is what bounds it here; plan-pinned in
+    * SamplingSpec). */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("source_rank", row_number().over(w))
+      .filter(col("source_rank") <= DomainCapN)
+      .orderBy("doc_id")
+  }
+
+  val domainCapSql: String =
+    s"""SELECT doc_id, source, n_chars,
+       |       row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS source_rank
+       |FROM documents
+       |QUALIFY source_rank <= $DomainCapN
+       |ORDER BY doc_id""".stripMargin
+
+  /** Context-window size (tokens) for [[packSequences]]. Shared with the
+    * oracle SQL. */
+  private val PackBudget = 512L
+
+  /** Sequence packing: stream documents in doc_id order into consecutive
+    * fixed-size context windows of [[PackBudget]] tokens — the
+    * concat-then-chunk packing step that turns a filtered corpus into
+    * dense training sequences (no padding waste). Each document reports
+    * the pack it STARTS in and its token offset inside that pack; a
+    * document straddling a boundary spills into the next window, exactly
+    * as the trainer's reader would consume it.
+    *
+    * pack_id = floor(exclusive-prefix-sum(n_tokens) / budget) — a pure
+    * function of the global running total, so the whole operator is the
+    * same two-phase distributed prefix sum as [[tokenBudgetSelect]]
+    * (range-partition on the order key, parallel local sums, config-
+    * bounded offset window broadcast back). No single-partition pass at
+    * any corpus size, and the assignment is invariant to the partition
+    * count (pinned by SamplingSpec alongside the token-budget entry). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val cum = globalRunningSum(spark, d, Seq(col("doc_id")), col("n_tokens"))
+    cum
+      .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
+      .withColumn("pack_id", (col("cum_before") / PackBudget).cast("long"))
+      .withColumn("pack_offset", col("cum_before") % PackBudget)
+      .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens,
+       |       cum_before // $PackBudget AS pack_id,
+       |       cum_before % $PackBudget AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Two-phase distributed global running sum of `value` under the total
+    * order `sortCols` (which must be tie-free): range-partition on the
+    * order, per-partition local running sums in parallel, then each
+    * partition's offset = prefix sum of the per-partition totals (a
+    * window over ≤ #partitions rows — config-bounded, not data-bounded)
+    * broadcast-joined back. The ranged frame is cached because BOTH
+    * consumers (local sums, partition totals) must see the identical
+    * partition placement. Adds `cum_tokens` = inclusive running sum. */
+  private def globalRunningSum(spark: SparkSession, d: DataFrame,
+      sortCols: Seq[Column], value: Column): DataFrame = {
     val n = spark.sessionState.conf.numShufflePartitions
-    val ranged = d.repartitionByRange(n, col("n_chars").desc, col("doc_id"))
-      .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
+    val ranged = d.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .cache()
     val localW = Window.partitionBy(col("_pid"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+      .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_lcum", sum(col("n_tokens")).over(localW))
-    // partition offsets: prefix-sum over ≤ #partitions rows (the single-
-    // partition window here is over config-bounded cardinality, not data)
+    val local = ranged.withColumn("_lcum", sum(value).over(localW))
     val offsets = ranged.groupBy("_pid")
-      .agg(sum(col("n_tokens")).as("_ptot"))
+      .agg(sum(value).as("_ptot"))
       .withColumn("_off", coalesce(
         sum(col("_ptot")).over(Window.orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_off")
     local.join(broadcast(offsets), Seq("_pid"))
       .withColumn("cum_tokens", col("_off") + col("_lcum"))
-      .filter(col("cum_tokens") - col("n_tokens") < TokenBudget)
-      .select("doc_id", "lang", "n_tokens", "cum_tokens")
-      .orderBy("cum_tokens")
+      .drop("_pid", "_lcum")
   }
 
   /** Split-version salt: bumping it reshuffles every assignment (a fresh

@@ -176,4 +176,82 @@ object TextAnalysis {
     """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_key,
       |       min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Repetition flags fire on the corpus's degenerate tail: distinct
+    * ratio below 0.35 (corpus range 0.28-1.0) or top-bigram share above
+    * 0.08 (corpus p80 ≈ 0.053). Shared with the oracle SQL. */
+  private val MinDistinctRatio = 0.35
+  private val MaxBigramShare = 0.08
+
+  /** Gopher-style repetition metrics: distinct-word ratio, top-word
+    * share, and top-adjacent-bigram share per document, plus the
+    * `is_repetitive` filter flag a pretraining quality gate applies
+    * (looping/boilerplate text shows low distinct ratio and a dominant
+    * repeated n-gram).
+    *
+    * Shape: one explode of a tagged word+bigram stream, a (doc, kind,
+    * gram) count, and a per-doc aggregate — two hash shuffles keyed by
+    * doc_id, map-side partials collapse the repeated grams, no window and
+    * no per-doc state larger than the count row. The per-doc word count
+    * rides the exploded stream so no join revisits the documents. */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc regex/hash work serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+    // kind 1 = word, kind 2 = adjacent bigram (empty when nw < 2:
+    // Spark's sequence(1, 0) counts DOWN, so it needs the guard)
+    val grams = expr(
+      """concat(
+        |  transform(ws, w -> named_struct('kind', 1, 'g', w)),
+        |  CASE WHEN size(ws) < 2 THEN array()
+        |       ELSE transform(sequence(1, size(ws) - 1),
+        |                      i -> named_struct('kind', 2, 'g', concat_ws(' ', ws[i-1], ws[i])))
+        |  END)""".stripMargin)
+    val counts = d
+      .select(col("doc_id"), col("nw"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("nw"),
+        col("g.kind").as("kind"), col("g.g").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = counts.groupBy("doc_id", "nw").agg(
+      count(when(col("kind") === 1, 1)).as("distinct_words"),
+      max(when(col("kind") === 1, col("cnt"))).as("top_word"),
+      max(when(col("kind") === 2, col("cnt"))).as("top_bigram"))
+    val distinctRatio = round(col("distinct_words").cast("double") / col("nw"), 6)
+    val bigramShare = round(
+      coalesce(col("top_bigram"), lit(0L)).cast("double")
+        / nullif(col("nw") - 1, lit(0L)), 6)
+    m.select(
+        col("doc_id"), col("nw").as("n_words"), col("distinct_words"),
+        distinctRatio.as("distinct_ratio"),
+        round(col("top_word").cast("double") / col("nw"), 6).as("top_word_share"),
+        bigramShare.as("top_bigram_share"),
+        (distinctRatio < MinDistinctRatio
+          || bigramShare > MaxBigramShare).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionMetricsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw, 1 AS kind, unnest(ws) AS gram FROM w
+       |  UNION ALL
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw, 2 AS kind,
+       |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+       |  FROM w
+       |), c AS (
+       |  SELECT doc_id, nw, kind, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT doc_id, nw AS n_words,
+       |       count(*) FILTER (kind = 1) AS distinct_words,
+       |       round(count(*) FILTER (kind = 1) * 1.0 / nw, 6) AS distinct_ratio,
+       |       round(max(cnt) FILTER (kind = 1) * 1.0 / nw, 6) AS top_word_share,
+       |       round(coalesce(max(cnt) FILTER (kind = 2), 0) * 1.0 / nullif(nw - 1, 0), 6) AS top_bigram_share,
+       |       (round(count(*) FILTER (kind = 1) * 1.0 / nw, 6) < $MinDistinctRatio
+       |        OR round(coalesce(max(cnt) FILTER (kind = 2), 0) * 1.0 / nullif(nw - 1, 0), 6) > $MaxBigramShare)
+       |         AS is_repetitive
+       |FROM c GROUP BY doc_id, nw ORDER BY doc_id""".stripMargin
 }

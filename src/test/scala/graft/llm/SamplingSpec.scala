@@ -88,4 +88,57 @@ class SamplingSpec extends SparkSpec {
       assert(got == base, s"parts=$parts differs")
     }
   }
+
+  test("domain cap keeps at most N per source, preferring longer docs") {
+    val got = Sampling.domainCap(spark, sfDir).cache()
+    val perSource = got.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) <= 15))
+    // kept docs dominate the dropped ones: for every source the shortest
+    // kept doc is at least as long as the longest dropped doc
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
+    val dropped = docs.join(got.select("doc_id"), Seq("doc_id"), "left_anti")
+    val minKept = got.groupBy("source").agg(min("n_chars").as("min_kept"))
+    val maxDrop = dropped.groupBy("source").agg(max("n_chars").as("max_drop"))
+    val bad = minKept.join(maxDrop, "source")
+      .filter(col("min_kept") < col("max_drop")).collect()
+    assert(bad.isEmpty, bad.take(3).mkString(", "))
+  }
+
+  test("domain cap pushes the rank filter below the shuffle (WindowGroupLimit)") {
+    // Spark 3.5+ turns rank<=N into a per-mapper partial group limit, so a
+    // corpus-scale hot source never funnels its full row count through one
+    // window task — the plan must carry the operator in Partial AND Final
+    // mode (losing it silently would reintroduce the hot-group funnel)
+    val plan = Sampling.domainCap(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial") && plan.contains("Final"), plan)
+  }
+
+  test("pack sequences tiles the doc_id-ordered token stream exactly") {
+    val got = Sampling.packSequences(spark, sfDir)
+      .orderBy("doc_id").collect()
+    assert(got.nonEmpty)
+    // replay the stream on the driver: each doc starts where the previous
+    // one ended, pack_id/pack_offset are that position divided by the
+    // 512-token window
+    var cum = 0L
+    got.foreach { r =>
+      val (tok, pid, off) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pid == cum / 512 && off == cum % 512, s"doc ${r.getLong(0)}: $r at cum=$cum")
+      cum += tok
+    }
+    // multiple packs actually produced, none skipped
+    val pids = got.map(_.getLong(2)).distinct.sorted
+    assert(pids.length > 1 && pids.head == 0L)
+  }
+
+  test("pack sequences is invariant to the partition count") {
+    val base = Sampling.packSequences(spark, sfDir).collect().toSet
+    for (parts <- Seq("1", "7")) {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      val got = Sampling.packSequences(s, sfDir).collect().toSet
+      assert(got == base, s"parts=$parts differs")
+    }
+  }
 }

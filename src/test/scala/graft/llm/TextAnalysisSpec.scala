@@ -37,4 +37,31 @@ class TextAnalysisSpec extends SparkSpec {
     val li = TextAnalysis.langId(spark, sfDir)
     assert(li.filter(col("lang_pred").isNull).isEmpty)
   }
+
+  test("repetition metrics: bounded ratios, full coverage, both classes") {
+    val m = TextAnalysis.repetitionMetrics(spark, sfDir).cache()
+    assert(m.count() == Tables.documents(spark, sfDir).count())
+    val bad = m.filter(
+      col("distinct_words") > col("n_words") ||
+        col("distinct_ratio") <= 0 || col("distinct_ratio") > 1 ||
+        col("top_word_share") <= 0 || col("top_word_share") > 1 ||
+        col("top_bigram_share") < 0 || col("top_bigram_share") > 1)
+    assert(bad.isEmpty, bad.take(3).mkString(", "))
+    // the thresholds split this corpus: the flag fires on a strict subset
+    val flagged = m.filter(col("is_repetitive")).count()
+    assert(flagged > 0 && flagged < m.count(), s"flagged=$flagged")
+    // a fully repeated doc scores top shares of 1; cross-check one doc
+    // against a driver-side model
+    val row = m.orderBy("doc_id").head()
+    val text = Tables.documents(spark, sfDir).orderBy("doc_id").head()
+      .getAs[String]("text")
+    val ws = text.trim.toLowerCase.split("\\s+").toSeq
+    val bi = ws.sliding(2).map(_.mkString(" ")).toSeq
+    assert(row.getLong(1) == ws.length)
+    assert(row.getLong(2) == ws.distinct.length)
+    val topW = ws.groupBy(identity).values.map(_.size).max
+    val topB = bi.groupBy(identity).values.map(_.size).max
+    assert(math.abs(row.getDouble(4) - topW.toDouble / ws.length) < 1e-6)
+    assert(math.abs(row.getDouble(5) - topB.toDouble / (ws.length - 1)) < 1e-6)
+  }
 }
