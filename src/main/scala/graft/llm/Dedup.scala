@@ -49,7 +49,7 @@ object Dedup {
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.spread(Tables.documents(spark, dir)))
 
-  private val shinglesCteSql: String =
+  private[llm] val shinglesCteSql: String =
     """docs AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
       |), sh AS (
@@ -406,18 +406,20 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
         .groupBy("u").agg(min(col("nl")).as("nmin"))
+      // carry the previous label through the round as `_old`: convergence
+      // becomes a scan-only filter on the checkpointed result instead of
+      // a per-round shuffle join of next against labels
       val prop = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"),
+        .select(col("u"), col("label").as("_old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       val next = prop
         .join(prop.select(col("u").as("label"), col("label").as("jump")),
           Seq("label"), "left")
-        .select(col("u"), coalesce(col("jump"), col("label")).as("label"))
+        .select(col("u"), col("_old"),
+          coalesce(col("jump"), col("label")).as("label"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "u")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("_old")).isEmpty
+      labels = next.select(col("u"), col("label"))
       rounds += 1
     }
     require(converged, s"connected components did not converge in $MaxCcRounds rounds")

@@ -214,7 +214,7 @@ object Sampling {
     * split epoch) without touching code; it also namespaces this split
     * from any other md5-derived key in the pipeline. Shared literal-for-
     * literal with the oracle SQL. */
-  private val SplitSalt = "split-v1"
+  private[llm] val SplitSalt = "split-v1"
 
   /** (upper-exclusive percent bound, split name), ascending. 80/10/10. */
   private[llm] val SplitBounds: Seq[(Int, String)] =
@@ -254,16 +254,22 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
-  val hashSplitSql: String = {
-    val bucketSql =
-      s"('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
-    val caseSql = SplitBounds.init
+  /** The oracle-side bucket/CASE fragments, shared with every consumer of
+    * the split (e.g. the decontamination audit) so the SQL stays
+    * literal-for-literal one definition. */
+  private[llm] val splitBucketSql: String =
+    s"('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+  private[llm] val splitCaseSql: String = {
+    val whens = SplitBounds.init
       .map { case (hi, name) => s"WHEN bucket < $hi THEN '$name'" }.mkString(" ")
-    s"""WITH b AS (SELECT doc_id, $bucketSql AS bucket FROM documents)
-       |SELECT doc_id, bucket,
-       |       CASE $caseSql ELSE '${SplitBounds.last._2}' END AS split
-       |FROM b ORDER BY doc_id""".stripMargin
+    s"CASE $whens ELSE '${SplitBounds.last._2}' END"
   }
+
+  val hashSplitSql: String =
+    s"""WITH b AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+       |SELECT doc_id, bucket,
+       |       $splitCaseSql AS split
+       |FROM b ORDER BY doc_id""".stripMargin
 
   /** Oracle: the naive single-window global prefix sum — correct at any
     * SF, single-partition at scale, which is exactly why the engine path

@@ -254,4 +254,50 @@ object TextAnalysis {
        |        OR round(coalesce(max(cnt) FILTER (kind = 2), 0) * 1.0 / nullif(nw - 1, 0), 6) > $MaxBigramShare)
        |         AS is_repetitive
        |FROM c GROUP BY doc_id, nw ORDER BY doc_id""".stripMargin
+
+  /** Result size for [[corpusTopTerms]] — shared with the oracle SQL. */
+  private val TopTermsK = 50
+
+  /** Corpus vocabulary heavy hitters: the top-K terms by total occurrence
+    * count with their document frequency and idf — the vocabulary-
+    * coverage profile a tokenizer/data-mixing audit reads before
+    * training, and the OLAP "frequent items" query in its exact form.
+    *
+    * Shape at 100 TB: the classic two-phase wordcount — explode words,
+    * hash-aggregate on term with map-side partial counts (the Zipf head
+    * collapses BEFORE the shuffle, so the hot term ships one partial row
+    * per map task, not its corpus-wide count), `count(DISTINCT doc_id)`
+    * plans as the Expand two-phase so no per-term document set ever
+    * materializes in one buffer, and the top-K is TakeOrderedAndProject —
+    * each partition keeps K rows, no global sort of the vocabulary. The
+    * corpus count for idf is a 1-row broadcast, not a driver collect.
+    * Deterministic: (tf DESC, term) is a total order, so the K-truncation
+    * is stable across partitionings and engines. */
+  def corpusTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc split/explode work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    d.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("tf"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(TopTermsK)
+  }
+
+  val corpusTopTermsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), a AS (
+       |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM t GROUP BY term
+       |)
+       |SELECT term, tf, df,
+       |       round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+       |FROM a ORDER BY tf DESC, term LIMIT $TopTermsK""".stripMargin
 }

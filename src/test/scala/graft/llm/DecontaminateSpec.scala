@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DecontaminateSpec extends SparkSpec {
+
+  /** Brute-force model on raw shingle STRINGS (no hashing): re-derive the
+    * split and trigram sets independently of the operator's hashed
+    * semi-join and compare row-for-row. */
+  private def model() = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh", array_distinct(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")))
+    val sp = Sampling.hashSplitFrom(docs, col("doc_id"))
+      .select(col("doc_id"), col("split"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("s"))
+    val bench = sp.filter(col("split") === "test").select("s").distinct()
+    sp.filter(col("split") =!= "test")
+      .join(bench, Seq("s"), "left_semi")
+      .groupBy("doc_id", "split", "n_shingles")
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("overlap",
+        round(col("n_hit").cast("double") / col("n_shingles"), 6))
+  }
+
+  test("matches the unhashed brute-force model row-for-row") {
+    val got = Decontaminate.decontaminate(spark, sfDir)
+    val want = model()
+    assert(got.count() > 0, "corpus has near-dups across the split boundary")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("flags only train/val docs and bounds the overlap ratio") {
+    val got = Decontaminate.decontaminate(spark, sfDir).cache()
+    assert(got.filter(col("split") === "test").isEmpty)
+    assert(got.filter(
+      col("n_hit") < 1 || col("n_hit") > col("n_shingles") ||
+        col("overlap") <= 0 || col("overlap") > 1).isEmpty)
+    // doc_id is the output key: one row per contaminated document
+    assert(got.select("doc_id").distinct().count() == got.count())
+    got.unpersist()
+  }
+
+  test("every flagged doc shares a shingle with some test doc (witness join)") {
+    val got = Decontaminate.decontaminate(spark, sfDir)
+    val sh = Sampling.hashSplitFrom(
+      Dedup.shinglesOf(Tables.documents(spark, sfDir)), col("doc_id"))
+      .select(col("doc_id"), col("split"), explode(col("shingles")).as("s"))
+    val test = sh.filter(col("split") === "test")
+      .select(col("s"), col("doc_id").as("test_doc"))
+    val witnesses = sh.join(test, "s")
+      .filter(col("split") =!= "test")
+      .select("doc_id").distinct()
+    assert(got.select("doc_id").except(witnesses).isEmpty)
+  }
+}

@@ -64,4 +64,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - topW.toDouble / ws.length) < 1e-6)
     assert(math.abs(row.getDouble(5) - topB.toDouble / (ws.length - 1)) < 1e-6)
   }
+
+  test("top terms: descending counts, tf/df/idf invariants, driver model") {
+    val t = TextAnalysis.corpusTopTerms(spark, sfDir).cache()
+    assert(t.count() > 0 && t.count() <= 50)
+    assert(t.filter(col("df") < 1 || col("tf") < col("df") || col("idf") < 0).isEmpty)
+    val tfs = t.orderBy(col("tf").desc, col("term")).select("tf")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tfs == tfs.sorted.reverse, "tf not non-increasing in rank order")
+    // driver-side model over the tiny sf0.001 corpus: exact tf and df of
+    // the operator's top term
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val top = t.orderBy(col("tf").desc, col("term")).head()
+    val term = top.getString(0)
+    val tf = docs.iterator.map(_._2.count(_ == term)).sum.toLong
+    val df = docs.count(_._2.contains(term)).toLong
+    assert(top.getLong(1) == tf && top.getLong(2) == df)
+    assert(math.abs(top.getDouble(3) - math.log(docs.length.toDouble / df)) < 1e-5)
+    t.unpersist()
+  }
 }
