@@ -55,6 +55,22 @@ object Quantiles {
     val ev = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
+    groupedQuantiles(ev, "event_type", "value", Qs)
+      .orderBy("event_type")
+  }
+
+  /** The two-phase distributed-selection kernel behind [[valueQuantiles]],
+    * reusable over ANY (group, value) frame (e.g. the per-language
+    * quality-gate thresholds in `TextAnalysis.qualityGate`): returns one
+    * row per group with `n` and a type-7 linearly interpolated, 6dp-
+    * rounded column per requested quantile. Unordered — callers add their
+    * presentation sort. */
+  private[graft] def groupedQuantiles(
+      input: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val spark = input.sparkSession
+    val ev = input.select(col(groupCol).as("event_type"),
+      col(valueCol).cast("double").as("value"))
     val nPart = spark.sessionState.conf.numShufflePartitions
     // Both consumers (histogram, local ranks) must see the same sampled
     // range boundaries, hence the same _pid placement. No cache: the two
@@ -81,7 +97,7 @@ object Quantiles {
       .select("_pid", "event_type", "_c", "_off", "n")
     def pos(q: Double): Column = (col("n") - lit(1L)).cast("double") * lit(q)
     // the ≤ 6 flanking target ranks per group, from the histogram alone
-    val targetRks = array_distinct(array(Qs.flatMap { case (_, q) =>
+    val targetRks = array_distinct(array(qs.flatMap { case (_, q) =>
       Seq(floor(pos(q)).cast("long") + 1, ceil(pos(q)).cast("long") + 1)
     }: _*))
     // needle slices: (partition, group) runs whose global-rank interval
@@ -101,7 +117,7 @@ object Quantiles {
       .withColumn("rk", col("_off") + col("_lrk"))
     // per-q flanking values: only ranks floor(pos)+1 / ceil(pos)+1 survive
     // into the aggregate (row_number is 1-based)
-    val flanks = Qs.flatMap { case (name, q) =>
+    val flanks = qs.flatMap { case (name, q) =>
       Seq(
         max(when(col("rk") === floor(pos(q)).cast("long") + 1, col("value")))
           .as(s"${name}_lo"),
@@ -111,14 +127,13 @@ object Quantiles {
     val agged = ranked.groupBy("event_type")
       .agg(first(col("n")).as("n"), flanks: _*)
     val posN = (col("n") - lit(1L)).cast("double")
-    val qCols = Qs.map { case (name, q) =>
+    val qCols = qs.map { case (name, q) =>
       val p = posN * lit(q)
       val frac = p - floor(p)
       round(col(s"${name}_lo") + frac * (col(s"${name}_hi") - col(s"${name}_lo")), 6)
         .as(name)
     }
-    agged.select(col("event_type") +: col("n") +: qCols: _*)
-      .orderBy("event_type")
+    agged.select(col("event_type").as(groupCol) +: col("n") +: qCols: _*)
   }
 
   val valueQuantilesSql: String =

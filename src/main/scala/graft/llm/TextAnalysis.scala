@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.analytics.Quantiles
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
   * the `documents` corpus table (beyond-reference surface; builder brief +
@@ -30,7 +31,12 @@ object TextAnalysis {
     * punctuation ratios, and a composite quality score — the
     * length/punct/stopword-ratio heuristics a pretraining-data quality
     * filter runs per document. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(spark, dir).orderBy("doc_id")
+
+  /** The unordered quality frame, shared by [[textQuality]] and
+    * [[qualityGate]] so both score documents identically. */
+  private[llm] def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
     // spread: per-doc regex/hash work serializes on a single-split scan
     // (identity at real scale, see Tables.spread)
     val d = Tables.spread(Tables.documents(spark, dir))
@@ -55,11 +61,14 @@ object TextAnalysis {
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
       round(score, 6).as("quality_score"))
-      .orderBy("doc_id")
   }
 
-  val textQualitySql: String =
-    """WITH t AS (
+  /** Oracle-side raw-count CTE and 6dp score expression, shared by
+    * [[textQualitySql]] and [[qualityGateSql]] — the score formula exists
+    * exactly once per engine. (Plain strings, not interpolators: the
+    * regexes carry backslashes.) */
+  private val qualityCteSql: String =
+    """t AS (
       |  SELECT doc_id, lang, n_chars, text,
       |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
       |         len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
@@ -67,14 +76,19 @@ object TextAnalysis {
       |         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
       |         length(regexp_replace(text, '\s+', '', 'g')) AS chars_ns
       |  FROM documents
-      |)
+      |)""".stripMargin
+  private val qualityScoreSql: String =
+    """round(least(n_tokens / 100.0, 1.0) * 0.4
+      |             + least(n_stop * 1.0 / n_tokens * 5, 1.0) * 0.4
+      |             + (1.0 - least(n_punct * 1.0 / length(text) * 10, 1.0)) * 0.2, 6)""".stripMargin
+
+  val textQualitySql: String =
+    "WITH " + qualityCteSql + """
       |SELECT doc_id, lang, n_chars, n_tokens, n_tokens_bpe,
       |       round(chars_ns * 1.0 / n_tokens, 6) AS avg_token_len,
       |       round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
       |       round(n_punct * 1.0 / length(text), 6) AS punct_ratio,
-      |       round(least(n_tokens / 100.0, 1.0) * 0.4
-      |             + least(n_stop * 1.0 / n_tokens * 5, 1.0) * 0.4
-      |             + (1.0 - least(n_punct * 1.0 / length(text) * 10, 1.0)) * 0.2, 6) AS quality_score
+      |       """.stripMargin + qualityScoreSql + """ AS quality_score
       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Language-ID n-gram/stopword heuristic: count per-language marker hits
@@ -300,4 +314,44 @@ object TextAnalysis {
        |SELECT term, tf, df,
        |       round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
        |FROM a ORDER BY tf DESC, term LIMIT $TopTermsK""".stripMargin
+
+  /** Per-language percentile quality gate: keep documents whose
+    * [[textQuality]] score is at or above their OWN language's median —
+    * the per-stratum relative filter a curation pipeline applies when
+    * absolute score thresholds don't transfer across languages (a fixed
+    * cutoff tuned on English over- or under-prunes everything else).
+    *
+    * Scale design: the per-language thresholds come from
+    * [[Quantiles.groupedQuantiles]] — the two-phase distributed-selection
+    * kernel — so NO language is ever funneled through a single task's
+    * sort (a 100 TB corpus has few languages and corpus-scale groups; a
+    * per-group window here is the exact shape the kernel exists to
+    * avoid). The thresholds frame is #languages rows, broadcast back, and
+    * the gate itself is a codegen'd filter over the scored scan. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityFrame(spark, dir)
+      .select("doc_id", "lang", "quality_score")
+    val thresholds = Quantiles
+      .groupedQuantiles(scored, "lang", "quality_score", Seq("q50" -> 0.5))
+      .select(col("lang"), col("q50").as("lang_median"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality_score") >= col("lang_median"))
+      .select("doc_id", "lang", "quality_score", "lang_median")
+      .orderBy("doc_id")
+  }
+
+  val qualityGateSql: String =
+    "WITH " + qualityCteSql + """,
+      |q AS (
+      |  SELECT doc_id, lang,
+      |         """.stripMargin + qualityScoreSql + """ AS quality_score
+      |  FROM t
+      |), th AS (
+      |  SELECT lang, round(quantile_cont(quality_score, 0.5), 6) AS lang_median
+      |  FROM q GROUP BY lang
+      |)
+      |SELECT q.doc_id, q.lang, q.quality_score, th.lang_median
+      |FROM q JOIN th ON q.lang = th.lang
+      |WHERE q.quality_score >= th.lang_median
+      |ORDER BY q.doc_id""".stripMargin
 }

@@ -84,4 +84,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(top.getDouble(3) - math.log(docs.length.toDouble / df)) < 1e-5)
     t.unpersist()
   }
+
+  test("quality gate keeps exactly the docs at/above their language median") {
+    val gate = TextAnalysis.qualityGate(spark, sfDir).cache()
+    val scored = TextAnalysis.textQuality(spark, sfDir)
+      .select("doc_id", "lang", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // driver model: type-7 median per language over the same 6dp scores
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      // HALF_UP to match Spark's round(col, 6) exactly at .5 boundaries
+      BigDecimal(lo + (pos - math.floor(pos)) * (hi - lo))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val med = scored.groupBy(_._2).map { case (l, xs) => l -> median(xs.map(_._3).toSeq) }
+    val wantKeep = scored.filter { case (_, l, s) => s >= med(l) }.map(_._1).toSet
+    val gotKeep = gate.collect().map(_.getLong(0)).toSet
+    assert(gotKeep == wantKeep)
+    // the reported threshold is the model median for every language
+    gate.select("lang", "lang_median").distinct().collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - med(r.getString(0))) < 1e-9, r.getString(0))
+    }
+    gate.unpersist()
+  }
 }
