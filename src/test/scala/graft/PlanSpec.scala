@@ -85,6 +85,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("decontaminate: the benchmark check joins semi — no pair expansion") {
+    // a semi-join emits each train posting at most once, so a hot
+    // boilerplate n-gram cannot fan out quadratically (unlike the
+    // inverted-index pair join, which needs the df cap for that)
+    val plan = planString(graft.llm.Decontaminate.decontaminate(spark, sfDir))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("top terms: map-side partial counts and a true top-k, no global sort") {
+    val plan = planString(graft.llm.TextAnalysis.corpusTopTerms(spark, sfDir))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("quality gate: thresholds broadcast back; no data-sized group window") {
+    val df = graft.llm.TextAnalysis.qualityGate(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // kernel reuse contract (same audit as QuantilesSpec): every window
+    // keys on the range-partition id or sits above the histogram Aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val onPid = w.partitionSpec.exists(_.references.exists(_.name == "_pid"))
+      val aboveAgg = w.child.collectFirst { case a: Aggregate => a }.isDefined
+      assert(onPid || aboveAgg,
+        s"data-sized window partitioned by ${w.partitionSpec.mkString(", ")}")
+    }
+  }
+
   test("rollup: the whole hierarchy runs as ONE Expand pass, no nested loops") {
     val plan = planString(graft.analytics.Quantiles.rollupRevenue(spark, sfDir))
     assert(plan.contains("Expand"), plan.take(2000))
