@@ -436,7 +436,13 @@ object Dedup {
     * document is the canonical survivor. Documents with no near-dup are not
     * emitted — at corpus scale the clustered set is tiny relative to the
     * corpus, and the anti-join against it is the caller's drop step. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersFrame(spark, dir).orderBy("doc_id")
+
+  /** Unordered cluster labels, shared by [[dedupClusters]] and
+    * [[dedupApply]] (the apply consumer feeds a join — a presentation
+    * sort under it would be wasted work). */
+  private[llm] def dedupClustersFrame(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccardPairsFrom(withShingles(spark, dir), DefaultMaxShingleDf)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val comp = connectedComponents(pairs)
@@ -445,6 +451,25 @@ object Dedup {
     comp.join(sizes, "component")
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),
         col("cluster_size"), (col("node") === col("component")).as("is_canonical"))
+  }
+
+  /** The drop step that finishes the dedup pipeline: the corpus with
+    * every non-canonical clustered document removed — one row per
+    * surviving document. Pairs say who is similar, clusters say who
+    * survives, and THIS is the frame a training job actually reads.
+    *
+    * Scale shape: the drop list is only the clustered non-canonical
+    * documents — near-dup clusters are a small fraction of any corpus —
+    * so the anti-join broadcasts under AQE and the corpus side streams
+    * map-only, never shuffling a document row. At 100 TB the cluster
+    * table is persisted once (the `ivf_index_search` lifecycle pattern)
+    * and every downstream reader pays just this map-side anti-join. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val drops = dedupClustersFrame(spark, dir)
+      .filter(!col("is_canonical")).select("doc_id")
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
 
@@ -469,6 +494,25 @@ object Dedup {
        |       c.doc_id = c.cluster_id AS is_canonical
        |FROM comp c JOIN sized s USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Oracle: same recursive-closure labels; keep documents that are not a
+    * non-canonical member of any cluster. */
+  val dedupApplySql: String =
+    s"""WITH RECURSIVE $shinglesCteSql, $jaccardPairsCteSql, edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+       |)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val simhashDedupSql: String =
     s"""WITH $shinglesCteSql, hs AS (

@@ -97,6 +97,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup apply keeps canonicals and unclustered docs, drops the rest") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id").cache()
+    val clusters = Dedup.dedupClusters(spark, sfDir).cache()
+    val kept = Dedup.dedupApply(spark, sfDir).cache()
+    val total = docs.count()
+    val clustered = clusters.count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    // exactly one survivor per cluster; everything unclustered survives
+    assert(kept.count() == total - (clustered - nClusters))
+    // no kept doc is a non-canonical cluster member
+    assert(kept.join(clusters.filter(!col("is_canonical")), "doc_id").isEmpty)
+    // every canonical is kept
+    assert(clusters.filter(col("is_canonical")).select("doc_id")
+      .except(kept.select("doc_id")).isEmpty)
+    Seq(docs, clusters, kept).foreach(_.unpersist())
+  }
+
   test("levenshtein dedup finds single-end and middle edits, skips far pairs") {
     import spark.implicits._
     val base = ("alpha beta gamma delta epsilon zeta eta theta " * 2).trim
