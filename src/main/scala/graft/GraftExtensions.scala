@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, PolyHash}
+import graft.functions.{CosineSimilarity, DotProduct, MisraGries, PolyHash}
 
 /** Library entry point for `spark.sql.extensions` — registers graft's
   * native Catalyst expressions on every session built with
@@ -49,5 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "poly_hash expects 1 argument")
         PolyHash(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(col, k) - mergeable Misra-Gries heavy-hitters sketch (term -> estimate map)"),
+      MisraGries.builder))
   }
 }

@@ -315,6 +315,53 @@ object TextAnalysis {
        |       round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
        |FROM a ORDER BY tf DESC, term LIMIT $TopTermsK""".stripMargin
 
+  /** Sketch size for [[heavyHittersCheck]] — shared with the oracle SQL.
+    * Sits just under this corpus's vocabulary so the summary is near-exact
+    * here while the decrement/merge machinery is property-tested on
+    * synthetic skew in MisraGriesSpec. */
+  private val HeavyK = 32
+
+  /** Accuracy contract for the native [[graft.functions.MisraGries]]
+    * mergeable heavy-hitters sketch, same pattern as
+    * `approx_distinct_check`: for every term the THEOREM says must be
+    * caught (true count > n/k), emit the engine-measured verdicts —
+    * present in the sketch, and estimate within the undercount bound
+    * (est ≤ tf, tf − est ≤ n/k). The oracle emits the contract's expected
+    * `true`s from exact counts (DuckDB has no frequent-items sketch), so
+    * a sketch that breaks its bound hash-mismatches; the term set, exact
+    * counts, and n are fully cross-engine-checked. At 100 TB the sketch
+    * is the fixed-memory frequent-items path: map tasks fold partitions
+    * into k-counter summaries and the shuffle ships summaries, never the
+    * term stream. */
+  def heavyHittersCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MisraGries.register(spark)
+    // spread: per-doc split/explode work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val ex = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val sk = ex.agg(expr(s"misra_gries(term, $HeavyK)").as("sketch"),
+      count(lit(1)).as("n"))
+    val est = coalesce(element_at(col("sketch"), col("term")), lit(0L))
+    ex.groupBy("term").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(sk))
+      .filter(col("tf") * HeavyK > col("n")) // tf > n/k, exact in integers
+      .select(col("term"), col("tf"), col("n"),
+        element_at(col("sketch"), col("term")).isNotNull.as("in_sketch"),
+        (est <= col("tf") && (col("tf") - est) * HeavyK <= col("n"))
+          .as("err_within_bound"))
+      .orderBy("term")
+  }
+
+  val heavyHittersCheckSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), a AS (
+       |  SELECT term, count(*) AS tf FROM t GROUP BY term
+       |), s AS (SELECT count(*) AS n FROM t)
+       |SELECT term, tf, n, true AS in_sketch, true AS err_within_bound
+       |FROM a, s WHERE tf * $HeavyK > n ORDER BY term""".stripMargin
+
   /** Per-language percentile quality gate: keep documents whose
     * [[textQuality]] score is at or above their OWN language's median —
     * the per-stratum relative filter a curation pipeline applies when

@@ -38,6 +38,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(1) == 11.0)
       // 'a'=97, 'b'=98: (0*31+97)*31+98 = 3105
       assert(r.getLong(2) == 3105L)
+      // the native aggregate resolves and aggregates through the same route
+      val mg = s.sql(
+        """SELECT misra_gries(t, 4) AS m
+          |FROM VALUES ('a'), ('a'), ('b') AS v(t)""".stripMargin)
+        .head().getMap[String, Long](0).toMap
+      assert(mg == Map("a" -> 2L, "b" -> 1L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MisraGriesSpec extends SparkSpec {
+
+  /** Zipf-ish synthetic stream: term i appears ~N/i times — real skew, so
+    * small-k sketches genuinely decrement and merges genuinely truncate. */
+  private def stream(n: Int): Seq[String] =
+    (1 to n).flatMap(i => Seq.fill(math.max(1, n / i / 10))(s"t$i"))
+
+  private def sketch(xs: Seq[String], k: Int, parts: Int): Map[String, Long] = {
+    import spark.implicits._
+    MisraGries.register(spark)
+    xs.toDF("term").repartition(parts)
+      .agg(expr(s"misra_gries(term, $k)").as("m"))
+      .head().getMap[String, Long](0).toMap
+  }
+
+  test("MG guarantees hold for every k and partitioning on skewed data") {
+    val xs = stream(200)
+    val exact = xs.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val n = xs.size.toLong
+    for (k <- Seq(2, 4, 8); parts <- Seq(1, 3, 8)) {
+      val mg = sketch(xs, k, parts)
+      assert(mg.size <= k, s"k=$k parts=$parts size=${mg.size}")
+      mg.foreach { case (t, est) =>
+        val tf = exact.getOrElse(t, 0L)
+        // undercount only, bounded error (mergeable-summaries bound n/(k+1))
+        assert(est >= 1 && est <= tf, s"k=$k parts=$parts $t est=$est tf=$tf")
+        assert(tf - est <= n / (k + 1) + 1, s"k=$k parts=$parts $t")
+      }
+      // presence: every true heavy hitter (tf > n/(k+1)) is in the summary
+      exact.foreach { case (t, tf) =>
+        if (tf > n / (k + 1))
+          assert(mg.contains(t), s"k=$k parts=$parts heavy $t (tf=$tf) missing")
+      }
+    }
+  }
+
+  test("sketch of k >= vocabulary is the exact wordcount") {
+    val xs = Seq("a", "b", "a", "c", "a", "b")
+    val mg = sketch(xs, 10, 2)
+    assert(mg == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("null terms are ignored, not counted") {
+    import spark.implicits._
+    MisraGries.register(spark)
+    val mg = Seq(Some("a"), None, Some("a"), None)
+      .toDF("term")
+      .agg(expr("misra_gries(term, 4)").as("m"))
+      .head().getMap[String, Long](0).toMap
+    assert(mg == Map("a" -> 2L))
+  }
+
+  test("corpus contract entry: every theorem-qualified term passes both checks") {
+    val hh = graft.llm.TextAnalysis.heavyHittersCheck(spark, sfDir).cache()
+    assert(hh.count() > 0, "expected qualifying heavy terms in the corpus")
+    assert(hh.filter(!col("in_sketch") || !col("err_within_bound")).isEmpty)
+    hh.unpersist()
+  }
+}
