@@ -258,6 +258,47 @@ object EventsStream {
       clicks.withWatermark("c_ts", "1 hour"),
       purchases.withWatermark("p_ts", "1 hour"))
 
+  /** Stream-static enrichment — the streaming twin of fact building:
+    * each event picks up its customer's market segment and nation. The
+    * shared transform keeps the static sides un-hinted: `customer` is a
+    * scaling table (PlanSpec forbids broadcast hints on those — at 100 TB
+    * the stream-static equi-join shuffles per micro-batch and AQE may
+    * still broadcast at small SF), while `nation` is a true dimension and
+    * broadcasts explicitly. Stream-static inner equi-joins are STATELESS
+    * in Structured Streaming — no watermark needed, each micro-batch
+    * joins against the (re-readable) static relation and emits — which is
+    * why enrichment belongs in the stream, not in a later batch repair
+    * pass. */
+  def enrichTransform(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("event_type"))
+      .join(customer.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), col("c_nationkey")),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("event_id", "user_id", "event_type", "segment", "nation")
+
+  /** Batch entry (registered, oracle-gated). */
+  def enrichedEvents(spark: SparkSession, dir: String): DataFrame =
+    enrichTransform(Tables.events(spark, dir), Tables.customer(spark, dir),
+      Tables.nation(spark, dir)).orderBy("event_id")
+
+  val enrichedEventsSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |       c.c_mktsegment AS segment, n.n_name AS nation
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |ORDER BY e.event_id""".stripMargin
+
+  /** The streaming twin: identical transform over a readStream source;
+    * MemoryStream-tested against the batch transform. */
+  def streamingEnrich(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    enrichTransform(events, customer, nation)
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Int)

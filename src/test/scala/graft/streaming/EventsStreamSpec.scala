@@ -113,6 +113,30 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment over a MemoryStream matches the batch transform") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val customer = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val source = MemoryStream[(Long, Long, String)]
+    val df = source.toDF().toDF("event_id", "user_id", "event_type")
+    val query = EventsStream.streamingEnrich(df, customer, nation)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, 0L, "click"), (2L, 5L, "view"), (3L, 999999L, "click"))
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      val emitted = spark.table("enrich_test").collect().toSet
+      val expected = EventsStream.enrichTransform(
+        rows.toDF("event_id", "user_id", "event_type"), customer, nation)
+        .collect().toSet
+      assert(emitted == expected)
+      // the unknown user is dropped by the inner join, known users enriched
+      assert(emitted.map(_.getLong(0)) == Set(1L, 2L))
+    } finally query.stop()
+  }
+
   test("batch attribution joins hash-partitioned on user_id, never a nested loop") {
     val df = EventsStream.clickAttribution(spark, sfDir)
     df.collect() // finalize AQE
