@@ -93,4 +93,48 @@ object Merge {
       |FROM customer t FULL OUTER JOIN changes c ON t.c_custkey = c.key
       |WHERE c.key IS NULL OR c.op = 'U'
       |ORDER BY c_custkey""".stripMargin
+
+  /** Delta bucket (orderkey mod [[DeltaMod]] == 0 is "late-arriving") —
+    * ~10% of orders; shared with the oracle SQL. */
+  private val DeltaMod = 10
+
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * every nightly warehouse runs: a base aggregate (daily order count +
+    * revenue) already exists, a late-arriving delta batch lands, and the
+    * new state is base ⊎ agg(delta) re-aggregated BY KEY — never a full
+    * recompute. Here the orders table is split deterministically
+    * (orderkey mod 10) into base and delta so the merged result is
+    * exactly the full aggregate, which is what the oracle computes
+    * directly — the equality IS the correctness proof of the merge.
+    *
+    * Scale shape: count and a decimal sum are MERGEABLE partials, so the
+    * refresh cost is agg(delta) (one shuffle over the delta only) plus a
+    * key-wise union-aggregate with the base table — at 100 TB the base
+    * aggregate is date-cardinality rows (small) and the 100 TB of
+    * historical orders is NEVER rescanned. Averages ride as sum+count
+    * pairs; only non-algebraic aggregates (exact distinct, exact median)
+    * need the sketch/two-phase paths the registry carries separately. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderdate").as("order_date"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      (col("o_orderkey") % DeltaMod === 0).as("is_delta"))
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("order_date").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("price")).as("revenue"))
+    val base = agg(o.filter(!col("is_delta")))
+    val delta = agg(o.filter(col("is_delta")))
+    base.unionByName(delta)
+      .groupBy("order_date")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("revenue")).cast("decimal(18,2)").as("revenue"))
+      .orderBy("order_date")
+  }
+
+  /** Oracle: the full recompute the incremental path must equal. */
+  val incrementalAggSql: String =
+    """SELECT o_orderdate AS order_date, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY order_date""".stripMargin
 }

@@ -51,4 +51,19 @@ class MergeSpec extends SparkSpec {
       .filter(col("c_acctbal") =!= col("o_totalprice"))
     assert(sample.isEmpty)
   }
+
+  test("incremental aggregate merge equals the full recompute exactly") {
+    val inc = Merge.incrementalAgg(spark, sfDir)
+    val full = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("order_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("revenue"))
+    assert(inc.count() == full.count())
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+    // the delta split is real: both sides of the partition are non-empty
+    val o = graft.Tables.orders(spark, sfDir)
+    val d = o.filter(col("o_orderkey") % 10 === 0).count()
+    assert(d > 0 && d < o.count())
+  }
 }
