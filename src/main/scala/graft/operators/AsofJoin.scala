@@ -80,6 +80,61 @@ object AsofJoin {
       .select(lCols.map(col) :+ col("_asof"): _*)
   }
 
+  /** Forward as-of with tolerance — the other half of the pandas
+    * `merge_asof` surface (direction='forward', tolerance=...): for every
+    * left row, the EARLIEST right row of the same key at-or-after
+    * (inclusive) / strictly after (strict) left.ts, and only if it lands
+    * within `toleranceUs` microseconds; null otherwise. Mirror of
+    * [[asOf]]: same union, the window just traverses ts DESCENDING so the
+    * running `last` is the nearest FUTURE right row — still one shuffle,
+    * O(1) running state, no non-equi join. The tolerance is a post-hoc
+    * null-out (the nearest candidate is the only one that could qualify),
+    * so it costs a codegen'd comparison, not a join predicate. Right-side
+    * ties at equal ts resolve to the LOWEST tie value (oracle parity with
+    * `ORDER BY r.ts ASC, r.tie ASC ... rn = 1`).
+    *
+    * `within(leftTs, rightTs)` is the tolerance predicate (type-generic:
+    * timestamps compare via unix_micros, numeric event-times directly);
+    * `(_, _) => lit(true)` means unbounded forward. */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      tie: Column,
+      payload: Column,
+      strict: Boolean,
+      within: (Column, Column) => Column): DataFrame = {
+    val reserved = Set("_side", "_tie", "_rp", "_asof", "_near")
+    val clash = left.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"asOfForward reserves column names ${reserved.mkString(", ")}; " +
+        s"left frame carries ${clash.mkString(", ")} — rename before joining")
+    // DESC traversal: inclusive → right(0) still sorts before left(1)
+    // within an equal-ts group; strict → after
+    val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
+    val lCols = left.columns
+    val l = left.withColumn("_side", lit(leftSide))
+      .withColumn("_tie", lit(null).cast("long"))
+    // the right ts rides inside _rp so the tolerance check reads the
+    // matched row's own timestamp atomically with its payload
+    val r = right.select(
+      col(key), col(ts), lit(rightSide).as("_side"),
+      tie.cast("long").as("_tie"),
+      struct(payload.as("p"), col(ts).as("t")).as("_rp"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("_side").asc, col("_tie").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_near", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === leftSide && col("_rp").isNull)
+      .withColumn("_asof",
+        when(col("_near").isNotNull && within(col(ts), col("_near.t")),
+          col("_near.p")))
+      .select(lCols.map(col) :+ col("_asof"): _*)
+  }
+
   /** Registered entry: for every event, the same user's most recent
     * STRICTLY prior 'error' event (self as-of join on the events table —
     * right-side timestamps interleave with the left's, unlike the
@@ -104,6 +159,48 @@ object AsofJoin {
         col("_asof.err_value").as("prior_error_value"))
       .orderBy("event_id")
   }
+
+  /** Tolerance for [[asofJoinForward]] (2 hours in µs) — shared with the
+    * oracle SQL. */
+  private val ForwardTolUs = 2L * 3600 * 1000000
+
+  /** Registered entry: for every event, the same user's NEXT 'purchase'
+    * event within 2 hours (strict forward + tolerance — the "did an
+    * action convert" lookup, the mirror of click attribution phrased as
+    * an as-of). */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    asOfForward(
+      left, purchases,
+      key = "user_id", ts = "ts",
+      tie = col("p_id"),
+      payload = struct(col("p_id"), col("p_value")),
+      strict = true,
+      within = (l, r) => unix_micros(r) - unix_micros(l) <= ForwardTolUs)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("_asof.p_id").as("next_purchase_id"),
+        col("_asof.p_value").as("next_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT event_id, user_id, ts, next_purchase_id, next_purchase_value FROM (
+      |  SELECT l.event_id, l.user_id, l.ts,
+      |         r.event_id AS next_purchase_id,
+      |         r.value AS next_purchase_value,
+      |         ROW_NUMBER() OVER (PARTITION BY l.event_id
+      |           ORDER BY r.ts ASC, r.event_id ASC) AS rn
+      |  FROM events l
+      |  LEFT JOIN events r
+      |    ON r.user_id = l.user_id AND r.event_type = 'purchase'
+      |   AND CAST(r.ts AS TIMESTAMP) > CAST(l.ts AS TIMESTAMP)
+      |   AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 2 HOUR
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
 
   /** Oracle: the naive formulation — non-equi left join + per-left-row
     * top-1 with the SAME tie-break (ts DESC, err_id DESC). Quadratic per

@@ -61,6 +61,54 @@ class AsofJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("_asof"))
   }
 
+  private def runFwd(strict: Boolean, tol: Long) =
+    AsofJoin.asOfForward(left, right, key = "k", ts = "ts",
+      tie = col("tie"), payload = struct(col("tie"), col("v")), strict = strict,
+      within = (l, r) => r - l <= tol)
+      .select(col("id"), col("_asof.v").as("v"))
+      .as[(Long, String)].collect().toMap
+
+  test("forward: nearest future row, strict vs inclusive at equal ts") {
+    val strict = runFwd(strict = true, tol = 100L)
+    // id=1 (a,10): strict forward skips the ts=10 rights -> ts=25 row
+    assert(strict(1L) == "r25")
+    assert(strict(3L) == null) // (a,30): nothing after
+    assert(strict(5L) == null) // (c,10): only right is AT ts, strict skips
+    val incl = runFwd(strict = false, tol = 100L)
+    // inclusive at equal ts: ties resolve to the LOWEST tie value
+    assert(incl(1L) == "r10-lo")
+    assert(incl(5L) == "rc10")
+  }
+
+  test("forward: tolerance nulls out a match that is too far ahead") {
+    val tight = runFwd(strict = true, tol = 5L)
+    // (a,10) -> nearest future is ts=25, 15 ticks ahead: outside tol=5
+    assert(tight(1L) == null)
+    // (a,20) -> ts=25 is 5 ticks ahead: exactly at tol, kept
+    assert(tight(2L) == "r25")
+  }
+
+  test("registered forward entry matches the naive non-equi formulation (sf0.001)") {
+    val got = AsofJoin.asofJoinForward(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_uid"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("r_ts").asc_nulls_last, col("r_id").asc_nulls_last)
+    val naive = l.join(r,
+        col("r_uid") === col("user_id") && col("r_ts") > col("ts") &&
+          unix_micros(col("r_ts")) - unix_micros(col("ts")) <= 2L * 3600 * 1000000,
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("r_id").as("next_purchase_id"), col("r_value").as("next_purchase_value"))
+    assert(got.count() == l.count())
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+  }
+
   test("registered entry matches the naive non-equi formulation (sf0.001)") {
     val got = AsofJoin.asofJoin(spark, sfDir)
     // naive twin of the oracle SQL, in Spark: non-equi left join + top-1
