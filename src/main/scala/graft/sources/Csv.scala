@@ -79,4 +79,34 @@ object Csv {
       |       CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS acctbal_sum
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY nation""".stripMargin
+
+  /** ORC source/sink path — the third columnar-capable format the source
+    * family covers (CSV row-text, JSONL semi-structured, ORC columnar).
+    * ORC is the interchange format a warehouse migration actually meets
+    * (Hive/Trino estates), and unlike the text formats it keeps types,
+    * predicate-pushdown stats, and compression — so the roundtrip proves
+    * the engine can sit on an ORC lake without a parquet conversion pass.
+    * Same discipline as the siblings: materialize part once, read back
+    * (ORC carries its schema — no inference scan to avoid), filtered
+    * aggregate per brand. The filter reaches the ORC reader as a pushed
+    * predicate the same way parquet scans get PushedFilters. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = "target/orc_stage/part"
+    Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_type", "p_retailprice")
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .filter(col("p_retailprice") > 905d)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("price_sum"))
+      .orderBy("brand")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT p_brand AS brand, count(*) AS n_parts,
+      |       CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price_sum
+      |FROM part WHERE p_retailprice > 905
+      |GROUP BY 1 ORDER BY brand""".stripMargin
 }
