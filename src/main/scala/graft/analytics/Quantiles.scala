@@ -144,6 +144,45 @@ object Quantiles {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Winsorization (outlier clipping) at per-group percentile fences —
+    * the robust-statistics cleaning step a profiling pass applies before
+    * aggregates an outlier can poison (means, stddevs, regressions):
+    * every event value is clamped into its OWN event-type's [p01, p99]
+    * band. Third consumer of [[groupedQuantiles]]: the fences come from
+    * the two-phase kernel (never a per-group single-task sort), the
+    * fence table is #groups rows broadcast back, and the clamp itself is
+    * a codegen'd `least/greatest` over the scan — the whole operator
+    * adds ONE small broadcast to the cost of reading the data. */
+  def winsorizedValues(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val fences = groupedQuantiles(ev, "event_type", "value",
+      Seq("p01" -> 0.01, "p99" -> 0.99))
+      .select(col("event_type"), col("p01"), col("p99"))
+    ev.join(broadcast(fences), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(greatest(col("p01"), least(col("p99"), col("value"))), 6)
+          .as("value_clipped"),
+        (col("value") < col("p01") || col("value") > col("p99"))
+          .as("was_outlier"))
+      .orderBy("event_id")
+  }
+
+  val winsorizedValuesSql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |         round(quantile_cont(value, 0.01), 6) AS p01,
+      |         round(quantile_cont(value, 0.99), 6) AS p99
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+      |)
+      |SELECT event_id, e.event_type, value,
+      |       round(greatest(p01, least(p99, value)), 6) AS value_clipped,
+      |       (value < p01 OR value > p99) AS was_outlier
+      |FROM events e JOIN f ON e.event_type = f.event_type
+      |WHERE value IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   /** Exact distinct cardinality per group (COUNT(DISTINCT user_id) by
     * event_type) — the other distribution-profiling aggregate. Spark
     * plans it as the two-phase Expand: partial distinct on (group, user)

@@ -36,6 +36,30 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clamps exactly into the per-group percentile band") {
+    val w = Quantiles.winsorizedValues(spark, sfDir).cache()
+    // recompute fences with Spark's buffering percentile (same type-7
+    // interpolation), rounded like the kernel
+    val fences = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.01)"), 6).as("p01"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+    val j = w.join(fences, "event_type").cache()
+    // clipped value sits inside the band; outlier flag matches the band test
+    assert(j.filter(col("value_clipped") < col("p01") ||
+      col("value_clipped") > col("p99")).isEmpty)
+    assert(j.filter(col("was_outlier") =!=
+      (col("value") < col("p01") || col("value") > col("p99"))).isEmpty)
+    // outliers exist (two 1% tails) but stay a small minority
+    val n = j.count()
+    val out = j.filter(col("was_outlier")).count()
+    assert(out > 0 && out < n / 10, s"outliers=$out of $n")
+    // non-outliers keep their value (up to the 6dp rounding)
+    assert(j.filter(!col("was_outlier") &&
+      abs(col("value_clipped") - col("value")) > 5e-7).isEmpty)
+    Seq(w, j).foreach(_.unpersist())
+  }
+
   test("quantiles are invariant to the partition count") {
     // rank = offset + local rank must reassemble the same global ranking
     // for ANY range boundary placement (ties carry equal values)
