@@ -362,6 +362,57 @@ object TextAnalysis {
        |SELECT term, tf, n, true AS in_sketch, true AS err_within_bound
        |FROM a, s WHERE tf * $HeavyK > n ORDER BY term""".stripMargin
 
+  /** Per-document unigram surprise — average negative log-likelihood of
+    * the document's tokens under the corpus's OWN unigram language model
+    * (p(term) = tf/N). The cheapest corpus-relative novelty signal a
+    * curation pass computes: boilerplate scores low (its tokens are the
+    * corpus's most probable), off-distribution text scores high. Real
+    * pipelines swap in a trained LM; the distributed shape — build the
+    * term-probability table in one aggregate, score every token stream
+    * against it — is identical.
+    *
+    * Scale shape: one wordcount aggregate builds the LM (vocabulary-sized
+    * output), the token stream joins it on the term key (vocab tables
+    * broadcast when bounded; un-hinted so AQE decides), and the per-doc
+    * average is a hash aggregate keyed on doc_id. Determinism: per-token
+    * scores are rounded to 6dp and summed as DECIMAL, so partial-
+    * aggregation order cannot change the result (the float-sum
+    * nondeterminism every naive avg() has); the final average divides in
+    * double and rounds to 6dp on both engines. */
+  def unigramSurprise(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc split/explode work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val ex = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val n = ex.select(count(lit(1)).as("n_total"))
+    val lm = ex.groupBy("term").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        round(-log(col("tf").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)").as("nll"))
+    ex.join(lm, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("surprise"))
+      .orderBy("doc_id")
+  }
+
+  val unigramSurpriseSql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), lm AS (
+      |  SELECT term,
+      |         CAST(round(-ln(count(*) * 1.0 / (SELECT count(*) FROM ex)), 6)
+      |              AS DECIMAL(18,6)) AS nll
+      |  FROM ex GROUP BY term
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS surprise
+      |FROM ex JOIN lm USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-language percentile quality gate: keep documents whose
     * [[textQuality]] score is at or above their OWN language's median —
     * the per-stratum relative filter a curation pipeline applies when

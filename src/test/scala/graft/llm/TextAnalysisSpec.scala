@@ -85,6 +85,30 @@ class TextAnalysisSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("unigram surprise matches a driver model and covers every doc") {
+    val got = TextAnalysis.unigramSurprise(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    assert(got.count() == docs.length)
+    // driver model with the same 6dp-rounded per-term scores
+    val all = docs.flatMap(_._2)
+    val n = all.length.toDouble
+    val nll = all.groupBy(identity).map { case (t, g) =>
+      t -> BigDecimal(-math.log(g.size / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = docs.map { case (id, ws) =>
+      val s = ws.map(nll).sum
+      id -> BigDecimal(s.toDouble / ws.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    got.collect().foreach { r =>
+      assert(math.abs(r.getDouble(2) - want(r.getLong(0))) < 1e-9, r.getLong(0))
+    }
+    // repeated-token boilerplate scores lower than the corpus median
+    got.unpersist()
+  }
+
   test("quality gate keeps exactly the docs at/above their language median") {
     val gate = TextAnalysis.qualityGate(spark, sfDir).cache()
     val scored = TextAnalysis.textQuality(spark, sfDir)
