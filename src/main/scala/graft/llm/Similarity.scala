@@ -682,4 +682,46 @@ object Similarity {
       |       list_min(codes) AS code_min, list_max(codes) AS code_max,
       |       CAST(list_sum(codes) AS BIGINT) AS code_sum
       |FROM q ORDER BY vec_id""".stripMargin
+
+  /** Per-label embedding centroids, one row per (label, dimension) — the
+    * drift-monitoring / cluster-seeding aggregate an embedding store
+    * maintains: compare today's centroids to last week's and a shifted
+    * encoder or corpus shows up as centroid movement long before any
+    * downstream metric does.
+    *
+    * Scale shape: posexplode to (label, dim, value) and ONE hash
+    * aggregate keyed on (label, dim) — partial sums collapse map-side,
+    * state is #labels × dims counters, and no task ever materializes a
+    * group's vectors. Determinism: per-component values are rounded to
+    * 6dp and summed as DECIMAL (same discipline as `unigram_surprise`),
+    * so partial-aggregation order cannot change a centroid; the mean
+    * divides in double and rounds to 6dp on both engines. Emitting
+    * dimension ROWS (not a reassembled array) keeps the result a plain
+    * aggregate — the consumer pivots to vectors if it wants them. */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-row vector explode serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    val ex = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("v").cast("double"), 6).cast("decimal(18,6)").as("val"))
+    ex.groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("val")).cast("double") / count(lit(1)), 6).as("mean"))
+      .orderBy("label", "pos")
+  }
+
+  val embeddingCentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT label, unnest(range(0, len(embedding))) AS pos, embedding AS emb
+      |  FROM embeddings
+      |), v AS (
+      |  SELECT label, pos,
+      |         CAST(round(CAST(emb[CAST(pos AS INT) + 1] AS DOUBLE), 6)
+      |              AS DECIMAL(18,6)) AS val
+      |  FROM ex
+      |)
+      |SELECT label, pos, count(*) AS n_vecs,
+      |       round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean
+      |FROM v GROUP BY label, pos ORDER BY label, pos""".stripMargin
 }

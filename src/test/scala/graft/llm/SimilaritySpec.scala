@@ -266,4 +266,29 @@ class SimilaritySpec extends SparkSpec {
     assert(!finalPlan.contains("Exchange hashpartitioning(bucket"),
       s"bucket self-join must read co-located buckets, not reshuffle:\n${finalPlan.take(3000)}")
   }
+
+  test("embedding centroids match a driver model on every (label, dim)") {
+    val got = Similarity.embeddingCentroids(spark, sfDir).cache()
+    val vecs = Tables.embeddings(spark, sfDir).select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val dims = vecs.head._2.length
+    val labels = vecs.map(_._1).distinct.length
+    assert(got.count() == labels.toLong * dims)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = vecs.groupBy(_._1).flatMap { case (l, g) =>
+      (0 until dims).map { d =>
+        // same discipline as the operator: round each component to 6dp
+        // (exact decimals), sum exactly, then round the mean
+        val comps = g.map(v => BigDecimal(r6(v._2(d).toDouble)))
+        // mirror the operator: exact decimal sum, then DOUBLE division
+        (l, d.toLong) -> r6(comps.sum.toDouble / g.length)
+      }
+    }
+    got.collect().foreach { r =>
+      val k = (r.getInt(0), r.getLong(1))
+      assert(math.abs(r.getDouble(3) - want(k)) < 1e-9, s"$k")
+    }
+    got.unpersist()
+  }
 }
