@@ -254,6 +254,48 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Per-source data-mixing report — the dashboard every corpus assembly
+    * job emits before training: document and token counts per crawl
+    * source, its token share of the corpus, and language spread. The
+    * report is what the mixing weights (see [[stratifiedSample]]) and
+    * domain caps (see [[domainCap]]) are tuned against.
+    *
+    * Scale shape: one hash aggregate keyed on source (map-side partials;
+    * all-integer sums, so no float-order concern), plus a 1-row broadcast
+    * of the corpus total for the share — the whole report costs one
+    * shuffle of per-source counter rows at any corpus size. */
+  def sourceMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val agg = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"))
+    val total = agg.select(sum(col("n_tokens")).as("total_tokens"))
+    agg.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+          .as("token_share"))
+      .orderBy("source")
+  }
+
+  val sourceMixReportSql: String =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), a AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |         count(DISTINCT lang) AS n_langs
+      |  FROM d GROUP BY source
+      |)
+      |SELECT source, n_docs, n_tokens, n_langs,
+      |       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM a), 6)
+      |         AS token_share
+      |FROM a ORDER BY source""".stripMargin
+
   /** The oracle-side bucket/CASE fragments, shared with every consumer of
     * the split (e.g. the decontamination audit) so the SQL stays
     * literal-for-literal one definition. */

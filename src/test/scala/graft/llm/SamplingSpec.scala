@@ -7,6 +7,16 @@ import graft.{SparkSpec, Tables}
 
 class SamplingSpec extends SparkSpec {
 
+  test("source mix report: shares sum to 1, counts cover the corpus") {
+    val r = Sampling.sourceMixReport(spark, sfDir).cache()
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(r.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    val shareSum = r.agg(sum("token_share")).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    assert(r.filter(col("n_langs") < 1 || col("token_share") <= 0).isEmpty)
+    r.unpersist()
+  }
+
   test("stratified sample is deterministic and respects per-language rates") {
     val s1 = Sampling.stratifiedSample(spark, sfDir)
     val s2 = Sampling.stratifiedSample(spark, sfDir)
