@@ -56,6 +56,35 @@ class MisraGriesSpec extends SparkSpec {
     assert(mg == Map("a" -> 2L))
   }
 
+  test("sketch aggregates across micro-batches (streaming state roundtrip)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    MisraGries.register(spark)
+    val src = MemoryStream[String]
+    val q = src.toDF().toDF("term")
+      .groupBy().agg(expr("misra_gries(term, 4)").as("m"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      // two batches force the buffer through the state store's
+      // serialize/deserialize and a cross-batch merge; vocab 5 > k=4
+      // engages the decrement path
+      src.addData("a", "a", "b")
+      q.processAllAvailable()
+      src.addData("a", "c", "c", "d", "e")
+      q.processAllAvailable()
+      val mg = spark.table("mg_stream").head().getMap[String, Long](0).toMap
+      val exact = Map("a" -> 3L, "b" -> 1L, "c" -> 2L, "d" -> 1L, "e" -> 1L)
+      assert(mg.size <= 4)
+      mg.foreach { case (t, est) =>
+        assert(est >= 1 && est <= exact(t), s"$t est=$est")
+        assert(exact(t) - est <= 8 / 5 + 1, s"$t err") // n/(k+1) bound, n=8
+      }
+      assert(mg.contains("a"), "the heavy term must survive every merge")
+    } finally q.stop()
+  }
+
   test("corpus contract entry: every theorem-qualified term passes both checks") {
     val hh = graft.llm.TextAnalysis.heavyHittersCheck(spark, sfDir).cache()
     assert(hh.count() > 0, "expected qualifying heavy terms in the corpus")
