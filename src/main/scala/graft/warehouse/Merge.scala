@@ -58,7 +58,12 @@ object Merge {
     * the dim — they exercise the insert clause (shift chosen far above any
     * test-SF custkey range, so shifted keys never collide with real ones).
     */
-  def mergeCdc(spark: SparkSession, dir: String): DataFrame = {
+  def mergeCdc(spark: SparkSession, dir: String): DataFrame =
+    mergeCdcFrame(spark, dir).orderBy("c_custkey")
+
+  /** Unordered merged state, shared by [[mergeCdc]] and [[snapshotDiff]]
+    * (the diff consumer feeds a join — no sort under it). */
+  private def mergeCdcFrame(spark: SparkSession, dir: String): DataFrame = {
     val target = Tables.customer(spark, dir)
       .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     val w = Window.partitionBy(col("o_custkey"))
@@ -70,8 +75,53 @@ object Merge {
           .otherwise(col("o_custkey")).as("key"),
         when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
         col("o_totalprice").as("new_bal"))
-    mergeInto(target, changes).orderBy("c_custkey")
+    mergeInto(target, changes)
   }
+
+  /** Snapshot diff — the reviewable changeset between a table state and
+    * its post-merge successor: one row per key that was added, removed,
+    * or changed (unchanged keys are omitted — at warehouse scale the
+    * changeset is the small output, the snapshots are the big inputs).
+    * Audits [[mergeCdc]] by construction: the diff of (customer,
+    * merged customer) must be exactly the effect of the CDC feed, which
+    * is what the oracle recomputes independently.
+    *
+    * Scale shape: ONE full-outer shuffle join keyed on the primary key —
+    * the same single-pass shape as the merge itself — with the
+    * classification as codegen'd CASE logic; nothing is collected and no
+    * second pass over either snapshot. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val before = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal").as("old_bal"))
+    val after = mergeCdcFrame(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal").as("new_bal"))
+    before.join(after, Seq("c_custkey"), "full_outer")
+      .withColumn("change",
+        when(col("old_bal").isNull, "added")
+          .when(col("new_bal").isNull, "removed")
+          .when(col("old_bal") =!= col("new_bal"), "changed"))
+      .filter(col("change").isNotNull)
+      .select("c_custkey", "change", "old_bal", "new_bal")
+      .orderBy("c_custkey")
+  }
+
+  /** Oracle: the merged state as a subquery, diffed the same way.
+    * (lazy: `mergeCdcSql` is declared later in this object — an eager
+    * val here would interpolate null at initialization.) */
+  lazy val snapshotDiffSql: String =
+    s"""WITH before_s AS (
+       |  SELECT c_custkey, c_acctbal AS old_bal FROM customer
+       |), after_s AS (
+       |  SELECT c_custkey, c_acctbal AS new_bal FROM ($mergeCdcSql)
+       |)
+       |SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+       |       CASE WHEN b.c_custkey IS NULL THEN 'added'
+       |            WHEN a.c_custkey IS NULL THEN 'removed'
+       |            WHEN b.old_bal <> a.new_bal THEN 'changed' END AS change,
+       |       b.old_bal, a.new_bal
+       |FROM before_s b FULL OUTER JOIN after_s a ON b.c_custkey = a.c_custkey
+       |WHERE (b.c_custkey IS NULL OR a.c_custkey IS NULL OR b.old_bal <> a.new_bal)
+       |ORDER BY c_custkey""".stripMargin
 
   val mergeCdcSql: String =
     """WITH latest AS (

@@ -52,6 +52,25 @@ class MergeSpec extends SparkSpec {
     assert(sample.isEmpty)
   }
 
+  test("snapshot diff is exactly the CDC feed's effect on the customer table") {
+    val diff = Merge.snapshotDiff(spark, sfDir).cache()
+    val before = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val after = Merge.mergeCdc(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    // added = keys only in after; removed = keys only in before
+    val added = after.select("c_custkey").except(before.select("c_custkey"))
+    val removed = before.select("c_custkey").except(after.select("c_custkey"))
+    assert(diff.filter(col("change") === "added").count() == added.count())
+    assert(diff.filter(col("change") === "removed").count() == removed.count())
+    // every diff class is present, and no unchanged row leaks in
+    assert(diff.filter(col("change").isNull).isEmpty)
+    val changed = diff.filter(col("change") === "changed")
+    assert(changed.filter(col("old_bal") === col("new_bal")).isEmpty)
+    assert(changed.count() > 0 && added.count() > 0 && removed.count() > 0)
+    diff.unpersist()
+  }
+
   test("incremental aggregate merge equals the full recompute exactly") {
     val inc = Merge.incrementalAgg(spark, sfDir)
     val full = graft.Tables.orders(spark, sfDir)
