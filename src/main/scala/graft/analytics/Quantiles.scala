@@ -183,6 +183,65 @@ object Quantiles {
       |WHERE value IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** Bucket count for [[valueHistogram]] — shared with the oracle SQL. */
+  private val HistBuckets = 20
+
+  /** Fixed-width value histogram per group — the binned distribution
+    * profile that completes the profiling family (quantiles locate the
+    * tails, the histogram shows the shape between them). Two passes over
+    * the column: an exact per-group (min, max) aggregate (#groups rows,
+    * broadcast back), then ONE hash aggregate on (group, bucket) — both
+    * map-side-partial shapes that never hold more than counter state, at
+    * any data size. Bucket index = floor((v − min) · B / (max − min)),
+    * clamped so v = max lands in the last bucket; the identical double
+    * arithmetic runs on both engines, so bucket boundaries cannot
+    * disagree. Empty buckets are emitted as zero rows via a generated
+    * (group × bucket) grid joined left — a histogram consumer (plotting,
+    * drift diffing) needs the full grid, and the grid is #groups × B
+    * rows, config-bounded. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val fences = ev.groupBy("event_type")
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val binned = ev.join(broadcast(fences), "event_type")
+      .select(col("event_type"),
+        least(floor((col("value") - col("mn")) * HistBuckets / (col("mx") - col("mn"))),
+          lit(HistBuckets - 1)).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+    val grid = fences.select(col("event_type"), col("mn"), col("mx"),
+      explode(sequence(lit(0L), lit(HistBuckets - 1L))).as("bucket"))
+    grid.join(binned, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        round(col("mn") + col("bucket") * (col("mx") - col("mn")) / HistBuckets, 6)
+          .as("bucket_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val valueHistogramSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+       |), f AS (
+       |  SELECT event_type, min(value) AS mn, max(value) AS mx
+       |  FROM ev GROUP BY event_type
+       |), b AS (
+       |  SELECT ev.event_type,
+       |         CAST(least(floor((value - mn) * $HistBuckets / (mx - mn)),
+       |                    $HistBuckets - 1) AS BIGINT) AS bucket,
+       |         count(*) AS n
+       |  FROM ev JOIN f ON ev.event_type = f.event_type
+       |  GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT event_type, mn, mx, unnest(range(0, $HistBuckets)) AS bucket FROM f
+       |)
+       |SELECT g.event_type, g.bucket,
+       |       round(mn + g.bucket * (mx - mn) / $HistBuckets, 6) AS bucket_lo,
+       |       coalesce(n, 0) AS n
+       |FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+       |ORDER BY g.event_type, g.bucket""".stripMargin
+
   /** Exact distinct cardinality per group (COUNT(DISTINCT user_id) by
     * event_type) — the other distribution-profiling aggregate. Spark
     * plans it as the two-phase Expand: partial distinct on (group, user)

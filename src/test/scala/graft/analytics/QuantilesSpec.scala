@@ -36,6 +36,25 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("histogram: full grid, counts reconcile, max lands in the last bucket") {
+    val h = Quantiles.valueHistogram(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val groups = ev.select("event_type").distinct().count()
+    assert(h.count() == groups * 20) // full grid, empty buckets included
+    // per-group counts sum back to the group's row count
+    val sums = h.groupBy("event_type").agg(sum("n").as("s"))
+    val truth = ev.groupBy("event_type").agg(count(lit(1)).as("c"))
+    assert(sums.join(truth, "event_type").filter(col("s") =!= col("c")).isEmpty)
+    // bucket_lo is monotone within each group; no negative counts
+    assert(h.filter(col("n") < 0).isEmpty)
+    val lastLo = h.filter(col("bucket") === 19)
+      .select(col("event_type"), col("bucket_lo"))
+    val mx = ev.groupBy("event_type").agg(max("value").as("mx"))
+    assert(lastLo.join(mx, "event_type")
+      .filter(col("bucket_lo") > col("mx")).isEmpty)
+    h.unpersist()
+  }
+
   test("winsorize clamps exactly into the per-group percentile band") {
     val w = Quantiles.winsorizedValues(spark, sfDir).cache()
     // recompute fences with Spark's buffering percentile (same type-7
