@@ -296,6 +296,42 @@ object Sampling {
       |         AS token_share
       |FROM a ORDER BY source""".stripMargin
 
+  /** Split-balance audit — the QA a team runs after (re)deriving a
+    * train/val/test split: per (split, language) document counts and each
+    * language's share WITHIN its split. A sound hash split is
+    * language-blind, so per-language shares should agree across splits up
+    * to sampling noise; a systematic skew here means the split key leaked
+    * a correlated attribute (e.g. hashing a language-prefixed id). Pure
+    * counting — one hash aggregate over the split projection plus a
+    * broadcast of the per-split totals. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sp = hashSplitFrom(Tables.documents(spark, dir), col("doc_id"))
+      .select("split", "lang")
+    val cells = sp.groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("split").agg(sum(col("n_docs")).as("n_split"))
+    cells.join(broadcast(totals), "split")
+      .select(col("split"), col("lang"), col("n_docs"), col("n_split"),
+        round(col("n_docs").cast("double") / col("n_split"), 6).as("lang_share"))
+      .orderBy("split", "lang")
+  }
+
+  /** (lazy: the split SQL fragments are declared later in this object —
+    * an eager val here would interpolate null at initialization.) */
+  lazy val splitBalanceSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, $splitBucketSql AS bucket FROM documents
+       |), sp AS (
+       |  SELECT lang, $splitCaseSql AS split FROM b
+       |), cells AS (
+       |  SELECT split, lang, count(*) AS n_docs FROM sp GROUP BY split, lang
+       |), totals AS (
+       |  SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_split FROM cells GROUP BY split
+       |)
+       |SELECT c.split, c.lang, c.n_docs, t.n_split,
+       |       round(CAST(c.n_docs AS DOUBLE) / t.n_split, 6) AS lang_share
+       |FROM cells c JOIN totals t ON c.split = t.split
+       |ORDER BY c.split, c.lang""".stripMargin
+
   /** The oracle-side bucket/CASE fragments, shared with every consumer of
     * the split (e.g. the decontamination audit) so the SQL stays
     * literal-for-literal one definition. */

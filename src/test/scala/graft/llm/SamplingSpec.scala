@@ -7,6 +7,17 @@ import graft.{SparkSpec, Tables}
 
 class SamplingSpec extends SparkSpec {
 
+  test("split balance: cells cover the corpus, shares sum to 1 per split") {
+    val b = Sampling.splitBalance(spark, sfDir).cache()
+    assert(b.agg(sum("n_docs")).head().getLong(0) ==
+      graft.Tables.documents(spark, sfDir).count())
+    b.groupBy("split").agg(sum("lang_share").as("s")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r.getString(0))
+    }
+    assert(b.select("split").distinct().count() == 3)
+    b.unpersist()
+  }
+
   test("source mix report: shares sum to 1, counts cover the corpus") {
     val r = Sampling.sourceMixReport(spark, sfDir).cache()
     val docs = graft.Tables.documents(spark, sfDir)
