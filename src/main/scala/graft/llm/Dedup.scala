@@ -129,7 +129,7 @@ object Dedup {
   /** The inverted-index Jaccard pipeline as a reusable CTE chain ending in
     * `pairs(doc_a, doc_b, jaccard)` — shared by the pairs entry and the
     * cluster-resolution oracle so both see the identical edge set. */
-  private val jaccardPairsCteSql: String =
+  private[llm] val jaccardPairsCteSql: String =
     s"""ex0 AS (
        |  SELECT doc_id, unnest(shingles) AS s FROM sh
        |), hot AS (

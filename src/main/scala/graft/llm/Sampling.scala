@@ -296,6 +296,55 @@ object Sampling {
       |         AS token_share
       |FROM a ORDER BY source""".stripMargin
 
+  /** Leakage-tight train/val/test split — the composition the
+    * [[hashSplit]] scaladoc promises: hash the DEDUP CLUSTER id instead
+    * of the document id, so a whole near-duplicate cluster lands on ONE
+    * side of every split boundary and an eval document can never have a
+    * near-copy in train. Unclustered documents key on their own id, which
+    * makes this a strict refinement of the plain split: documents without
+    * a near-dup keep their exact [[hashSplit]] assignment (same salt,
+    * same key), so adopting the leakage-tight split only ever MOVES
+    * documents that had a near-dup — pinned in SamplingSpec.
+    *
+    * Scale shape: the cluster table is the (small) dedup output joined
+    * LEFT to the corpus — broadcast under AQE, map-only on the corpus
+    * side — and the split itself stays the shuffle-free md5 projection. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dedupClustersFrame(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val keyed = Tables.documents(spark, dir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+    hashSplitFrom(keyed, col("split_key"))
+      .select("doc_id", "split_key", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the recursive-closure cluster labels (shared CTE chain with
+    * the dedup oracles) + the same salted md5 split on the coalesced key. */
+  lazy val leakageSafeSplitSql: String =
+    s"""WITH RECURSIVE ${Dedup.shinglesCteSql}, ${Dedup.jaccardPairsCteSql}, edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+       |), keyed AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |), b AS (
+       |  SELECT doc_id, split_key,
+       |         ('0x' || substr(md5('$SplitSalt:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+       |  FROM keyed
+       |)
+       |SELECT doc_id, split_key, bucket, $splitCaseSql AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** Split-balance audit — the QA a team runs after (re)deriving a
     * train/val/test split: per (split, language) document counts and each
     * language's share WITHIN its split. A sound hash split is

@@ -7,6 +7,24 @@ import graft.{SparkSpec, Tables}
 
 class SamplingSpec extends SparkSpec {
 
+  test("leakage-safe split: clusters stay whole, unclustered docs unmoved") {
+    val ls = Sampling.leakageSafeSplit(spark, sfDir).cache()
+    assert(ls.count() == graft.Tables.documents(spark, sfDir).count())
+    // every near-dup cluster lands in exactly one split
+    val clusters = Dedup.dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val perCluster = ls.join(clusters, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct("split").as("nsplits"))
+    assert(perCluster.filter(col("nsplits") =!= 1).isEmpty)
+    // strict refinement: unclustered docs keep their plain hash_split
+    val plain = Sampling.hashSplit(spark, sfDir)
+      .select(col("doc_id"), col("split").as("plain_split"))
+    val unclustered = ls.join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(unclustered.join(plain, "doc_id")
+      .filter(col("split") =!= col("plain_split")).isEmpty)
+    ls.unpersist()
+  }
+
   test("split balance: cells cover the corpus, shares sum to 1 per split") {
     val b = Sampling.splitBalance(spark, sfDir).cache()
     assert(b.agg(sum("n_docs")).head().getLong(0) ==
