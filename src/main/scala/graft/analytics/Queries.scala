@@ -416,4 +416,36 @@ object Queries {
        |GROUP BY company, state, product, issue
        |QUALIFY issue_rank <= 2 AND timely_response_ratio < 1
        |ORDER BY company, state, product, issue""".stripMargin
+
+  /** RFM customer segmentation — recency (days since the customer's last
+    * order, measured from the corpus's max order date so the metric is
+    * reproducible), frequency (order count), monetary (decimal-exact
+    * spend) — the classic behavioral profile a warehouse computes before
+    * any customer-facing model. One hash aggregate keyed on the customer
+    * plus a 1-row broadcast of the corpus max date: counts and decimal
+    * sums are mergeable partials, so the profile costs one shuffle of
+    * per-customer counter rows at any fact size. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val asOf = o.select(max(col("o_orderdate")).as("as_of"))
+    o.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("price")).cast("decimal(18,2)").as("monetary"))
+      .crossJoin(broadcast(asOf))
+      .select(col("custkey"),
+        datediff(col("as_of"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .orderBy("custkey")
+  }
+
+  val customerRfmSql: String =
+    """SELECT o_custkey AS custkey,
+      |       CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+      |         AS recency_days,
+      |       count(*) AS frequency,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+      |FROM orders GROUP BY o_custkey ORDER BY custkey""".stripMargin
 }

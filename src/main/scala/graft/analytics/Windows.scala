@@ -57,4 +57,46 @@ object Windows {
       |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
       |       ) AS DOUBLE) AS spend_30d
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Daily ingest-volume anomaly detection — the pipeline-health monitor
+    * every ingestion runs: day-level event counts z-scored against the
+    * corpus's own mean/stddev, days beyond ±2σ flagged. Determinism by
+    * construction: the day counts are exact integers, the moments come
+    * from exact integer sums (Σc, Σc² — never a float accumulation), and
+    * both engines evaluate the IDENTICAL double formula on those exact
+    * inputs, so the rounded z-scores cannot drift. Shape: one (day)
+    * counter aggregate, one 1-row moment aggregate broadcast back — two
+    * cheap passes over counter rows, not data. */
+  def dailyVolumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val m = d.agg(count(lit(1)).as("n"),
+      sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+    val mean = col("s1").cast("double") / col("n")
+    val z = (col("c").cast("double") - mean) /
+      sqrt(col("s2").cast("double") / col("n") - mean * mean)
+    d.crossJoin(broadcast(m))
+      .select(col("day"), col("c").as("n_events"),
+        round(z, 6).as("z"), (abs(round(z, 6)) > 2d).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  val dailyVolumeAnomalySql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s1,
+      |         CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM d
+      |)
+      |SELECT day, c AS n_events,
+      |       round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+      |             / sqrt(CAST(s2 AS DOUBLE) / n
+      |                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS z,
+      |       abs(round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+      |             / sqrt(CAST(s2 AS DOUBLE) / n
+      |                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6)) > 2
+      |         AS is_anomaly
+      |FROM d, m ORDER BY day""".stripMargin
 }

@@ -51,4 +51,29 @@ class WindowsSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
     assert(plan.split("Exchange").length - 1 == 2, plan)
   }
+
+  test("daily anomaly: z-scores standardize (mean~0, var~1), counts reconcile") {
+    val a = Windows.dailyVolumeAnomaly(spark, sfDir).cache()
+    val n = a.count()
+    assert(n > 0)
+    assert(a.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, sfDir).count())
+    val zMean = a.agg(avg("z")).head().getDouble(0)
+    val zVar = a.agg(avg(col("z") * col("z"))).head().getDouble(0)
+    assert(math.abs(zMean) < 1e-4, s"z mean $zMean")
+    assert(math.abs(zVar - 1.0) < 1e-3, s"z var $zVar")
+    assert(a.filter(col("is_anomaly") =!= (abs(col("z")) > 2d)).isEmpty)
+    a.unpersist()
+  }
+
+  test("customer RFM reconciles with the raw orders table") {
+    val rfm = graft.analytics.Queries.customerRfm(spark, sfDir).cache()
+    val o = Tables.orders(spark, sfDir)
+    assert(rfm.count() == o.select("o_custkey").distinct().count())
+    assert(rfm.agg(sum("frequency")).head().getLong(0) == o.count())
+    // the most recent customer has recency 0; none are negative
+    assert(rfm.agg(min("recency_days")).head().getLong(0) == 0L)
+    assert(rfm.filter(col("recency_days") < 0 || col("frequency") < 1).isEmpty)
+    rfm.unpersist()
+  }
 }
