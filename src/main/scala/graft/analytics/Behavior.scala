@@ -1,0 +1,125 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Behavioral event analytics — the funnel and cohort-retention queries a
+  * product-analytics engine answers over the events stream (beyond-
+  * reference surface): both are pure conditional-aggregation dataflow,
+  * keyed on the user, with no per-user state beyond a handful of
+  * timestamps.
+  *
+  * Scale notes: every aggregate here is keyed on user_id or a
+  * (week, offset) cell — mergeable map-side partials at any event volume.
+  * The funnel's stage chaining is two user-keyed joins of per-user 1-row
+  * frames (shuffles of user-cardinality rows, not events); the retention
+  * matrix is cohort-weeks × offsets cells, config-bounded output.
+  */
+object Behavior {
+
+  /** Strict three-stage funnel (view → click → purchase): a user
+    * converts at a stage only with a strictly LATER event than their
+    * previous stage's first touch — first view, first click after that
+    * view, first purchase after that click. Emits one row per stage with
+    * the surviving user count and the step conversion ratio. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, "user_id").filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts")).as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tc, "user_id").filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    val c = tv.agg(count(lit(1)).as("nv"))
+      .crossJoin(tc.agg(count(lit(1)).as("nc")))
+      .crossJoin(tp.agg(count(lit(1)).as("np")))
+    c.select(explode(array(
+        struct(lit(1).as("stage_order"), lit("view").as("stage"),
+          col("nv").as("n_users"), lit(null).cast("double").as("conversion")),
+        struct(lit(2).as("stage_order"), lit("click").as("stage"),
+          col("nc").as("n_users"),
+          round(col("nc").cast("double") / col("nv"), 6).as("conversion")),
+        struct(lit(3).as("stage_order"), lit("purchase").as("stage"),
+          col("np").as("n_users"),
+          round(col("np").cast("double") / col("nc"), 6).as("conversion"))))
+        .as("r"))
+      .select(col("r.stage_order"), col("r.stage"), col("r.n_users"),
+        col("r.conversion"))
+      .orderBy("stage_order")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH tv AS (
+      |  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+      |), tc AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN tv ON e.user_id = tv.user_id AND e.ts > tv.t
+      |  WHERE e.event_type = 'click' GROUP BY 1
+      |), tp AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN tc ON e.user_id = tc.user_id AND e.ts > tc.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1
+      |), c AS (
+      |  SELECT (SELECT count(*) FROM tv) AS nv,
+      |         (SELECT count(*) FROM tc) AS nc,
+      |         (SELECT count(*) FROM tp) AS np
+      |)
+      |SELECT 1 AS stage_order, 'view' AS stage, nv AS n_users,
+      |       CAST(NULL AS DOUBLE) AS conversion FROM c
+      |UNION ALL
+      |SELECT 2, 'click', nc, round(CAST(nc AS DOUBLE) / nv, 6) FROM c
+      |UNION ALL
+      |SELECT 3, 'purchase', np, round(CAST(np AS DOUBLE) / nc, 6) FROM c
+      |ORDER BY stage_order""".stripMargin
+
+  /** Weekly cohort retention — users grouped by the ISO week of their
+    * FIRST event; a cohort's retention at offset k is the share of its
+    * users active in cohort_week + k. Week truncation is Monday-based
+    * `date_trunc('week', …)` on both engines, and the offset divides an
+    * exact multiple of 7 days, so the matrix cells agree exactly. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts")
+    val cohort = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val active = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("active_week")).distinct()
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    cohort.join(active, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      |  FROM events
+      |), sizes AS (
+      |  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY cohort_week
+      |), cells AS (
+      |  SELECT c.cohort_week,
+      |         CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS BIGINT)
+      |           AS week_offset,
+      |         count(*) AS n_active
+      |  FROM cohort c JOIN active a ON c.user_id = a.user_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cells.cohort_week AS cohort_week, week_offset, n_active, cohort_size,
+      |       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+      |FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
+      |ORDER BY cells.cohort_week, week_offset""".stripMargin
+}

@@ -1,0 +1,44 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class BehaviorSpec extends SparkSpec {
+
+  test("funnel stages shrink monotonically and match a driver model") {
+    val f = Behavior.eventsFunnel(spark, sfDir).orderBy("stage_order").collect()
+    assert(f.map(_.getString(1)).toSeq == Seq("view", "click", "purchase"))
+    val counts = f.map(_.getLong(2)).toSeq
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2))
+    assert(counts(2) > 0, "corpus has full-funnel users")
+    // driver model over the tiny sf: strict first-touch chaining
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] = {
+      val ts = byUser(u).filter(e => e._2 == tpe && e._3 > after).map(_._3)
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    val tv = byUser.keys.flatMap(u => firstAfter(u, "view", Long.MinValue).map(u -> _)).toMap
+    val tc = tv.flatMap { case (u, t) => firstAfter(u, "click", t).map(u -> _) }
+    val tp = tc.flatMap { case (u, t) => firstAfter(u, "purchase", t).map(u -> _) }
+    assert(counts == Seq(tv.size.toLong, tc.size.toLong, tp.size.toLong))
+  }
+
+  test("retention: offset-0 is total, cells bounded by cohort size") {
+    val r = Behavior.retentionCohorts(spark, sfDir).cache()
+    // every cohort's offset-0 row has full retention (the first event is
+    // itself activity in the cohort week)
+    val w0 = r.filter(col("week_offset") === 0)
+    assert(w0.filter(col("n_active") =!= col("cohort_size")).isEmpty)
+    assert(w0.filter(col("retention") =!= 1.0).isEmpty)
+    assert(r.filter(col("n_active") > col("cohort_size") ||
+      col("week_offset") < 0).isEmpty)
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(w0.agg(sum("cohort_size")).head().getLong(0) == users)
+    r.unpersist()
+  }
+}
