@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -122,4 +123,51 @@ object Behavior {
       |       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
       |FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
       |ORDER BY cells.cohort_week, week_offset""".stripMargin
+
+  /** Inter-arrival-time quantiles — median and p90 of the gap between a
+    * user's consecutive events, grouped by the arriving event's type: the
+    * latency profile behind engagement models and session-gap tuning
+    * (the 30-minute sessionizer constant should sit far beyond these
+    * quantiles). Gaps are computed with LAG over each USER's ordered
+    * stream (key cardinality scales with the data — never a few-group
+    * window), in exact integer microseconds; the per-TYPE quantiles then
+    * run through [[Quantiles.groupedQuantiles]] — the two-phase kernel's
+    * fourth consumer — because event types are few and corpus-sized, the
+    * exact shape a naive per-type window sort dies on. */
+  def interarrivalQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // gaps in SECONDS: at µs magnitudes (~1e10) the 6dp rounding falls
+    // below a double's ulp and a 1-ulp interpolation difference between
+    // engines flips the last digit; seconds (~1e5) keep 6dp well inside
+    // double precision. Exact µs long ÷ the same literal on both engines
+    // yields identical doubles.
+    val gaps = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .select(col("event_type"),
+        (col("gap_us").cast("double") / lit(1000000.0)).as("gap_s"))
+    Quantiles.groupedQuantiles(gaps, "event_type", "gap_s",
+        Seq("q50" -> 0.5, "q90" -> 0.9))
+      .orderBy("event_type")
+  }
+
+  val interarrivalQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |         CAST(t - LAG(t, 1) OVER (PARTITION BY user_id
+      |           ORDER BY t, event_id) AS DOUBLE) / 1000000.0 AS gap_s
+      |  FROM t
+      |)
+      |SELECT event_type, count(*) AS n,
+      |       round(quantile_cont(gap_s, 0.5), 6) AS q50,
+      |       round(quantile_cont(gap_s, 0.9), 6) AS q90
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

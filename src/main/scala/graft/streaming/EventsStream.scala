@@ -342,6 +342,53 @@ object EventsStream {
        |ORDER BY event_id""".stripMargin
 
 
+  /** Per-session metrics — the aggregate view the sessionizer's output
+    * feeds: assign each event a session index (running count of gap-rule
+    * boundaries over the user's ordered stream, same [[SessionGapMs]]
+    * constant as [[sessionBoundaries]] and the stateful sessionizer),
+    * then one hash aggregate per (user, session) with event count and
+    * exact-µs duration. The per-user window is keyed on user_id — key
+    * cardinality scales with the data, so no group ever exceeds one
+    * user's stream (the sessionizer's own state bound). */
+  def sessionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            lit(SessionGapMs * 1000L)).cast("long"))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionMetricsSql: String =
+    s"""WITH t AS (
+       |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+       |), b AS (
+       |  SELECT user_id, event_id, t,
+       |         CASE WHEN t - LAG(t, 1) OVER w IS NULL
+       |                OR t - LAG(t, 1) OVER w > ${SessionGapMs * 1000L}
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM t
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+       |), s AS (
+       |  SELECT user_id, t,
+       |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS session_id
+       |  FROM b
+       |)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |       max(t) - min(t) AS duration_us
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   /** Shared per-batch state step: fold this batch's events (time-sorted)
     * into the open session, emitting every session the gap rule closes. */
   private def foldEvents(userId: Long, it: Iterator[Event],

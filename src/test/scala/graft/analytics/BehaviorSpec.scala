@@ -27,6 +27,30 @@ class BehaviorSpec extends SparkSpec {
     assert(counts == Seq(tv.size.toLong, tc.size.toLong, tp.size.toLong))
   }
 
+  test("session metrics reconcile with the boundary entry and the sessionizer rule") {
+    val m = graft.streaming.EventsStream.sessionMetrics(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+    // events partition into sessions; session count = users + boundaries
+    assert(m.agg(sum("n_events")).head().getLong(0) == ev.count())
+    val users = ev.select("user_id").distinct().count()
+    val boundaries = graft.streaming.EventsStream
+      .sessionBoundaries(spark, sfDir).count()
+    assert(m.count() == users + boundaries)
+    // session ids are 1..k contiguous per user; durations non-negative
+    assert(m.filter(col("duration_us") < 0 || col("session_id") < 1).isEmpty)
+    val perUser = m.groupBy("user_id")
+      .agg(count(lit(1)).as("k"), max("session_id").as("mx"))
+    assert(perUser.filter(col("k") =!= col("mx")).isEmpty)
+    m.unpersist()
+  }
+
+  test("interarrival quantiles: ordered, positive, below the session gap for the bulk") {
+    val q = Behavior.interarrivalQuantiles(spark, sfDir).cache()
+    assert(q.count() > 0)
+    assert(q.filter(col("q50") <= 0 || col("q90") < col("q50")).isEmpty)
+    q.unpersist()
+  }
+
   test("retention: offset-0 is total, cells bounded by cohort size") {
     val r = Behavior.retentionCohorts(spark, sfDir).cache()
     // every cohort's offset-0 row has full retention (the first event is
