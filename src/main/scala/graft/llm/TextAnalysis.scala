@@ -452,4 +452,148 @@ object TextAnalysis {
       |FROM q JOIN th ON q.lang = th.lang
       |WHERE q.quality_score >= th.lang_median
       |ORDER BY q.doc_id""".stripMargin
+
+  /** Top terms kept per document by [[tfidfTopTerms]]. */
+  private val TfidfK = 3
+
+  /** Per-document TF-IDF keywords: the top-[[TfidfK]] most
+    * corpus-distinctive terms of every document — the classic keyword /
+    * topic-signal extraction a curation pipeline runs to tag documents
+    * (where [[corpusTopTerms]] profiles the CORPUS vocabulary, this ranks
+    * WITHIN each document against that vocabulary).
+    *
+    * Shape at 100 TB: tf is ONE hash aggregate on (doc_id, term) — the
+    * exploded token stream collapses map-side before the shuffle; df
+    * derives from tf by a second aggregate on term (vocabulary-sized
+    * input, never the token stream twice); the df join back to tf
+    * shuffles on term (vocabulary can be ~1e8 at corpus scale — a hash
+    * join, never a broadcast); N is a 1-row broadcast. The per-document
+    * top-k window partitions on doc_id — maximal parallelism (one
+    * document's terms per task, bounded by document length, the opposite
+    * of the few-groups window the quantile kernel exists to avoid).
+    *
+    * Determinism: rank orders by the 6dp-ROUNDED score then term, so a
+    * sub-rounding cross-engine double wiggle cannot flip the row_number
+    * boundary; ties at equal (tf, df) produce bit-identical doubles by
+    * construction. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // spread: per-doc split/explode work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    val tf = d.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfK)
+      .select(col("doc_id"), col("rk"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), s AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         round(CAST(tf.tf AS DOUBLE) *
+       |               ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df),
+       |               6) AS tfidf
+       |  FROM tf JOIN df ON tf.term = df.term
+       |), r AS (
+       |  SELECT *, row_number() OVER (
+       |           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+       |  FROM s
+       |)
+       |SELECT doc_id, rk, term, tf, df, tfidf
+       |FROM r WHERE rk <= $TfidfK ORDER BY doc_id, rk""".stripMargin
+
+  /** Collocation floor / output size for [[bigramPmi]]. */
+  private val PmiMinCount = 5
+  private val PmiK = 20
+
+  /** Bigram collocation mining by pointwise mutual information: the
+    * top-[[PmiK]] adjacent word pairs (seen ≥ [[PmiMinCount]] times) that
+    * co-occur far above chance — the phrase/collocation detector a
+    * tokenizer-training or phrase-merging pass runs over a corpus.
+    * PMI = ln(P(xy) / (P(x)·P(y))) with P(xy) over the bigram stream and
+    * P(x) over the unigram stream.
+    *
+    * Shape at 100 TB: bigrams come from a per-document higher-order
+    * `transform` over the token array (no self-join of the token stream —
+    * adjacency is resolved INSIDE the row, codegen'd, zero shuffle);
+    * pair and unigram counts are two hash aggregates with map-side
+    * partials; the two unigram lookups are joins on the vocabulary-sized
+    * count table (hash joins at scale, AQE may broadcast small ones); the
+    * corpus totals are a 1-row broadcast; top-k is TakeOrderedAndProject.
+    * The ≥-floor prunes the pair table BEFORE both joins.
+    *
+    * Determinism: ordered by 6dp-ROUNDED pmi then (w1, w2) — a total
+    * order whose k-truncation is stable across engines. */
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc split/explode work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(split(lower(trim(col("text"))), "\\s+").as("ws"))
+    val uni = d.select(explode(col("ws")).as("w"))
+    val totals = broadcast(uni.select(count(lit(1)).as("n_uni"))
+      .crossJoin(d.filter(size(col("ws")) >= 2)
+        .select(sum(size(col("ws")) - 1).as("n_bi"))))
+    val pairs = d.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= PmiMinCount)
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    pairs
+      .join(uc.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi").cast("double") * col("c_x") * col("c_y"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiK)
+  }
+
+  val bigramPmiSql: String =
+    s"""WITH d AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+       |), uni AS (
+       |  SELECT unnest(ws) AS w FROM d
+       |), tot AS (
+       |  SELECT (SELECT count(*) FROM uni) AS n_uni,
+       |         (SELECT sum(len(ws) - 1) FROM d WHERE len(ws) >= 2) AS n_bi
+       |), pairs AS (
+       |  SELECT b[1] AS w1, b[2] AS w2, count(*) AS c_xy
+       |  FROM (SELECT unnest(list_transform(range(1, len(ws)),
+       |                      i -> [ws[i], ws[i+1]])) AS b
+       |        FROM d WHERE len(ws) >= 2)
+       |  GROUP BY w1, w2 HAVING count(*) >= $PmiMinCount
+       |), uc AS (
+       |  SELECT w, count(*) AS c FROM uni GROUP BY w
+       |)
+       |SELECT p.w1, p.w2, p.c_xy, x.c AS c_x, y.c AS c_y,
+       |       round(ln((CAST(p.c_xy AS DOUBLE) * tot.n_uni * tot.n_uni) /
+       |                (CAST(tot.n_bi AS DOUBLE) * x.c * y.c)), 6) AS pmi
+       |FROM pairs p
+       |JOIN uc x ON p.w1 = x.w
+       |JOIN uc y ON p.w2 = y.w
+       |CROSS JOIN tot
+       |ORDER BY pmi DESC, w1, w2 LIMIT $PmiK""".stripMargin
 }

@@ -133,4 +133,51 @@ class TextAnalysisSpec extends SparkSpec {
     }
     gate.unpersist()
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("tfidf top terms match a driver-side model exactly") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+    val n = docs.length.toDouble
+    val dfm = docs.flatMap { case (_, ws) => ws.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val want = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).toSeq
+        .map { case (t, xs) =>
+          (t, xs.length.toLong, dfm(t).toLong, r6(xs.length * math.log(n / dfm(t))))
+        }
+        .sortBy { case (t, _, _, s) => (-s, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, tf, df, s), i) => (id, i + 1, t, tf, df, s) }
+    }.toSet
+    val got = TextAnalysis.tfidfTopTerms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == want)
+  }
+
+  test("bigram pmi matches a driver-side model: counts, floor, order, truncation") {
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").toSeq)
+    val uni = docs.flatten
+    val nUni = uni.length.toDouble
+    val uc = uni.groupBy(identity).map { case (w, xs) => w -> xs.length }
+    val bis = docs.filter(_.length >= 2)
+      .flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))).toSeq)
+    val nBi = bis.length.toDouble
+    val want = bis.groupBy(identity).filter(_._2.length >= 5).toSeq
+      .map { case ((w1, w2), xs) =>
+        val pmi = r6(math.log(
+          (xs.length.toDouble * nUni * nUni) / (nBi * uc(w1) * uc(w2))))
+        (w1, w2, xs.length.toLong, uc(w1).toLong, uc(w2).toLong, pmi)
+      }
+      .sortBy { case (w1, w2, _, _, _, pmi) => (-pmi, w1, w2) }
+      .take(20)
+    val got = TextAnalysis.bigramPmi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+  }
 }
