@@ -378,4 +378,50 @@ object Quantiles {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY CUBE(c_mktsegment, o_orderpriority)
       |ORDER BY g_seg, g_pri, segment NULLS FIRST, priority NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS — the third member of the grouping-lattice
+    * family next to [[rollupRevenue]] (hierarchical prefixes) and
+    * [[cubeRevenue]] (full lattice): a HAND-PICKED set list
+    * `((segment), (priority), ())` — both one-dimension marginals plus
+    * the grand total, WITHOUT the detail level. Neither rollup nor cube
+    * can express that selection: rollup never emits the second marginal,
+    * cube always pays for the (typically largest) detail set. This is
+    * the dashboard-tiles shape — each tile is a marginal; nobody reads
+    * the cross-product.
+    *
+    * Same engine mechanics as the siblings: ONE Expand pass replicates
+    * each input row once per set (3× here, vs cube's 4×) into a single
+    * hash aggregate / one shuffle, with `grouping()` flags
+    * disambiguating a real NULL key from a rolled-up one. At 100 TB,
+    * pruning the detail set from the Expand is exactly the skipped
+    * output: Expand width = Σ|sets|, so set selection is the cost
+    * knob. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice", "o_orderpriority")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val seg = col("c_mktsegment")
+    val pri = col("o_orderpriority")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupingSets(Seq(Seq(seg), Seq(pri), Seq()), seg, pri)
+      .agg(
+        grouping(seg).cast("int").as("g_seg"),
+        grouping(pri).cast("int").as("g_pri"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
+      .select(seg.as("segment"), pri.as("priority"),
+        col("g_seg"), col("g_pri"), col("n_orders"), col("revenue"))
+      .orderBy(col("g_seg"), col("g_pri"),
+        col("segment").asc_nulls_first, col("priority").asc_nulls_first)
+  }
+
+  val groupingSetsRevenueSql: String =
+    """SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+      |       count(*) AS n_orders,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+      |ORDER BY g_seg, g_pri, segment NULLS FIRST, priority NULLS FIRST""".stripMargin
 }

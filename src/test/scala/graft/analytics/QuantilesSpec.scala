@@ -122,6 +122,28 @@ class QuantilesSpec extends SparkSpec {
       grand.head.getAs[Long]("n_orders"))
   }
 
+  test("grouping sets emit exactly the hand-picked lattice: marginals + grand, no detail") {
+    val gs = Quantiles.groupingSetsRevenue(spark, sfDir).cache()
+    // no detail rows at all — the set list excludes (segment, priority)
+    assert(gs.filter(col("g_seg") === 0 && col("g_pri") === 0).isEmpty)
+    val grand = gs.filter(col("g_seg") === 1 && col("g_pri") === 1).collect()
+    assert(grand.length == 1)
+    // both marginals sum to the grand total
+    for ((gSeg, gPri) <- Seq((0, 1), (1, 0))) {
+      val marginalSum = gs.filter(col("g_seg") === gSeg && col("g_pri") === gPri)
+        .agg(sum("n_orders")).head.getLong(0)
+      assert(marginalSum == grand.head.getAs[Long]("n_orders"), s"($gSeg,$gPri)")
+    }
+    // the marginals agree with the cube's marginals (same input lattice)
+    val cubeMarg = Quantiles.cubeRevenue(spark, sfDir)
+      .filter(col("g_seg") === 0 && col("g_pri") === 1)
+      .select(col("segment"), col("n_orders").as("cube_n"))
+    assert(gs.filter(col("g_seg") === 0 && col("g_pri") === 1)
+      .join(cubeMarg, "segment")
+      .filter(col("n_orders") =!= col("cube_n")).isEmpty)
+    gs.unpersist()
+  }
+
   test("approx_count_distinct stays within its rsd bound of the exact count") {
     // HLL++ with rsd=0.05: the estimate must sit within a few standard
     // deviations of the exact cardinality (3σ = 15% — loose enough to be
