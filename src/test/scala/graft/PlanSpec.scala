@@ -122,6 +122,48 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  /** The executed plan WITHOUT the `== Initial Plan ==` echo AQE appends —
+    * occurrence counts over the full string would double-count. */
+  private def finalPlanString(df: DataFrame): String = {
+    val full = planString(df)
+    full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+  }
+
+  test("grouping sets: one Expand pass over exactly 3 sets, no detail projection") {
+    val plan = finalPlanString(graft.analytics.Quantiles.groupingSetsRevenue(spark, sfDir))
+    val expandLines = plan.linesIterator.filter(_.contains("Expand [")).toSeq
+    assert(expandLines.size == 1, plan.take(2000))
+    // the Expand replicates 3× (two marginals + grand), never 4× (cube):
+    // projections print as `Expand [[...], [...], [...]], [outputAttrs]` —
+    // count separators inside the double-bracketed projections span only
+    val line = expandLines.head
+    val span = line.substring(line.indexOf("[["), line.indexOf("]]"))
+    val nSets = "\\], \\[".r.findAllIn(span).size + 1
+    assert(nSets == 3, line)
+  }
+
+  test("tfidf: token stream aggregates map-side once; doc top-k is a doc_id window") {
+    val df = graft.llm.TextAnalysis.tfidfTopTerms(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert(plan.contains("partial_count"), plan.take(3000))
+    // the per-doc rank partitions on doc_id (maximal parallelism), and the
+    // only nested-loop is the 1-row corpus-count broadcast
+    assert(plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl <= 1, plan.take(3000))
+  }
+
+  test("bigram pmi: adjacency is in-row (no token self-join); top-k, no global sort") {
+    val plan = finalPlanString(graft.llm.TextAnalysis.bigramPmi(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // two unigram-count joins + floored pair table: every join is hash or
+    // broadcast-hash, never a sort of the token stream to find neighbors
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("session boundaries: one hash shuffle (the user window), filter after lag") {
     val df = graft.streaming.EventsStream.sessionBoundaries(spark, sfDir)
     df.collect()
