@@ -448,4 +448,41 @@ object Queries {
       |       count(*) AS frequency,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
       |FROM orders GROUP BY o_custkey ORDER BY custkey""".stripMargin
+
+  /** INTERSECT / EXCEPT — the two set operators next to the registry's
+    * UNION entries (`location_dim`, `q1c_companies`): retained buyers
+    * (ordered in BOTH 1995 and 1996) vs churned buyers (1995 EXCEPT
+    * 1996), labeled into one cohort frame — the year-over-year retention
+    * cut a warehouse runs directly as set algebra.
+    *
+    * Engine shape: Catalyst rewrites INTERSECT to a left-semi and EXCEPT
+    * to a left-anti hash join under a distinct aggregate — both shuffle
+    * only the projected key column with map-side partial distinct, so
+    * the exchanged data is bounded by the DISTINCT customer set, not the
+    * order count. No broadcast: both sides are fact-derived and scale
+    * together. The two branches scan orders twice; at 100 TB the year
+    * filters prune partitions first (orders would be date-partitioned,
+    * the same layout `partitioned_scan` pins). */
+  def setopCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    def buyers(yy: Int) =
+      o.filter(col("y") === yy).select(col("o_custkey").as("custkey"))
+    val b95 = buyers(1995)
+    val b96 = buyers(1996)
+    b95.intersect(b96).withColumn("cohort", lit("both"))
+      .unionByName(b95.except(b96).withColumn("cohort", lit("only_1995")))
+      .select("cohort", "custkey")
+      .orderBy("cohort", "custkey")
+  }
+
+  val setopCohortsSql: String =
+    """WITH b95 AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |     b96 AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT 'both' AS cohort, custkey
+      |FROM (SELECT custkey FROM b95 INTERSECT SELECT custkey FROM b96)
+      |UNION ALL
+      |SELECT 'only_1995' AS cohort, custkey
+      |FROM (SELECT custkey FROM b95 EXCEPT SELECT custkey FROM b96)
+      |ORDER BY cohort, custkey""".stripMargin
 }

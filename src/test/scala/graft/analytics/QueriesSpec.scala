@@ -63,4 +63,19 @@ class QueriesSpec extends SparkSpec {
       .select("s_name").collect().map(_.getString(0)).toSeq
     assert(byComplement == byDirect)
   }
+
+  test("set-op cohorts match a driver-side model and partition the 1995 buyers") {
+    val byYear = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996)).collect()
+      .groupBy(_.getInt(1)).map { case (y, rs) => y -> rs.map(_.getLong(0)).toSet }
+    val (b95, b96) = (byYear(1995), byYear.getOrElse(1996, Set.empty[Long]))
+    val got = Queries.setopCohorts(spark, sfDir).collect()
+      .groupBy(_.getString(0)).map { case (c, rs) => c -> rs.map(_.getLong(1)).toSet }
+    assert(got("both") == (b95 intersect b96))
+    assert(got("only_1995") == (b95 diff b96))
+    // the two cohorts are disjoint and exactly cover the 1995 buyer set
+    assert((got("both") intersect got("only_1995")).isEmpty)
+    assert((got("both") union got("only_1995")) == b95)
+  }
 }
