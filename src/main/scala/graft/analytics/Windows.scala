@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -99,4 +99,60 @@ object Windows {
       |                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6)) > 2
       |         AS is_anomaly
       |FROM d, m ORDER BY day""".stripMargin
+
+  /** Per-group Pearson correlation (event value vs hour-of-day) — the
+    * "does this metric track time-of-day" profiling stat, computed from
+    * EXACT moments rather than Spark's `corr` aggregate: `corr` (and
+    * DuckDB's) accumulates running double co-moments whose partition
+    * merge order is nondeterministic — the same query can hash-diverge
+    * from itself, let alone across engines. Here every moment is an
+    * order-independent exact sum — values round to 6dp then cast to
+    * DECIMAL(18,6) (the `embedding_quantize` idiom, exact at this data's
+    * 2dp) so Σx, Σx², Σxh are decimal-exact; hours are integers so Σh,
+    * Σh² are long-exact — and ONE deterministic double formula
+    * (n·Σxh−Σx·Σh)/(√(n·Σx²−Σx²̂)·√(n·Σh²−Σh²̂)) evaluates on those
+    * exact inputs identically in both engines.
+    *
+    * Shape at 100 TB: a single hash aggregate to 6 mergeable counters
+    * per event_type — the shuffle carries one row per (map task, group);
+    * the final arithmetic runs on a group-count-sized frame. */
+  def valueHourCorr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value"), 6).cast("decimal(18,6)").as("x"),
+        hour(col("ts")).cast("long").as("h"))
+    val m = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("h")).as("sh"),
+      sum(col("h") * col("h")).as("shh"),
+      sum(col("x") * col("h")).as("sxh"))
+    def d(c: Column) = c.cast("double")
+    val corr = (d(col("n")) * d(col("sxh")) - d(col("sx")) * d(col("sh"))) /
+      (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(d(col("n")) * d(col("shh")) - d(col("sh")) * d(col("sh"))))
+    m.select(col("event_type"), col("n"), round(corr, 6).as("corr_value_hour"))
+      .orderBy("event_type")
+  }
+
+  val valueHourCorrSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(round(value, 6) AS DECIMAL(18,6)) AS x,
+      |         CAST(hour(ts) AS BIGINT) AS h
+      |  FROM events WHERE value IS NOT NULL
+      |), m AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(x) AS sx, sum(x*x) AS sxx,
+      |         sum(h) AS sh, sum(h*h) AS shh, sum(x*h) AS sxh
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxh AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sh AS DOUBLE))
+      |             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * sqrt(CAST(n AS DOUBLE) * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))), 6)
+      |         AS corr_value_hour
+      |FROM m ORDER BY event_type""".stripMargin
 }

@@ -76,4 +76,23 @@ class WindowsSpec extends SparkSpec {
     assert(rfm.filter(col("recency_days") < 0 || col("frequency") < 1).isEmpty)
     rfm.unpersist()
   }
+
+  test("value-hour correlation matches Spark's corr and stays in [-1, 1]") {
+    val got = Windows.valueHourCorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.values.forall { case (_, c) => c >= -1d && c <= 1d })
+    // the exact-moment formula must agree with Spark's running-co-moment
+    // corr aggregate to float tolerance (they differ only in summation
+    // order / algorithm, not in the statistic)
+    val ref = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        corr(col("value"), hour(col("ts")).cast("double")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (et, (n, c)) =>
+      assert(n == ref(et)._1, et)
+      assert(math.abs(c - ref(et)._2) < 1e-6, s"$et: $c vs ${ref(et)._2}")
+    }
+  }
 }
