@@ -137,6 +137,57 @@ object Windows {
       .orderBy("event_type")
   }
 
+  /** The full ranking-window family — dense_rank, percent_rank,
+    * cume_dist, ntile(4) — in one pass over per-nation revenue. The
+    * window is GLOBAL but dimension-sized BY DESIGN (the `q1_ratio_rank`
+    * discipline): revenue aggregates to ≤ nation-count rows BEFORE the
+    * window, so the single-partition sort ranks 25 rows at any fact
+    * size — never the fact table (ranking raw customers globally would
+    * be the single-task sort the quantile kernel exists to avoid).
+    *
+    * Determinism: the window orders by (revenue DESC, nation) — a total
+    * order, which ntile needs (tile assignment depends on row position,
+    * so a revenue tie without the tiebreak could split across engines);
+    * percent_rank/cume_dist are then exact small-integer ratios,
+    * rounded to 6dp. Revenue sums as DECIMAL(18,2) — exact, order-
+    * independent. */
+  def nationRevenueRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val rev = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("nation"))
+    rev.select(col("nation"),
+        col("rev").cast("decimal(18,2)").as("revenue"),
+        dense_rank().over(w).cast("long").as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("drank", "nation")
+  }
+
+  val nationRevenueRanksSql: String =
+    """WITH rev AS (
+      |  SELECT n_name AS nation,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |)
+      |SELECT nation, revenue,
+      |       dense_rank()  OVER w AS drank,
+      |       round(percent_rank() OVER w, 6) AS prank,
+      |       round(cume_dist()    OVER w, 6) AS cdist,
+      |       ntile(4)      OVER w AS quartile
+      |FROM rev
+      |WINDOW w AS (ORDER BY revenue DESC, nation)
+      |ORDER BY drank, nation""".stripMargin
+
   val valueHourCorrSql: String =
     """WITH e AS (
       |  SELECT event_type,

@@ -95,4 +95,24 @@ class WindowsSpec extends SparkSpec {
       assert(math.abs(c - ref(et)._2) < 1e-6, s"$et: $c vs ${ref(et)._2}")
     }
   }
+
+  test("ranking family agrees with a driver-side model over the nation revenues") {
+    val rows = Windows.nationRevenueRanks(spark, sfDir).collect()
+    val n = rows.length
+    // reconstruct the total order and re-derive each function
+    val ordered = rows.sortBy(r => (r.getDecimal(1).negate, r.getString(0)))
+    ordered.zipWithIndex.foreach { case (r, i) =>
+      val distinctBefore = ordered.take(i + 1).map(_.getDecimal(1)).distinct.size
+      assert(r.getLong(2) == distinctBefore, s"dense_rank at $i")
+      // with the (revenue, nation) total order every row rank is i+1
+      assert(math.abs(r.getDouble(3) - i.toDouble / (n - 1)) < 5e-7, s"prank at $i")
+      assert(math.abs(r.getDouble(4) - (i + 1).toDouble / n) < 5e-7, s"cdist at $i")
+      // SQL ntile: first (n mod 4) tiles get ceil(n/4), the rest floor(n/4)
+      val (big, base) = (n % 4, n / 4)
+      val tile = if (i < big * (base + 1)) i / (base + 1) + 1
+        else (i - big * (base + 1)) / base + big + 1
+      assert(r.getLong(5) == tile, s"ntile at $i")
+    }
+    assert(rows.map(_.getLong(5)).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }
