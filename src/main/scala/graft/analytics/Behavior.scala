@@ -170,4 +170,51 @@ object Behavior {
       |       round(quantile_cont(gap_s, 0.9), 6) AS q90
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Latest event per user as an ARGMAX AGGREGATE — the scalable
+    * "current state per key" kernel (last-touch attribution, mutable-view
+    * compaction, CDC latest-wins). The naive shape is a row_number
+    * window over `Window.partitionBy(user).orderBy(ts desc)`, which
+    * ships EVERY event through the shuffle and sorts whole reduce
+    * partitions; this instead folds each map partition to ONE candidate
+    * row per user BEFORE the exchange (`partial_max`, pinned by
+    * BehaviorSpec), so the shuffle carries per-(task, user) summaries,
+    * never events — the part that decides survival at 100 TB. Spark
+    * plans the struct max as a SortAggregate (struct buffers aren't
+    * hash-aggregable), i.e. a partition-LOCAL sort by user on each side
+    * of the exchange — same local-sort cost class as `max_by` with any
+    * non-primitive argument, and strictly less data moved than the
+    * window. `max(struct(...))` over three `max_by` calls because one
+    * buffer carries ALL wanted columns, and the struct's lexicographic
+    * compare gives the deterministic tiebreak for free: (ts, event_id)
+    * is a total order (event_id unique), so later fields never decide.
+    * The DuckDB oracle mirrors with a named-struct `max` (its `max_by`
+    * has no composite key form). */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_id").isNotNull)
+    e.groupBy("user_id")
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("s"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("s.ts").as("last_ts"), col("s.event_id").as("last_event_id"),
+        col("s.event_type").as("last_type"), col("s.value").as("last_value"),
+        col("n_events"))
+      .orderBy("user_id")
+  }
+
+  val latestEventPerUserSql: String =
+    """WITH m AS (
+      |  SELECT user_id,
+      |         max({'ts': ts, 'event_id': event_id,
+      |              'event_type': event_type, 'value': value}) AS s,
+      |         count(*) AS n_events
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |  GROUP BY user_id
+      |)
+      |SELECT user_id, s.ts AS last_ts, s.event_id AS last_event_id,
+      |       s.event_type AS last_type, s.value AS last_value, n_events
+      |FROM m ORDER BY user_id""".stripMargin
 }

@@ -65,4 +65,26 @@ class BehaviorSpec extends SparkSpec {
     assert(w0.agg(sum("cohort_size")).head().getLong(0) == users)
     r.unpersist()
   }
+
+  test("latest-event argmax equals the window row_number formulation, without a window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Behavior.latestEventPerUser(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("event_id").isNotNull)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val naive = e.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(e.groupBy("user_id").agg(count(lit(1)).as("n_events")), "user_id")
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("n_events"))
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    // and the argmax path reduces BEFORE the exchange: a partial max on
+    // the map side (the shuffle ships per-(task,user) candidates, not
+    // events) and no window anywhere
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), plan.take(2000))
+    assert(plan.contains("partial_max"), plan.take(2000))
+  }
 }
