@@ -136,6 +136,43 @@ object Quantiles {
     agged.select(col("event_type").as(groupCol) +: col("n") +: qCols: _*)
   }
 
+  /** Median absolute deviation per group — the robust dispersion stat a
+    * profiling pass prefers over stddev when values have heavy tails
+    * (stddev is quadratic in outliers; MAD ignores them). Two chained
+    * [[groupedQuantiles]] passes — the kernel's 4th and 5th consumers:
+    * per-group median, broadcast back (group-count rows), 6dp-rounded
+    * absolute deviations as a codegen'd projection over the scan, then
+    * the kernel again for the deviation median. NO group ever funnels
+    * through one task's sort (the exact shape the kernel exists to
+    * avoid); both passes are range-partitioned distributed selection.
+    * Determinism: med and adev round to 6dp before the second pass, so
+    * both engines interpolate over identical doubles. */
+  def valueMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = groupedQuantiles(ev, "event_type", "value", Seq("med" -> 0.5))
+      .select(col("event_type"), col("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        round(abs(col("value") - col("med")), 6).as("adev"))
+    groupedQuantiles(dev, "event_type", "adev", Seq("mad" -> 0.5))
+      .select(col("event_type"), col("n"), col("mad"))
+      .orderBy("event_type")
+  }
+
+  val valueMadSql: String =
+    """WITH m AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+      |), d AS (
+      |  SELECT e.event_type, round(abs(e.value - m.med), 6) AS adev
+      |  FROM events e JOIN m ON e.event_type = m.event_type
+      |  WHERE e.value IS NOT NULL
+      |)
+      |SELECT event_type, count(*) AS n, round(quantile_cont(adev, 0.5), 6) AS mad
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val valueQuantilesSql: String =
     """SELECT event_type, count(*) AS n,
       |       round(quantile_cont(value, 0.5), 6) AS q50,

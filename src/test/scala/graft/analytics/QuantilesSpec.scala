@@ -122,6 +122,36 @@ class QuantilesSpec extends SparkSpec {
       grand.head.getAs[Long]("n_orders"))
   }
 
+  test("MAD matches a driver-side model and obeys the kernel's window contract") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def median7(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      r6(lo + (pos - math.floor(pos)) * (hi - lo))
+    }
+    val vals = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (et, rs) => et -> rs.map(_.getDouble(1)).toSeq }
+    val want = vals.map { case (et, xs) =>
+      val med = median7(xs)
+      et -> (xs.length.toLong, median7(xs.map(x => r6(math.abs(x - med)))))
+    }
+    val got = Quantiles.valueMad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+    // both kernel passes keep the window contract (same audit as above)
+    val df = Quantiles.valueMad(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val onPid = w.partitionSpec.exists(_.references.exists(_.name == "_pid"))
+      val aboveAgg = w.child.collectFirst { case a: Aggregate => a }.isDefined
+      assert(onPid || aboveAgg,
+        s"data-sized window partitioned by ${w.partitionSpec.mkString(", ")}")
+    }
+  }
+
   test("grouping sets emit exactly the hand-picked lattice: marginals + grand, no detail") {
     val gs = Quantiles.groupingSetsRevenue(spark, sfDir).cache()
     // no detail rows at all — the set list excludes (segment, priority)
