@@ -420,7 +420,9 @@ object Queries {
   /** RFM customer segmentation — recency (days since the customer's last
     * order, measured from the corpus's max order date so the metric is
     * reproducible), frequency (order count), monetary (decimal-exact
-    * spend) — the classic behavioral profile a warehouse computes before
+    * spend, cast to rounded double only at the output edge per the
+    * registry convention) — the classic behavioral profile a warehouse
+    * computes before
     * any customer-facing model. One hash aggregate keyed on the customer
     * plus a 1-row broadcast of the corpus max date: counts and decimal
     * sums are mergeable partials, so the profile costs one shuffle of
@@ -433,7 +435,7 @@ object Queries {
     o.groupBy(col("o_custkey").as("custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
-        sum(col("price")).cast("decimal(18,2)").as("monetary"))
+        round(sum(col("price")), 2).cast("double").as("monetary"))
       .crossJoin(broadcast(asOf))
       .select(col("custkey"),
         datediff(col("as_of"), col("last_order")).cast("long").as("recency_days"),
@@ -446,7 +448,7 @@ object Queries {
       |       CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
       |         AS recency_days,
       |       count(*) AS frequency,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS monetary
       |FROM orders GROUP BY o_custkey ORDER BY custkey""".stripMargin
 
   /** INTERSECT / EXCEPT — the two set operators next to the registry's

@@ -150,7 +150,9 @@ object Windows {
     * so a revenue tie without the tiebreak could split across engines);
     * percent_rank/cume_dist are then exact small-integer ratios,
     * rounded to 6dp. Revenue sums as DECIMAL(18,2) — exact, order-
-    * independent. */
+    * independent — and is cast to rounded DOUBLE only at the output
+    * edge (the registry-wide convention; ranks still order by the
+    * exact decimal). */
   def nationRevenueRanks(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
@@ -162,7 +164,7 @@ object Windows {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
     val w = Window.orderBy(col("rev").desc, col("nation"))
     rev.select(col("nation"),
-        col("rev").cast("decimal(18,2)").as("revenue"),
+        round(col("rev"), 2).cast("double").as("revenue"),
         dense_rank().over(w).cast("long").as("drank"),
         round(percent_rank().over(w), 6).as("prank"),
         round(cume_dist().over(w), 6).as("cdist"),
@@ -179,7 +181,7 @@ object Windows {
       |  JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY n_name
       |)
-      |SELECT nation, revenue,
+      |SELECT nation, CAST(round(revenue, 2) AS DOUBLE) AS revenue,
       |       dense_rank()  OVER w AS drank,
       |       round(percent_rank() OVER w, 6) AS prank,
       |       round(cume_dist()    OVER w, 6) AS cdist,

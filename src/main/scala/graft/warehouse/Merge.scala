@@ -178,13 +178,13 @@ object Merge {
     base.unionByName(delta)
       .groupBy("order_date")
       .agg(sum(col("n_orders")).as("n_orders"),
-        sum(col("revenue")).cast("decimal(18,2)").as("revenue"))
+        round(sum(col("revenue")), 2).cast("double").as("revenue"))
       .orderBy("order_date")
   }
 
   /** Oracle: the full recompute the incremental path must equal. */
   val incrementalAggSql: String =
     """SELECT o_orderdate AS order_date, count(*) AS n_orders,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1 ORDER BY order_date""".stripMargin
 }

@@ -34,10 +34,19 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Under a SPARK_GRAFT_VERIFY_ONLY subset dump, only the requested names
+    # are gated; in a full run a missing dump dir means the Verify dump
+    # crashed or silently dropped the entry — that is a FAIL, not a skip.
+    only_env = os.environ.get("SPARK_GRAFT_VERIFY_ONLY")
+    only = set(n.strip() for n in only_env.split(",") if n.strip()) if only_env else None
     ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
-            skipped += 1
+            if only is not None and name not in only:
+                skipped += 1
+            else:
+                print(f"FAIL {name}: no dump dir under {out_dir}")
+                fail += 1
             continue
         try:
             got, gt = frame(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
