@@ -41,12 +41,17 @@ object Behavior {
     c.select(explode(array(
         struct(lit(1).as("stage_order"), lit("view").as("stage"),
           col("nv").as("n_users"), lit(null).cast("double").as("conversion")),
+        // Empty prior stage: Spark's x/0 yields NULL but DuckDB's IEEE
+        // division yields inf/NaN — nullif-style guards pin both engines
+        // to NULL conversion on an empty divisor.
         struct(lit(2).as("stage_order"), lit("click").as("stage"),
           col("nc").as("n_users"),
-          round(col("nc").cast("double") / col("nv"), 6).as("conversion")),
+          round(col("nc").cast("double") / when(col("nv") > 0, col("nv")), 6)
+            .as("conversion")),
         struct(lit(3).as("stage_order"), lit("purchase").as("stage"),
           col("np").as("n_users"),
-          round(col("np").cast("double") / col("nc"), 6).as("conversion"))))
+          round(col("np").cast("double") / when(col("nc") > 0, col("nc")), 6)
+            .as("conversion"))))
         .as("r"))
       .select(col("r.stage_order"), col("r.stage"), col("r.n_users"),
         col("r.conversion"))
@@ -72,9 +77,9 @@ object Behavior {
       |SELECT 1 AS stage_order, 'view' AS stage, nv AS n_users,
       |       CAST(NULL AS DOUBLE) AS conversion FROM c
       |UNION ALL
-      |SELECT 2, 'click', nc, round(CAST(nc AS DOUBLE) / nv, 6) FROM c
+      |SELECT 2, 'click', nc, round(CAST(nc AS DOUBLE) / nullif(nv, 0), 6) FROM c
       |UNION ALL
-      |SELECT 3, 'purchase', np, round(CAST(np AS DOUBLE) / nc, 6) FROM c
+      |SELECT 3, 'purchase', np, round(CAST(np AS DOUBLE) / nullif(nc, 0), 6) FROM c
       |ORDER BY stage_order""".stripMargin
 
   /** Weekly cohort retention — users grouped by the ISO week of their

@@ -244,8 +244,15 @@ object Quantiles {
       .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     val binned = ev.join(broadcast(fences), "event_type")
       .select(col("event_type"),
-        least(floor((col("value") - col("mn")) * HistBuckets / (col("mx") - col("mn"))),
-          lit(HistBuckets - 1)).cast("long").as("bucket"))
+        // Degenerate group (max == min): the width expression divides by
+        // zero — Spark yields NULL (rows would vanish from the grid) while
+        // DuckDB's IEEE 0/0 = NaN makes least(NaN, B-1) pick the LAST
+        // bucket. Pin both engines to bucket 0 explicitly.
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("mn")) * HistBuckets / (col("mx") - col("mn"))),
+            lit(HistBuckets - 1)))
+          .cast("long").as("bucket"))
       .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
     val grid = fences.select(col("event_type"), col("mn"), col("mx"),
       explode(sequence(lit(0L), lit(HistBuckets - 1L))).as("bucket"))
@@ -265,8 +272,9 @@ object Quantiles {
        |  FROM ev GROUP BY event_type
        |), b AS (
        |  SELECT ev.event_type,
-       |         CAST(least(floor((value - mn) * $HistBuckets / (mx - mn)),
-       |                    $HistBuckets - 1) AS BIGINT) AS bucket,
+       |         CAST(CASE WHEN mx = mn THEN 0
+       |                   ELSE least(floor((value - mn) * $HistBuckets / (mx - mn)),
+       |                              $HistBuckets - 1) END AS BIGINT) AS bucket,
        |         count(*) AS n
        |  FROM ev JOIN f ON ev.event_type = f.event_type
        |  GROUP BY 1, 2

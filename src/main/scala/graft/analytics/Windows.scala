@@ -74,8 +74,12 @@ object Windows {
     val m = d.agg(count(lit(1)).as("n"),
       sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
     val mean = col("s1").cast("double") / col("n")
-    val z = (col("c").cast("double") - mean) /
-      sqrt(col("s2").cast("double") / col("n") - mean * mean)
+    val variance = col("s2").cast("double") / col("n") - mean * mean
+    // Zero variance (all days identical): Spark's x/0 is NULL but DuckDB's
+    // IEEE division is inf/NaN — guard the divisor so both engines emit
+    // NULL z (and NULL is_anomaly) on a degenerate corpus.
+    val z = when(variance > 0d,
+      (col("c").cast("double") - mean) / sqrt(variance))
     d.crossJoin(broadcast(m))
       .select(col("day"), col("c").as("n_events"),
         round(z, 6).as("z"), (abs(round(z, 6)) > 2d).as("is_anomaly"))
@@ -92,11 +96,11 @@ object Windows {
       |)
       |SELECT day, c AS n_events,
       |       round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
-      |             / sqrt(CAST(s2 AS DOUBLE) / n
-      |                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS z,
+      |             / nullif(sqrt(CAST(s2 AS DOUBLE) / n
+      |                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 0), 6) AS z,
       |       abs(round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
-      |             / sqrt(CAST(s2 AS DOUBLE) / n
-      |                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6)) > 2
+      |             / nullif(sqrt(CAST(s2 AS DOUBLE) / n
+      |                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 0), 6)) > 2
       |         AS is_anomaly
       |FROM d, m ORDER BY day""".stripMargin
 

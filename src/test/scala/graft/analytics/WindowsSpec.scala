@@ -100,9 +100,9 @@ class WindowsSpec extends SparkSpec {
     val rows = Windows.nationRevenueRanks(spark, sfDir).collect()
     val n = rows.length
     // reconstruct the total order and re-derive each function
-    val ordered = rows.sortBy(r => (r.getDecimal(1).negate, r.getString(0)))
+    val ordered = rows.sortBy(r => (-r.getDouble(1), r.getString(0)))
     ordered.zipWithIndex.foreach { case (r, i) =>
-      val distinctBefore = ordered.take(i + 1).map(_.getDecimal(1)).distinct.size
+      val distinctBefore = ordered.take(i + 1).map(_.getDouble(1)).distinct.size
       assert(r.getLong(2) == distinctBefore, s"dense_rank at $i")
       // with the (revenue, nation) total order every row rank is i+1
       assert(math.abs(r.getDouble(3) - i.toDouble / (n - 1)) < 5e-7, s"prank at $i")

@@ -85,6 +85,15 @@ class MisraGriesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("oversized tokens (> 64 KiB UTF-8) survive the serialize roundtrip") {
+    // writeUTF would throw UTFDataFormatException at 65536 encoded bytes;
+    // the length-prefixed raw-UTF-8 codec must not. repartition(4) forces
+    // partial-buffer serialization through the shuffle.
+    val big = "x" * 70000
+    val mg = sketch(Seq(big, big, "small"), 4, 4)
+    assert(mg(big) == 2L && mg("small") == 1L)
+  }
+
   test("corpus contract entry: every theorem-qualified term passes both checks") {
     val hh = graft.llm.TextAnalysis.heavyHittersCheck(spark, sfDir).cache()
     assert(hh.count() > 0, "expected qualifying heavy terms in the corpus")
