@@ -61,6 +61,44 @@ object Scd {
     closed.unionByName(fresh)
   }
 
+  /** SCD2 batch apply for batches that may carry SEVERAL versions of one
+    * key — the per-row-trigger case the one-row-per-key [[scd2Apply]]
+    * cannot express. The reference trigger fires once per inserted row
+    * (creating-tables.sql:223-239), so a bulk insert with a duplicated
+    * complain_number leaves EVERY inserted version in the dimension:
+    * each non-final version is immediately closed by the next insert's
+    * close-out (start_date = end_date = asOf, active = false) and only
+    * the batch's last row per key stays active. A set-oriented batch has
+    * no row order, so the caller supplies `seq` — an explicit intra-batch
+    * ordering column (batch line number, CDC offset) — and this kernel
+    * reproduces the trigger's final state in one pass: a per-key
+    * `row_number` over `seq` DESC marks the last writer (SURVEY §7.3's
+    * last-writer-wins), everything else lands pre-closed. One extra
+    * key-partitioned window over the (small) incoming batch; the
+    * dimension side is untouched relative to [[scd2Apply]]. */
+  def scd2ApplySeq(existing: DataFrame, incoming: DataFrame, key: String,
+                   seq: String, asOf: String): DataFrame = {
+    val hitKeys = incoming.select(col(key)).distinct().withColumn("__hit", lit(true))
+    val closed = existing
+      .join(hitKeys, Seq(key), "left")
+      .withColumn("end_date",
+        when(col("__hit"), lit(asOf).cast("date")).otherwise(col("end_date")))
+      .withColumn("active",
+        when(col("__hit"), lit(false)).otherwise(col("active")))
+      .drop("__hit")
+    val isLast = row_number().over(
+      Window.partitionBy(col(key)).orderBy(col(seq).desc)) === 1
+    val fresh = incoming
+      .withColumn("__last", isLast)
+      .withColumn("start_date", lit(asOf).cast("date"))
+      .withColumn("end_date",
+        when(col("__last"), lit("2099-12-31").cast("date"))
+          .otherwise(lit(asOf).cast("date")))
+      .withColumn("active", col("__last"))
+      .drop(seq, "__last")
+    closed.unionByName(fresh)
+  }
+
   /** SCD3 batch apply. `existing` carries key + attributes + the tracked
     * column, its `<tracked>_old` shadow, and effective_date; `incoming`
     * carries key + the same attribute/tracked columns (one row per key,

@@ -63,6 +63,51 @@ object ScdProperties extends Properties("scd-kernels") {
       }
     }
 
+  /** Batches with intra-key duplicates: keys repeat up to 3× with
+    * DISTINCT payloads and an explicit batch line number `seq` — the
+    * per-row-trigger shape SURVEY §7.3 calls out (the reference trigger
+    * fires once per inserted row, so every version lands and only the
+    * last stays active). */
+  private val dupBatchGen: Gen[List[(Long, String, Int)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 8L), Gen.choose(1, 3)))
+      .map(_.toMap.toList.flatMap { case (k, reps) =>
+        (1 to reps).map(i => (k, s"v$k-$i", i))
+      })
+      // global, unique line numbers — a real batch's physical order
+      .map(_.zipWithIndex.map { case ((k, v, _), i) => (k, v, i + 1) })
+
+  property("scd2 seq: duplicated keys leave one active row (last writer) and a closed chain") =
+    forAll(dupBatchGen) { batch =>
+      val out = Scd.scd2ApplySeq(existing2, batch.toDF("k", "v", "seq"),
+        "k", "seq", "2020-06-15").cache()
+      val lastByKey = batch.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(_._3)._2
+      }
+      // exactly one active row per incoming key, carrying the last payload
+      val active = out.filter(col("active"))
+        .filter(col("k").isInCollection(lastByKey.keys.toSeq))
+        .select("k", "v").as[(Long, String)].collect()
+      val lastWins = active.length == lastByKey.size &&
+        active.forall { case (k, v) => lastByKey(k) == v }
+      // every non-final intra-batch version is present but born closed
+      val chain = batch.filterNot { case (k, v, _) => lastByKey(k) == v }
+        .forall { case (k, v, _) =>
+          out.filter(col("k") === k && col("v") === v &&
+              !col("active") &&
+              col("start_date") === lit("2020-06-15").cast("date") &&
+              col("end_date") === lit("2020-06-15").cast("date"))
+            .count() == 1L
+        }
+      // pre-existing versions of hit keys are closed out at asOf
+      val hit = lastByKey.keySet
+      val existingClosed = out
+        .join(existing2.select("k", "v", "start_date"), Seq("k", "v", "start_date"))
+        .filter(col("k").isInCollection(hit.toSeq))
+        .collect().forall(r => !r.getAs[Boolean]("active"))
+      val grows = out.count() == existing2.count() + batch.size
+      lastWins && chain && existingClosed && grows
+    }
+
   private def existing3: DataFrame = Seq(
     (1L, "consented", "", "2020-01-01"),
     (2L, "declined", "", "2020-01-01"),
