@@ -132,28 +132,40 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
   private def r2(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def r1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
   private def jmap(kv: Seq[(String, Double)], fmt: Double => String): String =
     kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 
   /** Hard ceiling for the stdout line. The driver records only the LAST
     * ~2000 chars of stdout, and sbt appends a ~75-char `[success] Total
-    * time …` trailer after the line, so anything past ~1920 chars is
+    * time …` trailer after the line, so anything past ~1925 chars is
     * silently beheaded and the driver records `parsed:null`. Rounds 8-9
     * shipped 74 queries whose fixed 3dp map ran 2017 chars — BOTH rounds'
-    * bench artifacts were lost this way. 1800 leaves slack for trailer
-    * drift. */
-  private[graft] val StdoutBudget = 1800
+    * bench artifacts were lost this way. 1880 + the 75-char trailer =
+    * 1955, inside the window with ~45 chars of drift slack.
+    *
+    * A zero-omission stdout line is ARITHMETICALLY impossible at the
+    * current registry size: 108 names averaging ~15 chars cost ≥ 21
+    * chars each even at 1dp (`"name":0.1,`) — ~2.36 KB for the map alone,
+    * over the capture window before the envelope. The complete 3dp map
+    * always ships in BENCH_OUT; the stdout tiers below only maximize how
+    * much of it survives the window. */
+  private[graft] val StdoutBudget = 1880
 
   /** Builds the one-line stdout JSON, adaptively compacted to fit
     * [[StdoutBudget]] at ANY registry size: full per-query map at 3dp;
-    * if over budget, 2dp; if still over, keep only the slowest-K entries
-    * that fit (they dominate `total`, which is the operative baseline
-    * metric) and fold the dropped tail into `q_omitted` (count) +
-    * `omitted_sec` (their summed seconds, so `sum(queries) + omitted_sec
-    * ≈ value` stays checkable from the line alone). The full-precision
-    * map always ships in the BENCH_OUT side channel, so nothing is lost —
-    * only the stdout projection shrinks. BenchSpec pins the budget
-    * invariant against synthetic oversized registries. */
+    * if over budget, 2dp; then 1dp (quantization up to ±0.05 s/entry —
+    * under the suite's own ~0.1 s sub-second jitter, so nothing a reader
+    * could act on is lost); if still over, keep only the slowest-K 1dp
+    * entries that fit (they dominate `total`, which is the operative
+    * baseline metric) and fold the dropped tail into `q_omitted` (count)
+    * + `omitted_sec` (their summed seconds, so `sum(queries) +
+    * omitted_sec ≈ value` stays checkable from the line alone, to 1dp
+    * quantization). The full-precision map always ships in the BENCH_OUT
+    * side channel, so nothing is lost — only the stdout projection
+    * shrinks. BenchSpec pins the budget invariant against synthetic
+    * oversized registries. */
   private[graft] def stdoutLine(
       med: Seq[(String, Double)], total: Double, sfDir: String,
       reps: Int, noise: String): String = {
@@ -173,12 +185,14 @@ object Bench {
     if (full3.length <= StdoutBudget) return full3
     val full2 = mk(jmap(med, r2), Nil)
     if (full2.length <= StdoutBudget) return full2
+    val full1 = mk(jmap(med, r1), Nil)
+    if (full1.length <= StdoutBudget) return full1
     val bySlow = med.sortBy { case (n, v) => (-v, n) }
     var k = med.size
-    var line = full2
+    var line = full1
     while (line.length > StdoutBudget && k > 0) {
       k -= 1
-      line = mk(jmap(bySlow.take(k).sortBy(_._1), r2), bySlow.drop(k).map(_._2))
+      line = mk(jmap(bySlow.take(k).sortBy(_._1), r1), bySlow.drop(k).map(_._2))
     }
     // even the k=0 envelope (empty queries map) can exceed the budget if a
     // fixed field balloons (e.g. an absurdly long SPARK_GRAFT_SF_DIR path

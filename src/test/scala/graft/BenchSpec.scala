@@ -42,7 +42,9 @@ class BenchSpec extends AnyFunSuite {
       ).map(m => m.group(1) -> m.group(2).toDouble).toMap
       val omittedSec = """"omitted_sec":([0-9.]+)""".r
         .findFirstMatchIn(line).get.group(1).toDouble
-      assert(math.abs(shown.values.sum + omittedSec - total) < 0.05,
+      // shown entries are 1dp-quantized under truncation: ±0.05 s each
+      assert(math.abs(shown.values.sum + omittedSec - total) <
+          0.051 * (shown.size + 1),
         "shown + omitted_sec does not reconcile with total")
       val maxOmitted = med.filterNot(kv => shown.contains(kv._1)).map(_._2).max
       val minShown = med.filter(kv => shown.contains(kv._1)).map(_._2).min
@@ -83,7 +85,9 @@ class BenchSpec extends AnyFunSuite {
     val omittedSec = """"omitted_sec":(-?[0-9.]+)""".r
       .findFirstMatchIn(line).get.group(1).toDouble
     assert(omittedSec >= 0, "omitted_sec went negative-adjusted by failures")
-    assert(math.abs(shown.values.filter(_ >= 0).sum + omittedSec - total) < 0.05,
+    // shown entries are 1dp-quantized under truncation: ±0.05 s each
+    assert(math.abs(shown.values.filter(_ >= 0).sum + omittedSec - total) <
+        0.051 * (shown.size + 1),
       "shown + omitted_sec does not reconcile with the non-failed total")
   }
 
