@@ -571,6 +571,90 @@ object TextAnalysis {
       .limit(PmiK)
   }
 
+  /** BM25 parameters (the Robertson/Lucene defaults) and the fixed query. */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25K = 10
+  private[llm] val Bm25Query = Seq("spark", "window", "agg")
+
+  /** BM25 top-k retrieval — the ranked keyword search a training-data
+    * pipeline runs to pull topical subsets, adjudicate near-dup clusters,
+    * or audit decontamination hits. Scores the fixed query
+    * [[Bm25Query]] against every document with the Lucene BM25 formula
+    * (k1 = [[Bm25K1]], b = [[Bm25B]], idf = ln((N − df + 0.5)/(df + 0.5)
+    * + 1)) and returns the top-[[Bm25K]] documents.
+    *
+    * Shape at 100 TB: query terms are LITERALS, so each per-term tf is a
+    * codegen'd `filter(ws, w -> w = term)` INSIDE the row — the token
+    * stream is never exploded and never shuffled. The corpus statistics
+    * (N, avgdl, per-term df) collapse to ONE row via map-side partial
+    * aggregation and broadcast back; scoring is then a map-only pass and
+    * the final top-k is TakeOrderedAndProject (no global sort). Total
+    * cost: one corpus scan + a 1-row broadcast — the same plan at any
+    * scale factor.
+    *
+    * Determinism: 6dp-rounded score, ties broken by doc_id. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc split/filter work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val withTf = Bm25Query.zipWithIndex.foldLeft(d) { case (acc, (t, i)) =>
+      acc.withColumn(s"tf_$i", size(expr(s"filter(ws, w -> w = '$t')")).cast("long"))
+    }.drop("ws")
+    val statAggs = sum(lit(1)).cast("long").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      Bm25Query.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = broadcast(withTf.agg(statAggs.head, statAggs.tail: _*))
+    val score = Bm25Query.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * tf * (Bm25K1 + 1.0) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val nHit = Bm25Query.indices.map(i =>
+      when(col(s"tf_$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    withTf.crossJoin(stats)
+      .select(col("doc_id"), col("dl"), nHit.cast("long").as("n_hit"),
+        round(score, 6).as("score"))
+      .filter(col("n_hit") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25K)
+  }
+
+  val bm25SearchSql: String = {
+    val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, w -> w = '$t')) AS tf_$i"
+    }.mkString(", ")
+    val dfCols = Bm25Query.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val scoreTerms = Bm25Query.indices.map(i =>
+      s"""ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         |         * CAST(tf_$i AS DOUBLE) * ${Bm25K1 + 1.0}
+         |         / (CAST(tf_$i AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))""".stripMargin)
+      .mkString("\n       + ")
+    val hitTerms = Bm25Query.indices.map(i =>
+      s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS dl,
+       |         $tfCols
+       |  FROM (SELECT doc_id, text,
+       |               string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |        FROM documents)
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl, $dfCols
+       |  FROM d
+       |)
+       |SELECT doc_id, dl, CAST($hitTerms AS BIGINT) AS n_hit,
+       |       round($scoreTerms, 6) AS score
+       |FROM d, stats
+       |WHERE $hitTerms > 0
+       |ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
+
   val bigramPmiSql: String =
     s"""WITH d AS (
        |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents

@@ -180,4 +180,41 @@ class TextAnalysisSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
     assert(got == want)
   }
+
+  test("bm25 search matches a driver-side model and never explodes the token stream") {
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+    val (k1, b) = (1.2, 0.75)
+    val q = Seq("spark", "window", "agg")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum.toDouble / n
+    val dfm = q.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val want = docs.flatMap { case (id, ws) =>
+      val dl = ws.length.toDouble
+      val tfs = q.map(t => ws.count(_ == t).toDouble)
+      val score = q.zip(tfs).map { case (t, tf) =>
+        math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+          tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+      val nHit = tfs.count(_ > 0)
+      if (nHit > 0) Some((id, ws.length.toLong, nHit.toLong, r6(score))) else None
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(10).toSeq
+    val res = TextAnalysis.bm25Search(spark, sfDir)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // scale-shape pin: literal query terms mean per-term tf is in-row —
+    // the token stream must never be exploded or hash-shuffled; the only
+    // allowed movement is the 1-row stats aggregate + broadcast and the
+    // TakeOrderedAndProject top-k
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bm25 plan hash-shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate explode"),
+      s"bm25 plan explodes the token stream:\n${plan.take(3000)}")
+  }
 }
