@@ -571,6 +571,62 @@ object TextAnalysis {
       .limit(PmiK)
   }
 
+  /** Deterministic non-ASCII fixture appended to every 5th document by
+    * [[textNormalize]]: an uppercase word, a decomposed e + COMBINING
+    * ACUTE (U+0301), a double space, and the ANGSTROM SIGN (U+212B,
+    * whose NFC form is the precomposed Å). The driver corpus is pure
+    * lowercase ASCII, so without injection the normalizer's Unicode
+    * paths would be dead code under the oracle gate; the injection is
+    * part of the QUERY (identical in engine and oracle), not the data. */
+  private[llm] val NormSuffix = " Cafe\u0301  \u212B"
+
+  /** Text canonicalization — the normalize pass every dedup/fingerprint/
+    * decontamination pipeline runs first, so that 'e'+combining-accent
+    * and precomposed 'é' (or compatibility singletons like U+212B) hash
+    * identically: Unicode NFC via the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression, control-char strip,
+    * whitespace-run collapse, trim, lowercase. Emits the normalized
+    * text, a changed flag, and the normalized length.
+    *
+    * Shape at 100 TB: pure per-document projection — one scan, zero
+    * shuffles, the whole chain inside WholeStageCodegen (the NFC kernel
+    * fast-paths already-normalized text with a no-allocation check, so
+    * ASCII corpora pay a scan, not a rewrite). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(spark)
+    // spread: per-doc normalize/regex work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val raw = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(NormSuffix))).otherwise(col("text"))
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(expr("nfc_normalize(raw)"), "[\\x00-\\x1F\\x7F]", ""),
+      "\\s+", " ")))
+    d.select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), norm.as("text_norm"), col("raw"))
+      .select(col("doc_id"), col("text_norm"),
+        (col("text_norm") =!= col("raw")).as("changed"),
+        length(col("text_norm")).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0 THEN text || '$NormSuffix'
+       |              ELSE text END AS raw
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, raw,
+       |         lower(trim(regexp_replace(
+       |           regexp_replace(nfc_normalize(raw), '[\\x00-\\x1f\\x7f]', '', 'g'),
+       |           '\\s+', ' ', 'g'))) AS text_norm
+       |  FROM r
+       |)
+       |SELECT doc_id, text_norm, text_norm <> raw AS changed,
+       |       CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+       |FROM n ORDER BY doc_id""".stripMargin
+
   /** BM25 parameters (the Robertson/Lucene defaults) and the fixed query. */
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75

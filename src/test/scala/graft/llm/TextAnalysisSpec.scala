@@ -181,6 +181,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("text normalize: NFC composition, idempotence, and a shuffle-free plan") {
+    import java.text.Normalizer
+    val res = TextAnalysis.textNormalize(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver-side model: same inject → NFC → strip → collapse → trim → lower
+    val want = docs.toSeq.sortBy(_._1).map { case (id, t) =>
+      val raw = if (id % 5 == 0) t + TextAnalysis.NormSuffix else t
+      val norm = Normalizer.normalize(raw, Normalizer.Form.NFC)
+        .replaceAll("[\\x00-\\x1F\\x7F]", "")
+        .replaceAll("\\s+", " ").trim.toLowerCase
+      (id, norm, norm != raw, norm.codePointCount(0, norm.length).toLong)
+    }
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the injected rows must actually exercise the Unicode paths: every
+    // 5th doc changes (case fold + NFC composition), the rest are already
+    // canonical ASCII and must survive untouched
+    assert(res.filter(col("changed")).count() == docs.count(_._1 % 5 == 0))
+    assert(res.filter(!col("changed")).count() == docs.count(_._1 % 5 != 0))
+    // NFC composed the decomposed suffix: the combining accent is gone
+    val touched = got.find(_._1 % 5 == 0).get._2
+    assert(touched.contains("caf\u00e9") && touched.contains("\u00e5"),
+      s"suffix not composed+lowered: ...${touched.takeRight(12)}")
+    assert(!touched.contains("\u0301") && !touched.contains("\u00c5"))
+    // idempotence: normalizing the normalized corpus is the identity
+    val again = want.map { case (id, n, _, _) =>
+      val renorm = Normalizer.normalize(n, Normalizer.Form.NFC)
+        .replaceAll("\\s+", " ").trim.toLowerCase
+      n == renorm
+    }
+    assert(again.forall(identity))
+    // per-document projection: no hash shuffle anywhere (the only
+    // exchange is the presentation sort's range partitioning)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"text_normalize plan hash-shuffles:\n${plan.take(3000)}")
+    res.unpersist()
+  }
+
   test("bm25 search matches a driver-side model and never explodes the token stream") {
     def r6(v: Double) =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
