@@ -627,6 +627,85 @@ object TextAnalysis {
        |       CAST(length(text_norm) AS BIGINT) AS n_chars_norm
        |FROM n ORDER BY doc_id""".stripMargin
 
+  /** PII patterns shared by engine and oracle — character-class/quantifier
+    * constructs only, so Java regex (Spark) and RE2 (DuckDB) agree. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — the scrub pass a training corpus gets before release:
+    * emails, URLs, phone numbers, and IPv4 addresses are counted and then
+    * replaced with typed placeholder tags. The driver corpus is synthetic
+    * word-salad with no PII, so (as with [[textNormalize]]) the query
+    * itself deterministically plants PII in three of every four
+    * documents — an email carrying the doc_id (variable length), a
+    * dashed phone number, and an IP + URL pair — identically in engine
+    * and oracle; the fourth document class stays clean so the
+    * no-redaction path is exercised too.
+    *
+    * Shape at 100 TB: per-document regex projection, one scan, zero
+    * shuffles, all four patterns codegen'd; counts are taken BEFORE
+    * replacement so the audit trail (how much PII was found per doc)
+    * survives the scrub. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc regex work serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val raw = when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+      .when(col("doc_id") % 4 === 2,
+        concat(col("text"), lit(" call 555-123-4567")))
+      .when(col("doc_id") % 4 === 3,
+        concat(col("text"), lit(" from 192.168.10.42 see https://example.com/a?b=1")))
+      .otherwise(col("text"))
+    def n(re: String) = size(regexp_extract_all(col("raw"), lit(re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("raw"), EmailRe, "[EMAIL]"),
+          UrlRe, "[URL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+    d.select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        n(EmailRe).as("n_email"), n(UrlRe).as("n_url"),
+        n(PhoneRe).as("n_phone"), n(IpRe).as("n_ip"),
+        redacted.as("text_redacted"))
+      .withColumn("any_pii",
+        col("n_email") + col("n_url") + col("n_phone") + col("n_ip") > 0)
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 4 = 1
+       |                THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |              WHEN doc_id % 4 = 2 THEN text || ' call 555-123-4567'
+       |              WHEN doc_id % 4 = 3
+       |                THEN text || ' from 192.168.10.42 see https://example.com/a?b=1'
+       |              ELSE text END AS raw
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_email,
+       |         CAST(len(regexp_extract_all(raw, '$UrlRe')) AS BIGINT) AS n_url,
+       |         CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |         CAST(len(regexp_extract_all(raw, '$IpRe')) AS BIGINT) AS n_ip,
+       |         regexp_replace(
+       |           regexp_replace(
+       |             regexp_replace(
+       |               regexp_replace(raw, '$EmailRe', '[EMAIL]', 'g'),
+       |               '$UrlRe', '[URL]', 'g'),
+       |             '$PhoneRe', '[PHONE]', 'g'),
+       |           '$IpRe', '[IP]', 'g') AS text_redacted
+       |  FROM r
+       |)
+       |SELECT doc_id, n_email, n_url, n_phone, n_ip, text_redacted,
+       |       n_email + n_url + n_phone + n_ip > 0 AS any_pii
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** BM25 parameters (the Robertson/Lucene defaults) and the fixed query. */
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75

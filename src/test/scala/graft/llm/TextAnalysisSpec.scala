@@ -223,6 +223,40 @@ class TextAnalysisSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("pii redact scrubs every planted pattern and leaves clean docs untouched") {
+    val res = TextAnalysis.piiRedact(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res.count() == docs.size)
+    val rows = res.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5), r.getBoolean(6))).toMap
+    rows.foreach { case (id, (nEmail, nUrl, nPhone, nIp, red, any)) =>
+      id % 4 match {
+        case 1 =>
+          assert((nEmail, nUrl, nPhone, nIp) == (1L, 0L, 0L, 0L), id)
+          assert(red == docs(id) + " contact [EMAIL]", id)
+        case 2 =>
+          assert((nEmail, nUrl, nPhone, nIp) == (0L, 0L, 1L, 0L), id)
+          assert(red == docs(id) + " call [PHONE]", id)
+        case 3 =>
+          assert((nEmail, nUrl, nPhone, nIp) == (0L, 1L, 0L, 1L), id)
+          assert(red == docs(id) + " from [IP] see [URL]", id)
+        case _ =>
+          assert((nEmail, nUrl, nPhone, nIp) == (0L, 0L, 0L, 0L), id)
+          assert(red == docs(id), id)
+      }
+      assert(any == (id % 4 != 0), id)
+      // nothing PII-shaped survives the scrub
+      assert(!red.contains("@") && !red.contains("http"), id)
+    }
+    // per-document projection: no hash shuffle anywhere
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"pii_redact plan hash-shuffles:\n${plan.take(3000)}")
+    res.unpersist()
+  }
+
   test("bm25 search matches a driver-side model and never explodes the token stream") {
     def r6(v: Double) =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
