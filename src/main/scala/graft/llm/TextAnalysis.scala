@@ -627,6 +627,56 @@ object TextAnalysis {
        |       CAST(length(text_norm) AS BIGINT) AS n_chars_norm
        |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Output size for [[bpeMergePairs]]. */
+  private val BpeMergeK = 20
+
+  /** BPE merge-candidate mining — the inner kernel of tokenizer training:
+    * count adjacent character pairs inside words across the corpus and
+    * emit the top-[[BpeMergeK]] merge candidates (what the first BPE
+    * iteration would merge). Adjacency is resolved IN-ROW (each pair is a
+    * 2-char substring over an index sequence — no token self-join); the
+    * pair stream collapses map-side into the pair vocabulary (bounded by
+    * alphabet², a few hundred keys on any natural-language corpus), so
+    * the shuffle carries counters, not characters. Top-k is
+    * TakeOrderedAndProject. Words shorter than 2 chars are filtered
+    * BEFORE the index sequence — Spark's `sequence(1, 0)` would generate
+    * a DESCENDING sequence, not an empty one (DuckDB's `range` is
+    * end-exclusive and empties naturally; the filter keeps both engines
+    * on the same rows).
+    *
+    * Determinism: ordered by (count DESC, pair) — a total order. */
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // spread: per-doc split/explode work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val words = d.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words.select(explode(expr(
+      "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeMergeK)
+      // rank stamped AFTER the top-k cut: the window sees BpeMergeK rows
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+      .select("rk", "pair", "n")
+      .orderBy("rk")
+  }
+
+  val bpeMergePairsSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents
+       |), p AS (
+       |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+       |  FROM w WHERE length(w) >= 2
+       |), c AS (
+       |  SELECT pair, count(*) AS n FROM p GROUP BY pair
+       |)
+       |SELECT row_number() OVER (ORDER BY n DESC, pair) AS rk, pair, n
+       |FROM c ORDER BY n DESC, pair LIMIT $BpeMergeK""".stripMargin
+
   /** PII patterns shared by engine and oracle — character-class/quantifier
     * constructs only, so Java regex (Spark) and RE2 (DuckDB) agree. */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

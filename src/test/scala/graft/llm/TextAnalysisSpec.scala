@@ -223,6 +223,19 @@ class TextAnalysisSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("bpe merge pairs match a driver-side model: counts, order, truncation") {
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").toSeq)
+    val want = docs.flatten.filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20).zipWithIndex
+      .map { case ((p, n), i) => (i + 1L, p, n) }
+    val got = TextAnalysis.bpeMergePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("pii redact scrubs every planted pattern and leaves clean docs untouched") {
     val res = TextAnalysis.piiRedact(spark, sfDir).cache()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
