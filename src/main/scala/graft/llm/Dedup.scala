@@ -495,6 +495,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-source duplication report — the QA dashboard a dedup run ships
+    * with: for each source, how many documents it contributed, how many
+    * sit in a near-dup cluster, how many the keep-one policy drops, and
+    * the drop ratio. This is what decides whether a source's mixing
+    * weight needs re-tuning after dedup (a source that loses 40% of its
+    * rows to clusters is over-weighted upstream).
+    *
+    * Third consumer of [[clusterArtifact]]: the (tiny) cluster table
+    * broadcast-joins LEFT onto the corpus projection and the report is
+    * one source-keyed hash aggregate — warm cost is map-side counting,
+    * the CC build is amortized across all artifact readers. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val clusters = clusterArtifact(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("is_canonical") === false, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("dup_ratio",
+        round(col("n_dropped").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  /** Oracle: the shared recursive-closure labels, LEFT-joined per source. */
+  val dedupReportSql: String =
+    s"""WITH RECURSIVE $shinglesCteSql, $jaccardPairsCteSql, edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_clustered,
+       |       CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.cluster_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       round(CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.cluster_id
+       |                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** Oracle: transitive closure of the same pair CTE via a recursive CTE —
     * min reachable id per node. Tractable at oracle scale only; the Spark
     * side never materializes reachability, just labels. */

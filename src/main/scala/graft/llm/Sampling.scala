@@ -254,6 +254,56 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Salt + sample size for [[weightedSample]]. */
+  private val WsSalt = "ws1"
+  private val WsK = 50
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    * draw [[WsK]] documents with inclusion probability proportional to
+    * their length, the standard way to bias a pretraining mix toward
+    * long documents without a second pass. Each document gets a
+    * DETERMINISTIC uniform u ∈ (0,1] from a salted md5 of its id (the
+    * [[hashSplit]] idiom — reproducible across runs, growth-stable) and
+    * the sample is the top-k by the A-ES key ln(u)/w (equivalent
+    * ordering to u^(1/w), but ln-form avoids cross-engine pow
+    * differences); w = n_chars.
+    *
+    * Shape at 100 TB: the key is a shuffle-free per-row projection and
+    * the sample is TakeOrderedAndProject over k rows per partition — no
+    * global sort, no pre-aggregation, one scan. Determinism: md5 is
+    * bit-stable in both engines, the key expression is the same double
+    * arithmetic, ties broken by doc_id. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val h = conv(
+      substring(md5(concat_ws(":", lit(WsSalt), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double")
+    val u = (h + 1.0) / 4294967296.0
+    val key = log(u) / col("n_chars")
+    d.withColumn("ws_key", key)
+      .orderBy(col("ws_key").desc, col("doc_id"))
+      .limit(WsK)
+      // + 0.0 canonicalizes IEEE negative zero: a key in (-5e-7, 0)
+      // rounds to -0.0 in DuckDB but 0.0 in Spark; -0.0 + 0.0 = +0.0 in
+      // both, so the engines agree on the emitted bits
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (round(col("ws_key"), 6) + 0.0).as("ws_key"))
+      .orderBy("doc_id")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, source, n_chars,
+       |         ln((('0x' || substr(md5('$WsSalt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |             + 1.0) / 4294967296.0) / n_chars AS ws_key
+       |  FROM documents
+       |), s AS (
+       |  SELECT * FROM k ORDER BY ws_key DESC, doc_id LIMIT $WsK
+       |)
+       |SELECT doc_id, source, n_chars, round(ws_key, 6) + 0.0 AS ws_key
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** Per-source data-mixing report — the dashboard every corpus assembly
     * job emits before training: document and token counts per crawl
     * source, its token share of the corpus, and language spread. The

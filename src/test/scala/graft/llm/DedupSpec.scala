@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class DedupSpec extends SparkSpec {
 
@@ -112,6 +112,29 @@ class DedupSpec extends SparkSpec {
     assert(clusters.filter(col("is_canonical")).select("doc_id")
       .except(kept.select("doc_id")).isEmpty)
     Seq(docs, clusters, kept).foreach(_.unpersist())
+  }
+
+  test("dedup report reconciles with the cluster table per source") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clusters = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap // doc_id -> is_canonical
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val ids = ds.keys.toSeq
+      val clustered = ids.filter(clusters.contains)
+      val dropped = clustered.filterNot(clusters)
+      (src, ids.size.toLong, clustered.size.toLong, dropped.size.toLong,
+        BigDecimal(dropped.size.toDouble / ids.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.dedupReport(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == want)
+    // the report must cover every source and reconcile with dedup_apply:
+    // kept = n_docs - n_dropped, summed over sources
+    val kept = got.map(r => r._2 - r._4).sum
+    assert(kept == Dedup.dedupApply(spark, sfDir).count())
   }
 
   test("levenshtein dedup finds single-end and middle edits, skips far pairs") {

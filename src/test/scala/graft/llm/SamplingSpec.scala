@@ -180,4 +180,32 @@ class SamplingSpec extends SparkSpec {
       assert(got == base, s"parts=$parts differs")
     }
   }
+
+  test("weighted sample matches a driver-side A-ES model and biases toward length") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ws1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+    }
+    val keyed = docs.map { case (id, src, nc) =>
+      (id, src, nc, math.log(u(id)) / nc)
+    }
+    val want = keyed.sortBy { case (id, _, _, k) => (-k, id) }.take(50)
+      .map { case (id, src, nc, k) =>
+        (id, src, nc, BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(_._1).toSeq
+    val got = Sampling.weightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // inclusion is length-biased: the sampled mean length exceeds the
+    // corpus mean (P(include) ∝ n_chars up to the uniform draw)
+    val sampleMean = got.map(_._3).sum.toDouble / got.size
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }
