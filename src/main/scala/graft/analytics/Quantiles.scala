@@ -346,6 +346,67 @@ object Quantiles {
        |         <= count(DISTINCT user_id) * $ApproxRelErr AS within_bound
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Rank-space tolerance for [[approxQuantilesCheck]]: percentile_approx
+    * at accuracy 100 guarantees rank error ≤ n/100; 0.05 leaves 5×
+    * headroom so the contract is robust, not knife-edge. */
+  private val ApproxQRankErr = 0.05
+
+  /** Sketch-quantile accuracy contract — the `approx_distinct_check`
+    * pattern for quantiles: each engine runs its own mergeable quantile
+    * sketch (Spark: Greenwald-Khanna `percentile_approx`; DuckDB:
+    * t-digest `approx_quantile`) against its own exact median and
+    * asserts the estimate in RANK space — the fraction of group values
+    * at or below the estimate must sit within [[ApproxQRankErr]] of 0.5.
+    * Rank space is the contract GK actually guarantees (value-space
+    * error is data-dependent and unbounded on skewed distributions), so
+    * the check is provable, not empirical. The hash-compared columns are
+    * the group, its count, the exact type-7 median (identical in both
+    * engines), and the boolean verdict.
+    *
+    * Shape at 100 TB: the sketch aggregate ships fixed-size mergeable
+    * summaries through the shuffle (never the value stream); the rank
+    * probe joins the 5-row estimate table back and re-counts map-side.
+    * This is the cheap always-on twin of the exact `value_quantiles`
+    * kernel: sketches for monitoring, the exact kernel when the fences
+    * feed a decision. */
+  def approxQuantilesCheck(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val agg = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+      expr("percentile_approx(value, 0.5, 100)").as("__ap"))
+    val ranks = e
+      .join(broadcast(agg.select(col("event_type"), col("__ap"))), "event_type")
+      .groupBy("event_type")
+      .agg((sum(when(col("value") <= col("__ap"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("__rank_frac"))
+    agg.join(ranks, "event_type")
+      .select(col("event_type"), col("n"), col("p50_exact"),
+        (abs(col("__rank_frac") - 0.5) <= ApproxQRankErr).as("within_bound"))
+      .orderBy("event_type")
+  }
+
+  val approxQuantilesCheckSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+       |), a AS (
+       |  SELECT event_type, count(*) AS n,
+       |         round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       |         approx_quantile(value, 0.5) AS ap
+       |  FROM e GROUP BY event_type
+       |), r AS (
+       |  SELECT e.event_type,
+       |         CAST(sum(CASE WHEN e.value <= a.ap THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / count(*) AS rank_frac
+       |  FROM e JOIN a USING (event_type)
+       |  GROUP BY e.event_type
+       |)
+       |SELECT a.event_type, a.n, a.p50_exact,
+       |       abs(r.rank_frac - 0.5) <= $ApproxQRankErr AS within_bound
+       |FROM a JOIN r USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   /** ROLLUP aggregation — order revenue by (region, nation) with region
     * subtotals and a grand total, the grouping-sets family the registry
     * otherwise lacks. Spark plans rollup as ONE pass with an Expand (each

@@ -210,4 +210,31 @@ class QuantilesSpec extends SparkSpec {
         s"$et: approx p95 rank $below vs true $trueRank of ${n(et)}")
     }
   }
+
+  test("approx quantiles contract holds and the exact median matches a driver model") {
+    val res = Quantiles.approxQuantilesCheck(spark, sfDir).cache()
+    // the verdict must be TRUE for every group (the entry is a contract,
+    // not a report — a false here is a broken sketch)
+    assert(res.filter(!col("within_bound")).isEmpty)
+    val vals = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    def medianT7(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val frac = pos - math.floor(pos)
+      val v = s(pos.toInt) + frac * (s(math.ceil(pos).toInt) - s(pos.toInt))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    res.collect().foreach { r =>
+      val et = r.getString(0)
+      assert(r.getLong(1) == vals(et).length.toLong, et)
+      assert(math.abs(r.getDouble(2) - medianT7(vals(et).map(_._2).toSeq)) < 1e-9, et)
+    }
+    // the sketch must ship mergeable partials (ObjectHashAggregate with a
+    // partial phase), never the raw value stream to one node
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    res.unpersist()
+  }
 }
