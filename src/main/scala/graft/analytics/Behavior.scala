@@ -222,4 +222,46 @@ object Behavior {
       |SELECT user_id, s.ts AS last_ts, s.event_id AS last_event_id,
       |       s.event_type AS last_type, s.value AS last_value, n_events
       |FROM m ORDER BY user_id""".stripMargin
+
+  /** Per-key-per-window cap for [[rateLimitEvents]]. */
+  private val RateLimitN = 3
+
+  /** Ingestion rate limiting — keep only the FIRST [[RateLimitN]] events
+    * per (user, day) and drop the rest: the bot/spam throttle every
+    * event pipeline applies before counting anything, and the batch twin
+    * of a streaming token-bucket. Arrival order inside the day is
+    * (ts, event_id) — event_id breaks equal-timestamp ties so the kept
+    * set is deterministic. (Day, not hour: on this corpus the hourly
+    * cells never exceed the cap, which would leave the drop path dead —
+    * the daily cells exceed it in the hundreds, so the oracle gates both
+    * keep and drop behavior.)
+    *
+    * Shape at 100 TB: rank-≤-N on a composite key is exactly the
+    * WindowGroupLimit shape (see `domain_cap`): Spark pushes the limit
+    * BELOW the shuffle, so each map task forwards at most N rows per
+    * (user, day) group it sees and the exchange carries survivors, not
+    * the event stream. Output is capped at N × active (user, day)
+    * cells regardless of how hot a key gets. */
+  def rateLimitEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("day", col("ts")).as("day_start"),
+        col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"), col("day_start"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("seq", row_number().over(w).cast("long"))
+      .filter(col("seq") <= RateLimitN)
+      .orderBy("event_id")
+  }
+
+  val rateLimitEventsSql: String =
+    s"""SELECT event_id, user_id, date_trunc('day', ts) AS day_start, ts, event_type,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY user_id, date_trunc('day', ts)
+       |         ORDER BY ts, event_id) AS BIGINT) AS seq
+       |FROM events
+       |WHERE ts IS NOT NULL
+       |QUALIFY seq <= $RateLimitN
+       |ORDER BY event_id""".stripMargin
 }

@@ -87,4 +87,28 @@ class BehaviorSpec extends SparkSpec {
     assert(!plan.contains("Window ["), plan.take(2000))
     assert(plan.contains("partial_max"), plan.take(2000))
   }
+
+  test("rate limit keeps the first 3 per user-day and pushes the limit below the shuffle") {
+    val res = Behavior.rateLimitEvents(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir).filter(col("ts").isNotNull)
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val want = ev.groupBy { case (_, u, ts) =>
+      (u, ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    }.flatMap { case (_, g) =>
+      g.sortBy { case (id, _, ts) => (ts.getTime, id) }.take(3).map(_._1).toSeq
+    }.toSet
+    val got = res.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // the drop path must actually fire on this corpus
+    assert(got.size < ev.length, s"cap never fired (${ev.length} rows)")
+    // seq is within [1, 3] and dense per cell
+    assert(res.filter(col("seq") < 1 || col("seq") > 3).isEmpty)
+    // WindowGroupLimit in Partial and Final mode: a hot key's events are
+    // pre-truncated map-side, the exchange carries survivors only
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("Partial") && plan.contains("Final"), plan.take(2000))
+    res.unpersist()
+  }
 }
