@@ -495,6 +495,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source overlap matrix — pairwise shingle-set Jaccard between
+    * crawl sources: the contamination audit that answers "which two
+    * feeds are re-crawling the same sites" BEFORE document-level dedup
+    * ever sees the pairs (two sources can share most of their text
+    * without any single document pair crossing the near-dup threshold).
+    * One row per source pair with any shared 3-gram shingle: distinct
+    * shingle counts, the shared count, and Jaccard.
+    *
+    * Shape at 100 TB: the (source, shingle) set is the doc-level shingle
+    * stream collapsed by DISTINCT — a hash aggregate that shrinks the
+    * stream to per-source vocabularies before any join; the self-join on
+    * shingle is the same inverted-index candidate generator as the
+    * near-dup pipeline, but each shingle contributes at most
+    * sources²/2 pairs (source-level, not doc-level — no hot-shingle
+    * quadratic blowup); the output is sources²/2 rows. */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesOf(Tables.spread(Tables.documents(spark, dir)))
+      .select(col("source"), explode(col("shingles")).as("shingle"))
+      .distinct()
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(counts.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Oracle: same source-level distinct-shingle sets and pair join. */
+  val sourceOverlapMatrixSql: String =
+    """WITH docs AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT source,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      |  FROM docs WHERE len(ws) >= 3
+      |), c AS (
+      |  SELECT source, count(*) AS n FROM sh GROUP BY source
+      |), p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b, ca.n AS n_a, cb.n AS n_b, shared,
+      |       round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+      |FROM p
+      |JOIN c ca ON source_a = ca.source
+      |JOIN c cb ON source_b = cb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Per-source duplication report — the QA dashboard a dedup run ships
     * with: for each source, how many documents it contributed, how many
     * sit in a near-dup cluster, how many the keep-one policy drops, and

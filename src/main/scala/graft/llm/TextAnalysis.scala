@@ -627,6 +627,57 @@ object TextAnalysis {
        |       CAST(length(text_norm) AS BIGINT) AS n_chars_norm
        |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary size for [[vocabCoverage]] — deliberately smaller than
+    * this corpus's full vocabulary so the OOV path carries real mass. */
+  private val VocabK = 20
+
+  /** Vocabulary-coverage QA — the check a tokenizer or vocab-pruning pass
+    * ships with: build the top-[[VocabK]] term vocabulary by corpus
+    * frequency, then report each source's token count, out-of-vocabulary
+    * token count, and OOV rate. A source whose OOV rate is an outlier is
+    * either a different language/domain than the vocab was fit on or
+    * junk — either way it needs attention before training.
+    *
+    * Shape at 100 TB: term counts collapse map-side into the vocabulary
+    * (hash aggregate); the top-V cut is TakeOrderedAndProject; the
+    * V-row vocabulary broadcast-joins back onto the token stream
+    * (map-only membership test) and the report is one source-keyed
+    * aggregate of counters. The token stream is scanned twice (count,
+    * then membership) but never shuffled raw. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc split/explode work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(VocabK)
+      .select(col("term")).withColumn("__in_vocab", lit(true))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), v AS (
+       |  SELECT term, true AS in_vocab FROM (
+       |    SELECT term, count(*) AS tf FROM t GROUP BY term
+       |    ORDER BY tf DESC, term LIMIT $VocabK)
+       |)
+       |SELECT t.source, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_oov,
+       |       round(CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS oov_rate
+       |FROM t LEFT JOIN v USING (term)
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   /** Output size for [[bpeMergePairs]]. */
   private val BpeMergeK = 20
 

@@ -137,6 +137,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == Dedup.dedupApply(spark, sfDir).count())
   }
 
+  test("source overlap matrix matches a driver-side model of shingle-set Jaccard") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, t) =>
+        val ws = t.trim.split("\\s+")
+        if (ws.length < 3) Seq.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSeq
+      }.toSet
+    }
+    val srcs = bySource.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      shared = (bySource(a) & bySource(b)).size if shared > 0
+    } yield {
+      val (na, nb) = (bySource(a).size, bySource(b).size)
+      (a, b, na.toLong, nb.toLong, shared.toLong,
+        BigDecimal(shared.toDouble / (na + nb - shared))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy(t => (t._1, t._2))
+    val got = Dedup.sourceOverlapMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+  }
+
   test("levenshtein dedup finds single-end and middle edits, skips far pairs") {
     import spark.implicits._
     val base = ("alpha beta gamma delta epsilon zeta eta theta " * 2).trim

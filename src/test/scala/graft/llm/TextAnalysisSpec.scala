@@ -236,6 +236,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("vocab coverage matches a driver-side model and the vocab join broadcasts") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val tf = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val vocab = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(20).map(_._1).toSet
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2)
+      val oov = toks.count(!vocab(_))
+      (src, toks.size.toLong, oov.toLong,
+        BigDecimal(oov.toDouble / toks.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val res = TextAnalysis.vocabCoverage(spark, sfDir)
+    val got = res.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // OOV mass must be real on this corpus (vocab < full vocabulary)
+    assert(got.exists(_._3 > 0))
+    // the V-row vocabulary must broadcast onto the token stream
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("pii redact scrubs every planted pattern and leaves clean docs untouched") {
     val res = TextAnalysis.piiRedact(spark, sfDir).cache()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
