@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MisraGries, PolyHash}
+import graft.functions.{CosineSimilarity, DotProduct, MisraGries, NfcNormalize, PolyHash}
 
 /** Library entry point for `spark.sql.extensions` — registers graft's
   * native Catalyst expressions on every session built with
@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 1, "poly_hash expects 1 argument")
         PolyHash(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC (canonical composition) normalization"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "nfc_normalize expects 1 argument")
+        NfcNormalize(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

@@ -148,6 +148,60 @@ object Layout {
       |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS value_sum
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Dynamic PARTITION OVERWRITE — the reprocess-one-partition idiom that
+    * replaces DELETE + INSERT on immutable storage: load the events table
+    * partitioned by event_type, then rewrite ONLY the 'purchase'
+    * partition with a cleaned batch (null values dropped, values capped)
+    * via `partitionOverwriteMode=dynamic` — every other partition's files
+    * are untouched (pinned by LayoutSpec against the static mode, which
+    * would have truncated them). At 100 TB this is how a backfill
+    * repairs one bad day without rewriting the table: the swap is
+    * metadata-plus-one-partition I/O, proportional to the repaired slice,
+    * not the table. `partitionOverwriteMode=dynamic` is scoped to the
+    * repair write and restored afterwards (the per-write DataFrameWriter
+    * option is NOT honored on this path — verified: the write ran static
+    * and truncated the sibling partitions — so the session conf is the
+    * working mechanism, set/finally-restored). */
+  def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    recreate(spark, "graft_events_po")
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "value", "event_type")
+    ev.write.partitionBy("event_type")
+      .mode("overwrite").saveAsTable("graft_events_po")
+    // the repair batch: purchase rows only, nulls dropped, values capped
+    val cleaned = ev
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .withColumn("value", least(col("value"), lit(100.0)))
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try cleaned.write.mode("overwrite").insertInto("graft_events_po")
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    spark.table("graft_events_po")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 6)
+          .cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle: the post-overwrite state — original rows everywhere except
+    * the repaired partition, which carries the cleaned batch. */
+  val partitionOverwriteSql: String =
+    """WITH final AS (
+      |  SELECT event_id, value, event_type FROM events
+      |  WHERE event_type <> 'purchase'
+      |  UNION ALL
+      |  SELECT event_id, least(value, 100.0) AS value, event_type FROM events
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL
+      |)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS value_sum
+      |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Bits per z-order dimension (16 ⇒ a 32-bit interleaved code). */
   private[sources] val ZBits = 16
   private[sources] val ZMax: Long = (1L << ZBits) - 1

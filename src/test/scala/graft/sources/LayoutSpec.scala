@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Pin the physical properties the layout operators exist for. */
@@ -40,5 +42,28 @@ class LayoutSpec extends SparkSpec {
     // and the registered aggregate sees every original row
     assert(agg.agg(sum("n")).head.getLong(0) ==
       graft.Tables.events(spark, sfDir).count())
+  }
+
+  test("dynamic partition overwrite rewrites one partition and leaves siblings intact") {
+    Layout.partitionOverwrite(spark, sfDir) // runs load + repair write
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value", "event_type")
+    val table = spark.table("graft_events_po")
+      .select("event_id", "user_id", "value", "event_type")
+    // sibling partitions: byte-identical row sets to the original load
+    val sib = table.filter(col("event_type") =!= "purchase")
+    val sibWant = ev.filter(col("event_type") =!= "purchase")
+    assert(sib.exceptAll(sibWant).isEmpty && sibWant.exceptAll(sib).isEmpty)
+    // the repaired partition carries exactly the cleaned batch
+    val rep = table.filter(col("event_type") === "purchase")
+    val repWant = ev
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .withColumn("value", least(col("value"), lit(100.0)))
+    assert(rep.exceptAll(repWant).isEmpty && repWant.exceptAll(rep).isEmpty)
+    // the repaired partition's row count is exactly the non-null purchases
+    // (at sf0.001 no purchase value is null, so equality — not strict
+    // shrinkage — is the invariant; the sf0.01 oracle gate covers drops)
+    assert(rep.count() ==
+      ev.filter(col("event_type") === "purchase" && col("value").isNotNull).count())
   }
 }
