@@ -503,22 +503,30 @@ object Dedup {
     * One row per source pair with any shared 3-gram shingle: distinct
     * shingle counts, the shared count, and Jaccard.
     *
-    * Shape at 100 TB: the (source, shingle) set is the doc-level shingle
-    * stream collapsed by DISTINCT — a hash aggregate that shrinks the
-    * stream to per-source vocabularies before any join; the self-join on
-    * shingle is the same inverted-index candidate generator as the
-    * near-dup pipeline, but each shingle contributes at most
-    * sources²/2 pairs (source-level, not doc-level — no hot-shingle
-    * quadratic blowup); the output is sources²/2 rows. */
+    * Shape at 100 TB: ONE corpus scan — the shingle stream collapses
+    * into a per-shingle source vocabulary (`collect_set(source)`, a few
+    * bytes per shingle since sources number in the dozens) under a
+    * single hash aggregate with map-side-deduped partials; pair counts
+    * come from expanding each vocabulary's ≤ sources²/2 combinations
+    * IN-ROW (no self-join, no second shuffle of the shingle stream),
+    * and per-source totals re-read the same checkpointed vocab frame.
+    * The output is sources²/2 rows. */
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesOf(Tables.spread(Tables.documents(spark, dir)))
+    // vocab-sized; checkpointed because both `counts` and `pairs` read it
+    val bySh = shinglesOf(Tables.spread(Tables.documents(spark, dir)))
       .select(col("source"), explode(col("shingles")).as("shingle"))
-      .distinct()
-    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint()
+    val counts = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = bySh
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            y -> struct(x AS source_a, y AS source_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(counts.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
