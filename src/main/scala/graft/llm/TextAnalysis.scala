@@ -916,4 +916,77 @@ object TextAnalysis {
        |JOIN uc y ON p.w2 = y.w
        |CROSS JOIN tot
        |ORDER BY pmi DESC, w1, w2 LIMIT $PmiK""".stripMargin
+
+  /** Distribution drift between two corpus snapshots, as the population
+    * stability index over fixed document-length buckets, per source —
+    * the QA gate a recurring crawl runs before a new snapshot is allowed
+    * into the training mix (PSI > 0.2 on a source = its content shifted;
+    * re-tune weights before training). Cohorts here are a salted-md5
+    * half-split of `doc_id` standing in for consecutive snapshots (the
+    * `hash_split` idiom — raw `doc_id % 2` is perfectly correlated with
+    * `source` on this corpus and would leave half the sources with an
+    * empty cohort); buckets are
+    * FIXED width-100 `n_chars` bins capped at 9 (data-independent
+    * breakpoints, the production PSI convention — quantile bins would
+    * recompute per snapshot and hide drift). Shares are floored at 1e-6
+    * so empty bins contribute a large-but-finite term on both engines;
+    * an EMPTY COHORT (a source absent from one snapshot) pins all its
+    * shares at the floor — maximal finite PSI, the alarm an absent
+    * source deserves — rather than dividing by zero (cross-engine rule
+    * per the ADVICE divide-guard convention).
+    *
+    * Scale shape: one corpus scan collapsing map-side into
+    * (source × 10-bucket) counter cells — both cohort counts come from
+    * the same pass as conditional sums, not two scans; everything after
+    * the first aggregate is arithmetic on a sources×10 frame. Output is
+    * one row per source. */
+  /** Cohort salt for [[lengthPsiDrift]] — distinct from every other
+    * md5-derived key in the pipeline. */
+  private val PsiSalt = "psi1"
+
+  def lengthPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"),
+      (conv(substring(md5(concat_ws(":", lit(PsiSalt),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0)
+        .as("is_a"),
+      least(floor(col("n_chars") / 100), lit(9)).cast("long").as("bucket"))
+    val cells = d.groupBy("source", "bucket")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b"))
+    val totals = cells.groupBy("source").agg(sum("a").as("na"), sum("b").as("nb"))
+    cells.join(totals, "source")
+      .withColumn("p", when(col("na") > 0,
+        greatest(col("a") / col("na"), lit(1e-6))).otherwise(lit(1e-6)))
+      .withColumn("q", when(col("nb") > 0,
+        greatest(col("b") / col("nb"), lit(1e-6))).otherwise(lit(1e-6)))
+      .groupBy("source")
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .orderBy("source")
+  }
+
+  val lengthPsiDriftSql: String =
+    s"""WITH d AS (
+      |  SELECT source,
+      |         (('0x' || substr(md5('$PsiSalt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |            % 2 = 0) AS is_a,
+      |         least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bucket
+      |  FROM documents
+      |), cells AS (
+      |  SELECT source, bucket,
+      |         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+      |         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS b
+      |  FROM d GROUP BY 1, 2
+      |), t AS (
+      |  SELECT source, sum(a) AS na, sum(b) AS nb FROM cells GROUP BY 1
+      |)
+      |SELECT source, CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+      |       round(sum((p - q) * ln(p / q)), 6) AS psi
+      |FROM (
+      |  SELECT cells.source AS source, na, nb,
+      |         CASE WHEN na > 0 THEN greatest(a / na, 1e-6) ELSE 1e-6 END AS p,
+      |         CASE WHEN nb > 0 THEN greatest(b / nb, 1e-6) ELSE 1e-6 END AS q
+      |  FROM cells JOIN t ON cells.source = t.source
+      |)
+      |GROUP BY source ORDER BY source""".stripMargin
 }

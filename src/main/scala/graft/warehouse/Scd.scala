@@ -298,4 +298,71 @@ object Scd {
       |       complain_number, submitted_via, consumer_consent,
       |       consumer_consent_old, effective_date
       |FROM applied ORDER BY issue_id""".stripMargin
+
+  /** Versioned customer dimension for the point-in-time lookup: every
+    * customer holds a version from 1995-01-01; even keys re-version at
+    * 1998-07-01 (attribute prefixed `R2-`), odd keys keep one open-ended
+    * version. Intervals are half-open `[valid_from, valid_to)` and tile —
+    * every fact date resolves to exactly one version. */
+  private def customerVersions(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val split = lit("1998-07-01").cast("date")
+    val open = lit("2099-12-31").cast("date")
+    val v1 = c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+      lit("1995-01-01").cast("date").as("valid_from"),
+      when(col("c_custkey") % 2 === 0, split).otherwise(open).as("valid_to"))
+    val v2 = c.filter(col("c_custkey") % 2 === 0).select(col("c_custkey"),
+      concat(lit("R2-"), col("c_mktsegment")).as("segment"),
+      split.as("valid_from"), open.as("valid_to"))
+    v1.unionByName(v2)
+  }
+
+  /** Point-in-time fact lookup against an SCD2 dimension — the read side
+    * of the SCD2 kernels above: each order resolves the customer version
+    * that was valid ON ITS ORDER DATE (`valid_from <= o_orderdate <
+    * valid_to`), not the currently-active one, so late-arriving facts and
+    * historical rebuilds attribute to the attributes of their own time.
+    * Revenue then rolls up by the resolved (possibly re-versioned)
+    * segment.
+    *
+    * Engine shape: this is an EQUI-join on the dimension key with the
+    * interval predicate as a residual join filter — Catalyst keys the
+    * hash/sort-merge join on `custkey` and evaluates the date bounds on
+    * each key's version list (a handful of rows), so there is no
+    * range-join pair explosion and no second shuffle. The dimension
+    * broadcasts when it fits; otherwise both sides hash-partition on the
+    * key — either way a fact row is touched once, map-side, and the
+    * final aggregate is segment-keyed (bounded). Tiling half-open
+    * intervals make the match exactly-one by construction (pinned in
+    * ScdSpec). */
+  def scd2PointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("o_date"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    o.join(customerVersions(spark, dir),
+        col("o_custkey") === col("c_custkey") &&
+          col("o_date") >= col("valid_from") && col("o_date") < col("valid_to"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("price")), 2).cast("double").as("revenue"))
+      .orderBy("segment")
+  }
+
+  val scd2PointInTimeJoinSql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |         DATE '1995-01-01' AS valid_from,
+      |         CASE WHEN c_custkey % 2 = 0 THEN DATE '1998-07-01'
+      |              ELSE DATE '2099-12-31' END AS valid_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'R2-' || c_mktsegment, DATE '1998-07-01', DATE '2099-12-31'
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |)
+      |SELECT segment, count(*) AS n_orders,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN dim ON o_custkey = c_custkey
+      |  AND CAST(o_orderdate AS DATE) >= valid_from
+      |  AND CAST(o_orderdate AS DATE) < valid_to
+      |GROUP BY segment ORDER BY segment""".stripMargin
 }

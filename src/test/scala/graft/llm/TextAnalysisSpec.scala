@@ -329,4 +329,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Generate explode"),
       s"bm25 plan explodes the token stream:\n${plan.take(3000)}")
   }
+
+  test("length PSI drift matches a driver-side model and reconciles cohort totals") {
+    val out = TextAnalysis.lengthPsiDrift(spark, sfDir).cache()
+    // cohort totals reconcile with the corpus, per source
+    val fromOut = out.select("source", "n_a", "n_b").collect()
+      .map(r => r.getString(0) -> (r.getLong(1) + r.getLong(2))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+    val perSource = docs.groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length.toLong }
+    assert(fromOut == perSource)
+    // PSI recomputed driver-side with the same fixed bins and 1e-6 floor
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def isA(docId: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"psi1:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0
+    }
+    val want = docs.groupBy(_.getString(1)).map { case (s, rs) =>
+      val buckets = rs.map(r => (math.min(r.getLong(2) / 100, 9L),
+        isA(r.getLong(0))))
+      val na = buckets.count(_._2).toDouble
+      val nb = buckets.count(!_._2).toDouble
+      val psi = buckets.map(_._1).distinct.map { bkt =>
+        val p = if (na > 0) math.max(buckets.count(t => t._1 == bkt && t._2) / na, 1e-6)
+                else 1e-6
+        val q = if (nb > 0) math.max(buckets.count(t => t._1 == bkt && !t._2) / nb, 1e-6)
+                else 1e-6
+        (p - q) * math.log(p / q)
+      }.sum
+      s -> r6(psi)
+    }
+    val got = out.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got == want, s"psi mismatch: got $got want $want")
+    // PSI is nonnegative by construction ((p-q) and ln(p/q) share sign)
+    assert(got.values.forall(_ >= 0.0))
+  }
 }

@@ -113,4 +113,23 @@ class ScdSpec extends SparkSpec {
     val scd3 = Scd.scd3Issue(spark, sfDir).cache()
     assert(scd3.groupBy("complain_number").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("scd2 point-in-time join resolves exactly one version per fact") {
+    import graft.Tables
+    val out = Scd.scd2PointInTimeJoin(spark, sfDir).cache()
+    // tiling half-open intervals: the join neither drops nor duplicates facts
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(out.agg(sum("n_orders")).first().getLong(0) == nOrders)
+    // R2- segments exist (even keys re-version) and only carry orders on or
+    // after the 1998-07-01 split; plain segments carry the rest
+    val segs = out.select("segment").as[String].collect()
+    assert(segs.exists(_.startsWith("R2-")) && segs.exists(!_.startsWith("R2-")))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+    val r2Expected = o.filter(col("o_custkey") % 2 === 0 &&
+      col("d") >= lit("1998-07-01").cast("date")).count()
+    val r2Got = out.filter(col("segment").startsWith("R2-"))
+      .agg(sum("n_orders")).first().getLong(0)
+    assert(r2Got == r2Expected, s"R2 orders $r2Got != $r2Expected")
+  }
 }
