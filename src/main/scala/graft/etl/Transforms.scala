@@ -225,4 +225,36 @@ object Transforms {
       |       min(json_extract(props, '$.k')::INT) AS k_min,
       |       max(json_extract(props, '$.k')::INT) AS k_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Schema-drift union — the ingest step that reconciles two crawl
+    * snapshots whose schemas evolved between runs: the older extract
+    * lacks a column the newer one added (`lang`), the newer one dropped
+    * a column the older one carried (`n_chars`). `unionByName` with
+    * `allowMissingColumns` aligns BY NAME and null-fills the gaps —
+    * positional UNION would silently pair mismatched columns, the
+    * classic schema-drift corruption. A `snapshot` tag preserves
+    * provenance for the downstream drift reports (`length_psi_drift`).
+    *
+    * Scale shape: pure map-side — two scans, a column alignment, zero
+    * exchanges beyond the final presentation sort; drift reconciliation
+    * costs nothing but the scans at any corpus size. */
+  def unionSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val older = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("snapshot", lit("s1"))
+    val newer = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("snapshot", lit("s2"))
+    older.unionByName(newer, allowMissingColumns = true)
+      .orderBy("doc_id")
+  }
+
+  val unionSchemaDriftSql: String =
+    """SELECT doc_id, source, n_chars, 's1' AS snapshot, CAST(NULL AS VARCHAR) AS lang
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars, 's2' AS snapshot, lang
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
 }

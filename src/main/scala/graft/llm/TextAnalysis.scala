@@ -944,6 +944,78 @@ object TextAnalysis {
     * md5-derived key in the pipeline. */
   private val PsiSalt = "psi1"
 
+  /** Head size for the [[zipfFit]] regression — the fit uses the
+    * frequency head because Zipf's law holds there and the rank tail of
+    * any real corpus is hapax-dominated noise. */
+  private val ZipfK = 100
+
+  /** Zipf rank-frequency fit — the corpus-law health check run after
+    * ingest: OLS of ln(frequency) on ln(rank) over the top-[[ZipfK]]
+    * terms. A natural-language corpus fits slope ≈ −1 with high R²;
+    * machine-generated or template spam bends the curve, so (slope, r2)
+    * drifting between snapshots is an early corruption signal that costs
+    * one token-count pass to compute.
+    *
+    * Engine shape: token counts collapse map-side into the vocabulary,
+    * the head is a TakeOrderedAndProject (never a full sort), and the
+    * regression is one tiny aggregate over [[ZipfK]] rows — rank comes
+    * from a window on that head, not on the corpus. Determinism: rank
+    * ties break on the term, so both engines rank — and therefore fit —
+    * identically; outputs round to 6dp behind ln (the `bigram_pmi`
+    * precedent). */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val head = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(ZipfK)
+    val xy = head
+      .withColumn("x", log(row_number().over(
+        Window.orderBy(col("c").desc, col("term"))).cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+    val m = xy.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(
+      col("n").cast("long").as("n_terms"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+        .as("intercept"),
+      round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), head AS (
+       |  SELECT term, count(*) AS c FROM toks GROUP BY term
+       |  ORDER BY c DESC, term LIMIT $ZipfK
+       |), xy AS (
+       |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term) AS DOUBLE)) AS x,
+       |         ln(CAST(c AS DOUBLE)) AS y
+       |  FROM head
+       |), m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM xy
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_terms,
+       |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       |         AS intercept,
+       |       round(pow(n * sxy - sx * sy, 2) /
+       |             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       |FROM m""".stripMargin
+
   def lengthPsiDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("source"),
       (conv(substring(md5(concat_ws(":", lit(PsiSalt),

@@ -52,4 +52,20 @@ class TransformsSpec extends SparkSpec {
     val n = flat.agg(sum("n")).head().getLong(0)
     assert(n == ev.count())
   }
+
+  test("schema-drift union aligns by name and null-fills exactly the drifted columns") {
+    val out = Transforms.unionSchemaDrift(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() == docs.count()) // every doc lands in exactly one snapshot
+    // the missing column is null IFF the row came from the snapshot lacking it
+    assert(out.filter(col("snapshot") === "s1" &&
+      (col("lang").isNotNull || col("n_chars").isNull)).isEmpty)
+    assert(out.filter(col("snapshot") === "s2" &&
+      (col("n_chars").isNotNull || col("lang").isNull)).isEmpty)
+    // alignment is by NAME: surviving values match the base table's
+    val backJoin = out.filter(col("snapshot") === "s1")
+      .join(docs.select(col("doc_id"), col("n_chars").as("want")), "doc_id")
+      .filter(col("n_chars") =!= col("want"))
+    assert(backJoin.isEmpty)
+  }
 }

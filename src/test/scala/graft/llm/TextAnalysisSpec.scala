@@ -366,4 +366,31 @@ class TextAnalysisSpec extends SparkSpec {
     // PSI is nonnegative by construction ((p-q) and ln(p/q) share sign)
     assert(got.values.forall(_ >= 0.0))
   }
+
+  test("zipf fit matches a driver-side OLS over the exact top-100 and stays sane") {
+    val row = TextAnalysis.zipfFit(spark, sfDir).collect().head
+    // driver-side model: exact counts, same (freq desc, term) head + ranks
+    val counts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity[String]).map { case (t, a) => (t, a.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble))
+    }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(t => t._1 * t._2).sum
+    val (sxx, syy) = (xy.map(t => t._1 * t._1).sum, xy.map(t => t._2 * t._2).sum)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // the sf0.001 vocabulary is smaller than ZipfK — the head is the
+    // whole vocabulary and the fit covers all of it
+    assert(row.getAs[Long]("n_terms") == counts.length.toLong)
+    assert(row.getAs[Double]("slope") == r6(slope),
+      s"slope ${row.getAs[Double]("slope")} != ${r6(slope)}")
+    // a frequency head is monotone nonincreasing, so the fit slopes down
+    assert(row.getAs[Double]("slope") < 0.0)
+    assert(row.getAs[Double]("r2") >= 0.0 && row.getAs[Double]("r2") <= 1.0)
+  }
 }
