@@ -95,4 +95,102 @@ object RangeJoin {
        |GROUP BY band_id, lo, hi
        |ORDER BY band_id""".stripMargin
   }
+
+  /** Interval×interval OVERLAP join (closed intervals, integer bounds) —
+    * the two-sided sibling of [[bucketed]]: both sides explode into the
+    * W-buckets they cover (exact `DIV` on long bounds, no FP), the join
+    * is a plain equi-join on the bucket id with the overlap predicate
+    * (`a_lo <= b_hi && b_lo <= a_hi`) as a residual filter, and each
+    * overlapping pair is emitted EXACTLY ONCE without any distinct
+    * shuffle: only the bucket containing the overlap's start
+    * (`greatest(a_lo, b_lo) DIV W`) keeps the pair — that bucket is
+    * covered by both sides by construction, and it is unique per pair.
+    * Same scale regime as [[bucketed]]: broadcast-hash when one side is
+    * calendar-/dimension-bounded, co-partitioned shuffle when both are
+    * huge; never a nested loop. */
+  def overlapBucketed(
+      a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String, w: Long): DataFrame = {
+    val ea = a.withColumn("_bkt",
+      explode(sequence(expr(s"$aLo DIV $w"), expr(s"$aHi DIV $w"))))
+    val eb = b.withColumn("_bkt",
+      explode(sequence(expr(s"$bLo DIV $w"), expr(s"$bHi DIV $w"))))
+    ea.join(eb, Seq("_bkt"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("_bkt") === expr(s"greatest($aLo, $bLo) DIV $w"))
+      .drop("_bkt")
+  }
+
+  /** Bucket width for [[intervalOverlapJoin]] (and the window-bound
+    * unit): one hour in µs. */
+  private val UsPerH = 3600L * 1000000L
+
+  /** Registered entry: per-(user, day) activity intervals [first event,
+    * last event] overlap-joined to the day's maintenance windows
+    * (02:00-04:00 and 14:00-15:30, derived from the corpus date span) —
+    * "whose sessions collided with maintenance, and for how long", the
+    * impact analysis an ops team runs after every incident. Bounds are
+    * exact event-µs integers; overlap durations sum exactly.
+    *
+    * The window side is calendar-bounded (2 rows/day) so it always
+    * broadcasts; the session side replicates into ≤ 25 hour-buckets/day.
+    * The oracle states the naive non-equi join — quadratic in general,
+    * which is exactly why the engine path buckets. */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val s = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(unix_micros(min(col("ts"))).as("s_lo"),
+        unix_micros(max(col("ts"))).as("s_hi"))
+    val bounds = ev.agg(to_date(min(col("ts"))).as("d0"),
+      to_date(max(col("ts"))).as("d1"))
+    def at(h: Long): Column =
+      unix_micros(col("wday").cast("timestamp")) + lit(h)
+    val wins = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("wday"))
+      .select(col("wday"), explode(array(
+        struct(lit("nightly").as("kind"),
+          at(2 * UsPerH).as("w_lo"), at(4 * UsPerH).as("w_hi")),
+        struct(lit("midday").as("kind"),
+          at(14 * UsPerH).as("w_lo"), at(15 * UsPerH + UsPerH / 2).as("w_hi"))))
+        .as("w"))
+      .select(col("wday"), col("w.kind").as("kind"),
+        col("w.w_lo").as("w_lo"), col("w.w_hi").as("w_hi"))
+    overlapBucketed(s, "s_lo", "s_hi", wins, "w_lo", "w_hi", UsPerH)
+      .groupBy(col("wday").as("day"), col("kind"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(greatest(lit(0L),
+          least(col("s_hi"), col("w_hi")) - greatest(col("s_lo"), col("w_lo"))))
+          .as("overlap_us"))
+      .orderBy("day", "kind")
+  }
+
+  val intervalOverlapJoinSql: String =
+    """WITH s AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         epoch_us(CAST(min(ts) AS TIMESTAMP)) AS s_lo,
+      |         epoch_us(CAST(max(ts) AS TIMESTAMP)) AS s_hi
+      |  FROM events GROUP BY 1, 2
+      |), b AS (
+      |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+      |), days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                                     CAST(d1 AS TIMESTAMP),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS wday
+      |  FROM b
+      |), w AS (
+      |  SELECT wday, 'nightly' AS kind,
+      |         epoch_us(CAST(wday AS TIMESTAMP)) + 7200000000 AS w_lo,
+      |         epoch_us(CAST(wday AS TIMESTAMP)) + 14400000000 AS w_hi
+      |  FROM days
+      |  UNION ALL
+      |  SELECT wday, 'midday',
+      |         epoch_us(CAST(wday AS TIMESTAMP)) + 50400000000,
+      |         epoch_us(CAST(wday AS TIMESTAMP)) + 55800000000
+      |  FROM days
+      |)
+      |SELECT wday AS day, kind, count(*) AS n_sessions,
+      |       CAST(sum(greatest(0, least(s_hi, w_hi) - greatest(s_lo, w_lo)))
+      |            AS BIGINT) AS overlap_us
+      |FROM s JOIN w ON s_lo <= w_hi AND w_lo <= s_hi
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -197,6 +197,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scd2 point-in-time join: equi keys extracted, validity bounds are a residual filter") {
+    val df = graft.warehouse.Scd.scd2PointInTimeJoin(spark, sfDir)
+    val initial = df.queryExecution.executedPlan.toString
+    // the whole point of the shape: Catalyst must key the join on custkey
+    // (hash or sort-merge or broadcast HASH join) — if the interval
+    // predicate swallowed the equi key this would degrade to a
+    // BroadcastNestedLoopJoin / CartesianProduct, the 100 TB killer
+    assert(!initial.contains("BroadcastNestedLoopJoin") &&
+      !initial.contains("CartesianProduct"),
+      s"point-in-time join lost its equi key:\n${initial.take(3000)}")
+    assert(initial.contains("Join") || initial.contains("HashJoin") ||
+      initial.contains("SortMergeJoin"), initial.take(2000))
+  }
+
   test("native kNN: cosine kernel runs inside whole-stage codegen") {
     val df = Similarity.embeddingKnnNative(spark, sfDir)
     // pre-execution plan: AQE hasn't collapsed materialized stages yet, so

@@ -57,4 +57,42 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "range join must stay an equi-join on _bkt with a residual filter")
   }
+
+  test("overlap join emits each overlapping pair exactly once, for ANY W") {
+    // intervals chosen to cross bucket boundaries and share several
+    // buckets, so the exactly-once rule (overlap-start bucket) is load-bearing
+    val a = Seq((1L, 0L, 250L), (2L, 90L, 110L), (3L, 400L, 410L))
+      .toDF("aid", "s_lo", "s_hi")
+    val b = Seq((10L, 100L, 300L), (20L, 240L, 260L), (30L, 500L, 600L))
+      .toDF("bid", "w_lo", "w_hi")
+    val want = Set((1L, 10L), (1L, 20L), (2L, 10L)) // closed-interval overlaps
+    for (w <- Seq(7L, 100L, 1000L)) {
+      val got = RangeJoin.overlapBucketed(a, "s_lo", "s_hi", b, "w_lo", "w_hi", w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"duplicates at W=$w: ${got.toSeq}")
+      assert(got.toSet == want, s"W=$w got ${got.toSet}")
+    }
+  }
+
+  test("closed-interval touch (a_hi == b_lo) counts as a zero-length overlap") {
+    val a = Seq((1L, 0L, 100L)).toDF("aid", "s_lo", "s_hi")
+    val b = Seq((10L, 100L, 200L)).toDF("bid", "w_lo", "w_hi")
+    val got = RangeJoin.overlapBucketed(a, "s_lo", "s_hi", b, "w_lo", "w_hi", 50L)
+    assert(got.count() == 1)
+  }
+
+  test("interval overlap entry: sane aggregates and no nested loop") {
+    val df = RangeJoin.intervalOverlapJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // a session ∩ window overlap can never exceed the window's own width
+    val maxByKind = rows.groupBy(_.getString(1)).map { case (k, rs) =>
+      k -> rs.map(r => r.getLong(3) / r.getLong(2)).max // avg overlap per session
+    }
+    assert(maxByKind("nightly") <= 2L * 3600L * 1000000L)
+    assert(maxByKind.getOrElse("midday", 0L) <= 5400L * 1000000L)
+  }
 }
