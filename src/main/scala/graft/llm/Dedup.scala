@@ -608,6 +608,61 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Keep-BEST dedup apply — the policy variant of [[dedupApply]]: instead
+    * of the min-id canonical, each near-dup cluster keeps its LONGEST
+    * member (`n_chars` max, ties to the lower doc_id) — the real-world
+    * keep policy when near-dups are truncated/boilerplate variants of one
+    * underlying page and the longest copy carries the most content.
+    *
+    * Fourth consumer of [[clusterArtifact]]. The per-cluster winner is a
+    * struct-argmax (the `latest_event_per_user` idiom): map-side partial
+    * max ships one candidate per cluster per partition, never the
+    * membership; the drop list (clustered non-winners) stays near-dup
+    * sized, so the final anti-join broadcasts and the corpus streams
+    * map-only — identical scale shape to [[dedupApply]], different
+    * policy. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clustered = clusterArtifact(spark, dir).select("doc_id", "cluster_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val best = clustered
+      .groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).cast("long").as("best_doc"))
+    val drops = clustered.join(best, "cluster_id")
+      .filter(col("doc_id") =!= col("best_doc")).select("doc_id")
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: same closure labels; the winner per cluster via ROW_NUMBER
+    * over (n_chars DESC, doc_id). */
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $shinglesCteSql, $jaccardPairsCteSql, edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+       |), best AS (
+       |  SELECT doc_id FROM (
+       |    SELECT c.doc_id,
+       |           row_number() OVER (PARTITION BY c.cluster_id
+       |                              ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |    FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+       |  ) WHERE rn = 1
+       |)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+       |   OR d.doc_id IN (SELECT doc_id FROM best)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Oracle: transitive closure of the same pair CTE via a recursive CTE —
     * min reachable id per node. Tractable at oracle scale only; the Spark
     * side never materializes reachability, just labels. */

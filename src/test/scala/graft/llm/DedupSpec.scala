@@ -114,6 +114,25 @@ class DedupSpec extends SparkSpec {
     Seq(docs, clusters, kept).foreach(_.unpersist())
   }
 
+  test("keep-best apply keeps exactly one member per cluster — the longest") {
+    val clusters = Dedup.dedupClusters(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars").cache()
+    val kept = Dedup.dedupKeepBest(spark, sfDir).cache()
+    // survivor count identical to the min-id policy: one per cluster
+    assert(kept.count() == Dedup.dedupApply(spark, sfDir).count())
+    // the surviving member of each cluster is its (n_chars max, doc_id min)
+    val byCluster = clusters.join(docs, "doc_id").collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    byCluster.foreach { case (cid, rs) =>
+      val want = rs.map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+        .minBy { case (n, id) => (-n, id) }._2
+      val got = rs.map(_.getAs[Long]("doc_id")).filter(keptIds)
+      assert(got.toSeq == Seq(want), s"cluster $cid kept ${got.toSeq}, want $want")
+    }
+    Seq(clusters, docs, kept).foreach(_.unpersist())
+  }
+
   test("dedup report reconciles with the cluster table per source") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
