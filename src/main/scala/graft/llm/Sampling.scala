@@ -470,4 +470,60 @@ object Sampling {
        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens - n_tokens < $TokenBudget
        |ORDER BY cum_tokens""".stripMargin
+
+  /** Token budget the [[epochMixPlan]] is sized against. A literal (the
+    * run config a real pipeline would pass in); the plan itself is
+    * size-independent — epochs just scale with the corpus. */
+  private val MixBudget = 1000000L
+
+  /** Epoch-mix plan — the sampling schedule a pretraining run derives
+    * before it touches any data: given per-language upsampling weights
+    * (here: non-English ×2, the low-resource-balancing config every
+    * multilingual run uses), compute each language's share of the token
+    * budget and the number of EPOCHS (repeat factor) of its available
+    * tokens that share implies. epochs > 1 means the language repeats;
+    * epochs < 1 means it is subsampled — the two halves of the mixing
+    * decision, derived from one aggregate.
+    *
+    * Scale shape: one corpus scan collapsing map-side into per-language
+    * token counters (languages number in the hundreds at worst), a 1-row
+    * weighted-total broadcast back, then pure arithmetic — the plan for a
+    * 100 TB corpus costs exactly one scan, and the scan itself prunes to
+    * (lang, text). */
+  def epochMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
+    val perLang = d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tokens"))
+      .withColumn("weight",
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(2.0)))
+    val tot = perLang.agg(sum(col("weight") * col("tokens")).as("wt"))
+    perLang.crossJoin(broadcast(tot))
+      .withColumn("share", col("weight") * col("tokens") / col("wt"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("weight"),
+        round(col("share"), 6).as("mix_share"),
+        floor(col("share") * MixBudget).cast("long").as("target_tokens"),
+        round(col("share") * MixBudget / col("tokens"), 4).as("epochs"))
+      .orderBy("lang")
+  }
+
+  val epochMixPlanSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tk
+       |  FROM documents
+       |), pl AS (
+       |  SELECT lang, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS tokens
+       |  FROM d GROUP BY lang
+       |), w AS (
+       |  SELECT lang, n_docs, tokens,
+       |         CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 2.0 END AS DOUBLE) AS weight
+       |  FROM pl
+       |), t AS (
+       |  SELECT sum(weight * tokens) AS wt FROM w
+       |)
+       |SELECT lang, n_docs, tokens, weight,
+       |       round(weight * tokens / wt, 6) AS mix_share,
+       |       CAST(floor(weight * tokens / wt * $MixBudget) AS BIGINT) AS target_tokens,
+       |       round(weight * tokens / wt * $MixBudget / tokens, 4) AS epochs
+       |FROM w CROSS JOIN t ORDER BY lang""".stripMargin
 }

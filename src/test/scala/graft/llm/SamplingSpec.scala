@@ -208,4 +208,24 @@ class SamplingSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
+
+  test("epoch mix plan: shares sum to 1, targets fill the budget, weights bias epochs") {
+    val rows = Sampling.epochMixPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("mix_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum to ${shares.sum}")
+    // floor() per language can undershoot the budget by at most n_langs tokens
+    val targets = rows.map(_.getAs[Long]("target_tokens"))
+    assert(targets.sum <= 1000000L && targets.sum >= 1000000L - rows.length)
+    // the ×2 weight means every non-en language runs proportionally more
+    // epochs than en relative to its token mass: epochs ratio == weight ratio
+    val byLang = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Double]("epochs"), r.getAs[Long]("tokens"))).toMap
+    val (enE, enT) = byLang("en")
+    byLang.foreach { case (lang, (e, _)) =>
+      if (lang != "en")
+        assert(math.abs(e / enE - 2.0) < 0.01,
+          s"$lang epochs/en epochs = ${e / enE}, want ~2 (tokens cancel: $enT)")
+    }
+  }
 }
