@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MisraGries, NfcNormalize, PolyHash}
+import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MisraGries, NfcNormalize, PolyHash}
 
 /** Library entry point for `spark.sql.extensions` — registers graft's
   * native Catalyst expressions on every session built with
@@ -56,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 1, "nfc_normalize expects 1 argument")
         NfcNormalize(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      info("char_entropy",
+        "char_entropy(s) - Shannon entropy (bits) over the string's Unicode code points"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "char_entropy expects 1 argument")
+        CharEntropy(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

@@ -530,4 +530,63 @@ object Quantiles {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
       |ORDER BY g_seg, g_pri, segment NULLS FIRST, priority NULLS FIRST""".stripMargin
+
+  /** Tukey-fence (1.5×IQR) outlier profile per event type — the standard
+    * box-plot rule a data-quality pass reports before anyone trusts a
+    * mean: values outside [q1 - 1.5·IQR, q3 + 1.5·IQR] are counted, not
+    * silently dropped, so the owning team sees the contamination rate.
+    *
+    * Sixth consumer of [[groupedQuantiles]]: q1/q3 come from the
+    * two-phase distributed-selection kernel (never a per-group
+    * single-task sort), the #groups-row fence table broadcasts back
+    * onto the scan, and the outlier count is a codegen'd conditional
+    * aggregate — cost at 100 TB = the kernel + one map-side counting
+    * pass. Determinism: fences derive from 6dp-rounded quantiles on
+    * both engines, so the boundary comparisons see identical doubles. */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val fences = groupedQuantiles(ev, "event_type", "value",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+      .withColumn("iqr", round(col("q3") - col("q1"), 6))
+      .withColumn("lo_fence", round(col("q1") - lit(1.5) * col("iqr"), 6))
+      .withColumn("hi_fence", round(col("q3") + lit(1.5) * col("iqr"), 6))
+    ev.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("iqr")).as("iqr"),
+        first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"),
+        sum(when(col("value") < col("lo_fence") ||
+          col("value") > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+      .orderBy("event_type")
+  }
+
+  val iqrOutliersSql: String =
+    """WITH f AS (
+      |  SELECT event_type, count(*) AS n,
+      |         round(quantile_cont(value, 0.25), 6) AS q1,
+      |         round(quantile_cont(value, 0.75), 6) AS q3
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+      |), b AS (
+      |  SELECT *, round(q3 - q1, 6) AS iqr,
+      |         round(q1 - 1.5 * round(q3 - q1, 6), 6) AS lo_fence,
+      |         round(q3 + 1.5 * round(q3 - q1, 6), 6) AS hi_fence
+      |  FROM f
+      |)
+      |SELECT e.event_type, min(b.n) AS n, min(b.q1) AS q1, min(b.q3) AS q3,
+      |       min(b.iqr) AS iqr, min(b.lo_fence) AS lo_fence,
+      |       min(b.hi_fence) AS hi_fence,
+      |       CAST(sum(CASE WHEN e.value < b.lo_fence OR e.value > b.hi_fence
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       round(sum(CASE WHEN e.value < b.lo_fence OR e.value > b.hi_fence
+      |                      THEN 1 ELSE 0 END) / CAST(min(b.n) AS DOUBLE), 6)
+      |         AS outlier_rate
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |WHERE e.value IS NOT NULL
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 }

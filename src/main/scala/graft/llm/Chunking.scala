@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sliding-window document chunking — the pass that turns a raw corpus
+  * into model-sized training/retrieval units (cf. the reference's
+  * row-level ETL reshaping, python.py:66-185, generalized per SURVEY
+  * §2.10 to the LLM-pipeline surface). Every RAG index and most
+  * pretraining data loaders consume fixed-size token windows with a
+  * small overlap so no sentence is ever split across a hard boundary
+  * without context on either side.
+  */
+object Chunking {
+
+  /** Window of [[ChunkTokens]] whitespace tokens, stride [[ChunkStride]]
+    * (overlap = window - stride). Chunks start at 0, stride, 2*stride, …
+    * while the start is inside the document, so every token lands in at
+    * least one chunk and short docs yield exactly one chunk. */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** One output row per (doc, window): chunk ordinal, token offset, the
+    * chunk's token count and re-joined text.
+    *
+    * Shape at 100 TB: entirely map-side — tokenize, generate the stride
+    * starts with `sequence` (a per-row array, NOT a join against a
+    * numbers table), `posexplode`, `slice`, `array_join`; no shuffle
+    * anywhere except the presentation sort. Output fan-out is bounded:
+    * ceil(n_tokens / stride) rows per doc, each a near-fixed-size
+    * window, which is exactly the row-size distribution downstream
+    * loaders want. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc tokenize/explode work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+    d.select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(ChunkStride))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "start_tok")
+      .select(col("doc_id"), col("chunk_id").cast("long"),
+        col("start_tok").cast("long"),
+        least(lit(ChunkTokens), col("n") - col("start_tok")).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val docChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |         range(0, greatest(n, 1), $ChunkStride) AS starts
+       |  FROM d
+       |)
+       |SELECT doc_id,
+       |       CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_id,
+       |       CAST(unnest(starts) AS BIGINT) AS start_tok,
+       |       CAST(least($ChunkTokens, n - unnest(starts)) AS BIGINT) AS n_tokens,
+       |       array_to_string(
+       |         list_slice(toks, unnest(starts) + 1,
+       |                    unnest(starts) + $ChunkTokens), ' ') AS chunk_text
+       |FROM n ORDER BY doc_id, chunk_id""".stripMargin
+}

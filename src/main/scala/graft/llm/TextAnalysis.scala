@@ -1061,4 +1061,46 @@ object TextAnalysis {
       |  FROM cells JOIN t ON cells.source = t.source
       |)
       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-document character-entropy quality signal — Shannon entropy in
+    * bits over Unicode code points, plus the code-point count and the
+    * alphabet size. Low-entropy docs are padding/boilerplate; entropy
+    * near log2(alphabet) flags encoded blobs — both ends get cut by a
+    * corpus filter before tokenizer training.
+    *
+    * Shape at 100 TB: the entropy is a native codegen'd expression
+    * ([[graft.functions.CharEntropy]]) — one streaming pass per string
+    * inside WholeStageCodegen, NO per-character explode/shuffle (the
+    * naive explode(split(text,'')) plan would exchange one row per
+    * character — ~100e12 rows corpus-wide). The whole query is a
+    * map-only scan-project; the only ordering is presentation. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CharEntropy.register(spark)
+    // spread: per-doc entropy work serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_cp"),
+        size(array_distinct(split(col("text"), ""))).cast("long")
+          .as("distinct_chars"),
+        round(expr("char_entropy(text)"), 6).as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val charEntropySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, '') AS cs FROM documents
+      |), h AS (
+      |  SELECT doc_id, len(cs) AS n,
+      |         list_transform(list_distinct(cs),
+      |           c -> len(list_filter(cs, x -> x = c))) AS counts
+      |  FROM d
+      |)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_cp,
+      |       CAST(len(counts) AS BIGINT) AS distinct_chars,
+      |       round(CASE WHEN n = 0 THEN 0.0 ELSE
+      |         -list_sum(list_transform(counts,
+      |            c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))))
+      |         END, 6) AS char_entropy
+      |FROM h ORDER BY doc_id""".stripMargin
 }

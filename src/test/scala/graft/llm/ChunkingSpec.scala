@@ -1,0 +1,36 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class ChunkingSpec extends SparkSpec {
+
+  test("chunks tile every document: dense ids, full token coverage") {
+    val ch = Chunking.docChunks(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+    val per = ch.groupBy("doc_id").agg(
+      count(lit(1)).as("k"),
+      max(col("chunk_id")).as("max_id"),
+      max(col("start_tok") + col("n_tokens")).as("covered"),
+      min(col("n_tokens")).as("min_len"))
+    val j = per.join(docs, "doc_id")
+    // chunk ids are 0..k-1; the last-covered token is the doc's last token;
+    // every chunk is non-empty
+    assert(j.filter(col("max_id") =!= col("k") - 1 ||
+      col("covered") =!= col("n") || col("min_len") <= 0).isEmpty)
+    // stride tiling: k == ceil(n / 48)
+    assert(j.filter(col("k") =!= ceil(col("n") / lit(48.0)).cast("long")).isEmpty)
+  }
+
+  test("adjacent chunks overlap by window - stride tokens") {
+    val ch = Chunking.docChunks(spark, sfDir)
+    val gaps = ch.groupBy("doc_id").agg(
+      collect_list(struct(col("chunk_id"), col("start_tok"))).as("cs"))
+      .select(explode(expr(
+        "transform(array_sort(cs), (c, i) -> c.start_tok - i * 48)")).as("resid"))
+    assert(gaps.filter(col("resid") =!= 0).isEmpty)
+  }
+}
