@@ -526,4 +526,55 @@ object Sampling {
        |       CAST(floor(weight * tokens / wt * $MixBudget) AS BIGINT) AS target_tokens,
        |       round(weight * tokens / wt * $MixBudget / tokens, 4) AS epochs
        |FROM w CROSS JOIN t ORDER BY lang""".stripMargin
+
+  /** Salt for the in-band shuffle key — versioned so reshuffling the
+    * curriculum is an explicit config change, not silent drift. */
+  private val CurriculumSalt = "curriculum-v1"
+
+  /** Length-curriculum ordering — the classic short-to-long schedule a
+    * pretraining run uses: band every document by corpus-wide length
+    * deciles, then give each doc a deterministic hash shuffle key WITHIN
+    * its band (a curriculum that is globally easy-to-hard but unordered
+    * inside a band, so batches stay i.i.d. within a difficulty level).
+    * Sorting by (band, shuffle_key) IS the curriculum; the loader writes
+    * files range-partitioned on that pair.
+    *
+    * Scale shape: the decile thresholds come from the two-phase
+    * distributed-selection kernel (`groupedQuantiles`, single logical
+    * group — NEVER a global window/ntile, which would funnel the corpus
+    * through one task); the 1-row threshold frame broadcasts back and
+    * banding + keying are a codegen'd map-only projection. Total cost at
+    * 100 TB = the kernel + one scan. Determinism: thresholds round to
+    * 6dp on both engines before the band comparisons. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val qs = (1 to 9).map(i => (s"d$i", i / 10.0))
+    val th = graft.analytics.Quantiles.groupedQuantiles(
+      d.select(lit("all").as("g"), col("n_chars").cast("double").as("v")),
+      "g", "v", qs)
+    val band = (1 to 9).map(i =>
+      when(col("n_chars").cast("double") > col(s"d$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    d.crossJoin(broadcast(th.drop("g", "n")))
+      .select(col("doc_id"), col("n_chars"),
+        band.as("band"),
+        md5(concat_ws(":", lit(CurriculumSalt), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .orderBy("band", "shuffle_key", "doc_id")
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH th AS (
+       |  SELECT ${(1 to 9).map(i =>
+             s"round(quantile_cont(CAST(n_chars AS DOUBLE), 0.$i), 6) AS d$i")
+             .mkString(",\n       |         ")}
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_chars,
+       |       CAST(${(1 to 9).map(i =>
+             s"(CASE WHEN CAST(n_chars AS DOUBLE) > d$i THEN 1 ELSE 0 END)")
+             .mkString(" +\n       |            ")} AS BIGINT) AS band,
+       |       md5('$CurriculumSalt:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+       |FROM documents CROSS JOIN th
+       |ORDER BY band, shuffle_key, doc_id""".stripMargin
 }

@@ -724,4 +724,64 @@ object Similarity {
       |SELECT label, pos, count(*) AS n_vecs,
       |       round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean
       |FROM v GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  /** Per-dimension standardization statistics over the whole embedding
+    * table — mean, sample std, min, max for every vector component: the
+    * profile a whitening / feature-scaling pass (or an index-builder
+    * deciding per-dimension quantization ranges) computes before
+    * touching the vectors. Complements [[embeddingCentroids]] (per-label
+    * first moment) with the global second moment.
+    *
+    * Scale shape: posexplode to (dim, value) and ONE hash aggregate
+    * keyed on dim — state is `dims` counter rows regardless of corpus
+    * size, partials collapse map-side. Determinism: components round to
+    * 6dp and both moments sum as DECIMAL (order-independent, same
+    * discipline as [[embeddingCentroids]]); the variance/sqrt is then
+    * pure double arithmetic over identical decimal sums on both
+    * engines. */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-row vector explode serializes on a single-split scan
+    // (identity at real scale, see Tables.spread)
+    val ex = Tables.spread(Tables.embeddings(spark, dir))
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"),
+        round(col("v").cast("double"), 6).cast("decimal(18,6)").as("val"))
+    ex.groupBy("pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("val")).as("sx"),
+        sum(col("val") * col("val")).as("sxx"),
+        min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .select(col("pos"), col("n_vecs"),
+        round(col("sx").cast("double") / col("n_vecs"), 6).as("mean"),
+        round(sqrt(
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n_vecs")) /
+            (col("n_vecs") - 1)), 6).as("std"),
+        col("mn").cast("double").as("min_v"),
+        col("mx").cast("double").as("max_v"))
+      .orderBy("pos")
+  }
+
+  val embeddingDimStatsSql: String =
+    """WITH ex AS (
+      |  SELECT unnest(range(0, len(embedding))) AS pos, embedding AS emb
+      |  FROM embeddings
+      |), v AS (
+      |  SELECT pos,
+      |         CAST(round(CAST(emb[CAST(pos AS INT) + 1] AS DOUBLE), 6)
+      |              AS DECIMAL(18,6)) AS val
+      |  FROM ex
+      |), a AS (
+      |  SELECT pos, count(*) AS n_vecs, sum(val) AS sx, sum(val * val) AS sxx,
+      |         min(val) AS mn, max(val) AS mx
+      |  FROM v GROUP BY pos
+      |)
+      |SELECT pos, n_vecs,
+      |       round(CAST(sx AS DOUBLE) / n_vecs, 6) AS mean,
+      |       round(sqrt((CAST(sxx AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_vecs)
+      |                  / (n_vecs - 1)), 6) AS std,
+      |       CAST(mn AS DOUBLE) AS min_v,
+      |       CAST(mx AS DOUBLE) AS max_v
+      |FROM a ORDER BY pos""".stripMargin
 }

@@ -1103,4 +1103,73 @@ object TextAnalysis {
       |            c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))))
       |         END, 6) AS char_entropy
       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Per-document bigram surprisal under an add-one-smoothed corpus
+    * bigram LM — the cheap perplexity proxy a quality pass uses when no
+    * external LM is available (fluent text has predictable bigrams; word
+    * salad and boilerplate-with-slots score high): for each in-doc
+    * bigram, nll = -log2((c(w1,w2)+1)/(c(w1·)+V)), averaged per doc.
+    * Extends [[unigramSurprise]] to second-order context. Docs with <2
+    * tokens have no bigrams and drop out (both engines).
+    *
+    * Scale shape: bigram expansion is an in-row `transform` (NO
+    * self-join on token position); the LM tables collapse map-side into
+    * (pair, count) / (prefix, count) hash aggregates bounded by observed
+    * vocabulary, not corpus size; V is a 1-row broadcast. The token
+    * stream shuffles once keyed by bigram for the LM join — at 100 TB
+    * the LM side is orders of magnitude smaller than the stream and
+    * AQE broadcasts it when it fits. Determinism: per-bigram nll rounds
+    * to 6dp and sums as DECIMAL (the [[unigramSurprise]] discipline), so
+    * aggregation order cannot move the mean. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-doc tokenize/expand work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lm2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lm1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    pairs.join(lm2, Seq("w1", "w2")).join(lm1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log2((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 6)
+          .cast("decimal(18,6)").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  val bigramSurprisalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)),
+      |                i -> {'w1': t[i], 'w2': t[i + 1]})) AS bg
+      |  FROM d WHERE len(t) >= 2
+      |), pr AS (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM p
+      |), lm2 AS (
+      |  SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2
+      |), lm1 AS (
+      |  SELECT w1, count(*) AS c1 FROM pr GROUP BY 1
+      |), vv AS (
+      |  SELECT count(DISTINCT w) AS v
+      |  FROM (SELECT unnest(t) AS w FROM d)
+      |), s AS (
+      |  SELECT doc_id,
+      |         CAST(round(-log2((c12 + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS nll
+      |  FROM pr JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1) CROSS JOIN vv
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -228,4 +228,24 @@ class SamplingSpec extends SparkSpec {
           s"$lang epochs/en epochs = ${e / enE}, want ~2 (tokens cancel: $enT)")
     }
   }
+
+  test("curriculum bands partition the corpus monotonically by length") {
+    val cur = Sampling.curriculumOrder(spark, sfDir).cache()
+    assert(cur.count() == graft.Tables.documents(spark, sfDir).count())
+    // band(x) is the count of decile thresholds strictly below x, so a
+    // higher band can never hold a shorter doc than a lower band's longest
+    val spans = cur.groupBy("band")
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .orderBy("band").collect()
+    spans.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("mx") <= hi.getAs[Long]("mn"),
+          s"band ${lo.getAs[Long]("band")} overlaps ${hi.getAs[Long]("band")}")
+      case _ =>
+    }
+    assert(cur.filter(col("band") < 0 || col("band") > 9).isEmpty)
+    // decile thresholds over a spread length distribution: most bands exist
+    assert(spans.length >= 5)
+    cur.unpersist()
+  }
 }

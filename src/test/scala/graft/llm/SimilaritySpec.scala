@@ -291,4 +291,17 @@ class SimilaritySpec extends SparkSpec {
     }
     got.unpersist()
   }
+
+  test("dim stats cover every dimension with coherent moments and bounds") {
+    val st = Similarity.embeddingDimStats(spark, sfDir).cache()
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    val dims = graft.Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding")).as("d")).agg(max("d")).head().getInt(0)
+    assert(st.count() == dims)
+    val bad = st.filter(col("n_vecs") =!= nVecs ||
+      col("std") < 0 || col("mean") < col("min_v") - lit(1e-9) ||
+      col("mean") > col("max_v") + lit(1e-9) || col("min_v") > col("max_v"))
+    assert(bad.isEmpty)
+    st.unpersist()
+  }
 }

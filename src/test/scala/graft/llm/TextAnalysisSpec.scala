@@ -393,4 +393,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getAs[Double]("slope") < 0.0)
     assert(row.getAs[Double]("r2") >= 0.0 && row.getAs[Double]("r2") <= 1.0)
   }
+
+  test("bigram surprisal covers every multi-token doc with positive nll") {
+    val bs = TextAnalysis.bigramSurprisal(spark, sfDir).cache()
+    val expected = Tables.documents(spark, sfDir)
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 2).count()
+    assert(bs.count() == expected)
+    // nll = -log2(p) with p = (c12+1)/(c1+V) and V > max(c12/c1 ratio
+    // contribution): p < 1 strictly because c12 <= c1 < c1 + V
+    assert(bs.filter(col("avg_nll") <= 0 || col("n_bigrams") <= 0).isEmpty)
+    // a doc's bigram count is its token count - 1
+    val tok = Tables.documents(spark, sfDir).select(col("doc_id"),
+      (size(split(lower(trim(col("text"))), "\\s+")) - 1).cast("long").as("want"))
+    assert(bs.join(tok, "doc_id").filter(col("n_bigrams") =!= col("want")).isEmpty)
+    bs.unpersist()
+  }
 }
