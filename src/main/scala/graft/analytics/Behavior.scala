@@ -264,4 +264,39 @@ object Behavior {
        |WHERE ts IS NOT NULL
        |QUALIFY seq <= $RateLimitN
        |ORDER BY event_id""".stripMargin
+
+  /** Cumulative distinct users by day — the "total audience ever seen"
+    * growth curve every product dashboard opens with. Computed WITHOUT a
+    * running COUNT(DISTINCT) window (which would re-deduplicate the
+    * whole prefix per day): each user collapses to their FIRST-seen day
+    * under one user-keyed aggregate, first-seen days collapse to
+    * per-day new-user counts, and the cumulative sum runs over the
+    * day-cardinality frame only.
+    *
+    * Shape at 100 TB: the only event-volume shuffle is the user-keyed
+    * min(day) aggregate (mergeable partials, map-side combine); the
+    * global cumulative window sorts day-count rows — dimension-sized by
+    * construction, never the event stream (the `q1_ratio_rank`
+    * discipline). */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val daily = ev.groupBy("user_id").agg(min(col("d")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    daily
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy("day")).cast("long"))
+      .orderBy("day")
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+      |  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+      |),
+      |daily AS (SELECT day, count(*) AS new_users FROM first_seen GROUP BY day)
+      |SELECT day, new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+      |FROM daily ORDER BY day""".stripMargin
 }

@@ -487,4 +487,55 @@ object Queries {
       |SELECT 'only_1995' AS cohort, custkey
       |FROM (SELECT custkey FROM b95 EXCEPT SELECT custkey FROM b96)
       |ORDER BY cohort, custkey""".stripMargin
+
+  /** Top-k per group — the canonical "top 3 suppliers per nation by
+    * revenue" leaderboard, the partitioned-window twin of the registry's
+    * global top-k entries (`q3b`'s TakeOrderedAndProject, `q4`'s
+    * bottom-N). The window ranks AGGREGATED rows — (nation, supplier)
+    * revenue cells, at most supplier-cardinality — never lineitems, so
+    * each nation's partition sort is dimension-sized at any fact size.
+    *
+    * Determinism: rank orders by (revenue DESC, suppkey) — a total
+    * order, so revenue ties cannot split differently across engines.
+    * Revenue sums as DECIMAL(18,4) (exact, order-independent) and casts
+    * to rounded double only at the output edge. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    // decimal(18,4), not (18,2): price(2dp) × (1−discount)(2dp) is EXACT
+    // at 4dp, so the double→decimal cast has no rounding ambiguity —
+    // casting straight to cents would round engine-dependently on the
+    // half-cent values the product legitimately produces (Facts.scala:42
+    // idiom).
+    val l = Tables.lineitem(spark, dir).select(col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .cast("decimal(18,4)").as("rev"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("rev").desc, col("suppkey"))
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("s_suppkey").as("suppkey"))
+      .agg(sum(col("rev")).as("rev"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("nation"), col("suppkey"),
+        round(col("rev"), 2).cast("double").as("revenue"), col("rank"))
+      .orderBy("nation", "rank")
+  }
+
+  val topkPerGroupSql: String =
+    """WITH cell AS (
+      |  SELECT n_name AS nation, s_suppkey AS suppkey,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name, s_suppkey
+      |)
+      |SELECT nation, suppkey, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY nation ORDER BY rev DESC, suppkey) AS BIGINT) AS rank
+      |FROM cell
+      |QUALIFY rank <= 3
+      |ORDER BY nation, rank""".stripMargin
 }

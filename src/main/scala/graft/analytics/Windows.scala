@@ -212,4 +212,67 @@ object Windows {
       |                * sqrt(CAST(n AS DOUBLE) * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))), 6)
       |         AS corr_value_hour
       |FROM m ORDER BY event_type""".stripMargin
+
+  /** Per-group ordinary-least-squares fit (extended price ~ quantity per
+    * return flag) — the REGR_SLOPE/REGR_INTERCEPT/REGR_R2 family, built
+    * on the [[valueHourCorr]] discipline rather than the engines' regr_*
+    * aggregates: running double co-moments merge in partition order and
+    * can hash-diverge across engines (or across runs), so the moments
+    * here are EXACT order-independent sums — price rounds to cents as
+    * DECIMAL(18,2), quantity is integer-valued and sums as long — and
+    * slope/intercept/R² evaluate as one deterministic double formula on
+    * those exact inputs in both engines.
+    *
+    * Shape at 100 TB: one hash aggregate to six mergeable counters per
+    * return flag (the shuffle carries a row per map task per group); the
+    * regression arithmetic runs on a 3-row frame. */
+  def priceQuantityRegression(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      col("l_extendedprice").cast("decimal(18,2)").as("y"))
+    val m = l.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("y") * col("x")).as("sxy"))
+    def d(c: Column) = c.cast("double")
+    val varX = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val varY = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val slope = cov / varX
+    m.select(col("l_returnflag").as("returnflag"), col("n"),
+        round(slope, 6).as("slope"),
+        round((d(col("sy")) - slope * d(col("sx"))) / d(col("n")), 6)
+          .as("intercept"),
+        round(cov * cov / (varX * varY), 6).as("r2"))
+      .orderBy("returnflag")
+  }
+
+  val priceQuantityRegressionSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS returnflag, count(*) AS n,
+      |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+      |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS BIGINT)) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT returnflag, n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |         AS slope,
+      |       round((CAST(sy AS DOUBLE)
+      |              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * CAST(sx AS DOUBLE))
+      |             / CAST(n AS DOUBLE), 6) AS intercept,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |         AS r2
+      |FROM m ORDER BY returnflag""".stripMargin
 }

@@ -111,4 +111,22 @@ class BehaviorSpec extends SparkSpec {
     assert(plan.contains("Partial") && plan.contains("Final"), plan.take(2000))
     res.unpersist()
   }
+
+  test("cumulative users reconcile with first-seen model and end at total distinct") {
+    val got = Behavior.cumulativeUsers(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val firstSeen = ev.groupBy(_._1).map { case (_, rs) => rs.map(_._2).min }
+    val model = firstSeen.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    assert(got.map(g => (g._1, g._2)).toSeq == model)
+    // cumulative column is the running sum and ends at total distinct users
+    got.foldLeft(0L) { case (acc, (_, nu, cum)) =>
+      assert(cum == acc + nu); cum
+    }
+    assert(got.last._3 == ev.map(_._1).distinct.length.toLong)
+  }
 }

@@ -78,4 +78,24 @@ class QueriesSpec extends SparkSpec {
     assert((got("both") intersect got("only_1995")).isEmpty)
     assert((got("both") union got("only_1995")) == b95)
   }
+
+  test("top-k per group emits dense ranks of non-increasing revenue, k<=3 per nation") {
+    val rows = Queries.topkPerGroup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byNation = rows.groupBy(_._1)
+    byNation.foreach { case (nation, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.length <= 3, s"$nation cap")
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq, s"$nation dense ranks")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
+        s"$nation revenue non-increasing")
+    }
+    // the window ranks aggregated cells: every nation with any lineitem
+    // revenue appears (suppliers cover all nations on this corpus)
+    val nations = graft.Tables.supplier(spark, sfDir)
+      .join(graft.Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct().collect().map(_.getString(0)).toSet
+    assert(byNation.keySet == nations)
+  }
 }

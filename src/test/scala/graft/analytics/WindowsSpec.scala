@@ -115,4 +115,29 @@ class WindowsSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(5)).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("price~quantity regression matches a driver-side exact OLS per flag") {
+    val got = Windows.priceQuantityRegression(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    assert(got.keySet == li.map(_._1).toSet)
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum.toDouble
+      val sxx = rows.map(r => r._2 * r._2).sum.toDouble
+      val sy = rows.map(_._3).sum.toDouble
+      val sxy = rows.map(r => r._3 * BigDecimal(r._2)).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (gn, gs, gi, gr2) = got(flag)
+      assert(gn == rows.length.toLong)
+      assert(math.abs(gs - slope) < 1e-4, s"$flag slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-3, s"$flag intercept")
+      assert(gr2 >= 0d && gr2 <= 1d, s"$flag r2 in range")
+    }
+  }
 }
