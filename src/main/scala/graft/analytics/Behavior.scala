@@ -299,4 +299,199 @@ object Behavior {
       |SELECT day, new_users,
       |       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
+
+  /** Markov transition matrix over per-user event sequences — for each
+    * ordered pair (prev event type → next event type), how often it
+    * occurs and the conditional probability P(next | prev): the
+    * first-order behavioral model product analytics fits before any
+    * sequence mining, and the input to "what do users do after X?".
+    *
+    * Shape at 100 TB: the lag window is PARTITIONED BY user — each
+    * window partition is one user's events (bounded per key, never
+    * global), so the sort cost is per-user and parallel. The adjacency
+    * pairs then collapse under a type×type hash aggregate (mergeable
+    * partials, vocab² ≤ 25 output rows here), and the probability
+    * normalization is a window over that dimension-sized matrix — the
+    * `q1_ratio_rank` discipline: windows over aggregates, not events.
+    * Ordering inside a user is (ts, event_id) — a total order, so the
+    * adjacency pairs are deterministic under equal timestamps. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val norm = Window.partitionBy(col("prev_type"))
+    counts
+      .withColumn("p_next",
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(norm), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS prev_type
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |counts AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT prev_type, next_type, n_transitions,
+      |       round(CAST(n_transitions AS DOUBLE) /
+      |             sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS p_next
+      |FROM counts ORDER BY prev_type, next_type""".stripMargin
+
+  /** Event-type co-occurrence (market-basket over users) — for each
+    * unordered pair of event types, how many users did BOTH, with the
+    * lift statistic lift(a,b) = N·n_both / (n_a·n_b): lift > 1 means
+    * the behaviors attract, < 1 they repel. The association-mining
+    * primitive behind "users who X also Y".
+    *
+    * Shape at 100 TB: the event stream first collapses to DISTINCT
+    * (user, type) — a mergeable dedup-aggregate keyed on the pair, the
+    * only event-volume shuffle. The per-user self-join then expands each
+    * user to at most C(vocab, 2) pairs (vocab = event-type cardinality,
+    * small by definition — here ≤ 5 → ≤ 10 pairs/user), which collapse
+    * under a pair-keyed count. Per-type user counts and the user total
+    * are vocab-row / 1-row frames broadcast onto the 10-row pair table —
+    * never a fact-side shuffle. */
+  def eventCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val total = ut.select(countDistinct(col("user_id")).as("n_users"))
+    pairs
+      .join(broadcast(perType.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_type", "n_a")), "type_a")
+      .join(broadcast(perType.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_type", "n_b")), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("n_users") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val eventCooccurrenceSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |),
+      |per_type AS (SELECT event_type, count(*) AS n_type FROM ut GROUP BY 1),
+      |total AS (SELECT count(DISTINCT user_id) AS n_users FROM ut)
+      |SELECT type_a, type_b, n_both,
+      |       round(CAST(n_both AS DOUBLE) * n_users / (pa.n_type * pb.n_type), 6)
+      |         AS lift
+      |FROM pairs
+      |JOIN per_type pa ON pa.event_type = type_a
+      |JOIN per_type pb ON pb.event_type = type_b
+      |CROSS JOIN total
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** Forward fill (last observation carried forward) — only purchase
+    * events carry an observed amount on this corpus model; every event
+    * then sees the user's most recent purchase value (NULL before the
+    * first purchase). The sparse-to-dense gap-filling every feature
+    * pipeline runs before a model join, and the batch twin of streaming
+    * keyed state.
+    *
+    * Shape at 100 TB: one window, PARTITIONED BY user and ordered by
+    * (ts, event_id) — a per-key sorted pass with bounded partitions,
+    * exactly what `last(_, ignoreNulls)` over ROWS UNBOUNDED PRECEDING
+    * compiles to; no self-join, no global sort. The observation mask is
+    * a codegen'd projection over the scan. */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", round(col("value"), 6))
+          .as("observed"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("filled", last(col("observed"), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "event_type", "observed", "filled")
+      .orderBy("event_id")
+  }
+
+  val forwardFillSql: String =
+    """SELECT event_id, user_id, event_type,
+      |       CASE WHEN event_type = 'purchase' THEN round(value, 6) END AS observed,
+      |       last_value(CASE WHEN event_type = 'purchase' THEN round(value, 6) END
+      |                  IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events WHERE ts IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  /** Chi-square independence cells — is event type independent of the
+    * payload's k-parity? The contingency-table screen an analyst runs
+    * before trusting a segmentation: observed vs expected count per
+    * (type, parity) cell plus each cell's χ² contribution (the statistic
+    * is their sum; dof = (types−1)(parities−1)).
+    *
+    * Shape at 100 TB: one hash aggregate over the events scan builds the
+    * vocab×2 contingency table (mergeable counts, map-side combine); the
+    * marginals and expected counts are windows over that dimension-sized
+    * table — never a second pass over the data. The parity extraction is
+    * a codegen'd regexp projection. */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long") % 2)
+          .as("k_parity"))
+      .filter(col("k_parity").isNotNull)
+    val cells = ev.groupBy("event_type", "k_parity")
+      .agg(count(lit(1)).as("observed"))
+    val rowW = Window.partitionBy(col("event_type"))
+    val colW = Window.partitionBy(col("k_parity"))
+    val allW = Window.partitionBy()
+    cells
+      .withColumn("expected",
+        round(sum(col("observed")).over(rowW).cast("double") *
+          sum(col("observed")).over(colW) /
+          sum(col("observed")).over(allW), 6))
+      .withColumn("chi2_cell",
+        round(pow(col("observed") - col("expected"), 2) / col("expected"), 6))
+      .orderBy("event_type", "k_parity")
+  }
+
+  val chiSquareIndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 2
+      |           AS k_parity,
+      |         count(*) AS observed
+      |  FROM events
+      |  WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 2
+      |          IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |ex AS (
+      |  SELECT event_type, k_parity, observed,
+      |         round(CAST(sum(observed) OVER (PARTITION BY event_type) AS DOUBLE)
+      |               * sum(observed) OVER (PARTITION BY k_parity)
+      |               / sum(observed) OVER (), 6) AS expected
+      |  FROM cells
+      |)
+      |SELECT event_type, k_parity, observed, expected,
+      |       round(pow(observed - expected, 2) / expected, 6) AS chi2_cell
+      |FROM ex ORDER BY event_type, k_parity""".stripMargin
 }

@@ -589,4 +589,66 @@ object Quantiles {
       |FROM events e JOIN b ON e.event_type = b.event_type
       |WHERE e.value IS NOT NULL
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  /** Customer spend deciles WITHOUT a global window — the scalable twin
+    * of `ntile(10) OVER (ORDER BY spend)`: a global ntile ranks every
+    * customer through ONE task's sort (the anti-pattern the quantile
+    * kernel exists to avoid), so instead the nine decile BOUNDARIES come
+    * from the [[groupedQuantiles]] distributed-selection kernel (its 6th
+    * consumer, one all-customers group) and each customer's decile is a
+    * codegen'd comparison against the broadcast 1-row boundary frame:
+    * decile = 1 + #{boundaries strictly below the spend}.
+    *
+    * Shape at 100 TB: per-customer spend is one keyed decimal-sum
+    * shuffle (mergeable partials); the kernel range-partitions and sorts
+    * only needle slices; assignment is map-only under a broadcast of 9
+    * doubles. Nothing global ever sorts the customer frame. Both engines
+    * compute boundaries as type-7 interpolation over the same rounded
+    * doubles, so boundary-equal spends land identically under strict
+    * `>`. */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val dqs: Seq[(String, Double)] =
+      (1 to 9).map(i => (s"d$i", i / 10.0))
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double").as("spend"))
+    val bounds = groupedQuantiles(
+      spend.withColumn("g", lit("all")), "g", "spend", dqs)
+      .select(dqs.map { case (nm, _) => col(nm) }: _*)
+    val decile = dqs.map { case (nm, _) =>
+      when(col("spend") > col(nm), 1L).otherwise(0L)
+    }.reduce(_ + _) + lit(1L)
+    spend.crossJoin(broadcast(bounds))
+      .select(col("custkey"), col("spend"), decile.as("decile"))
+      .orderBy("custkey")
+  }
+
+  val spendDecilesSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey AS custkey,
+      |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |           AS spend
+      |  FROM orders GROUP BY o_custkey
+      |),
+      |b AS (
+      |  SELECT round(quantile_cont(spend, 0.1), 6) AS d1,
+      |         round(quantile_cont(spend, 0.2), 6) AS d2,
+      |         round(quantile_cont(spend, 0.3), 6) AS d3,
+      |         round(quantile_cont(spend, 0.4), 6) AS d4,
+      |         round(quantile_cont(spend, 0.5), 6) AS d5,
+      |         round(quantile_cont(spend, 0.6), 6) AS d6,
+      |         round(quantile_cont(spend, 0.7), 6) AS d7,
+      |         round(quantile_cont(spend, 0.8), 6) AS d8,
+      |         round(quantile_cont(spend, 0.9), 6) AS d9
+      |  FROM spend
+      |)
+      |SELECT custkey, spend,
+      |       CAST(1 + CAST(spend > d1 AS INT) + CAST(spend > d2 AS INT)
+      |              + CAST(spend > d3 AS INT) + CAST(spend > d4 AS INT)
+      |              + CAST(spend > d5 AS INT) + CAST(spend > d6 AS INT)
+      |              + CAST(spend > d7 AS INT) + CAST(spend > d8 AS INT)
+      |              + CAST(spend > d9 AS INT) AS BIGINT) AS decile
+      |FROM spend CROSS JOIN b
+      |ORDER BY custkey""".stripMargin
 }

@@ -275,4 +275,65 @@ object Windows {
       |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
       |         AS r2
       |FROM m ORDER BY returnflag""".stripMargin
+
+  /** Percent-of-total contribution with a Pareto cut — each nation's
+    * revenue share, the cumulative share walking down the revenue
+    * ranking, and the 80/20 flag (nations inside the first 80% of
+    * cumulative revenue are `core`). The ratio-to-report + ABC analysis
+    * every revenue dashboard leads with.
+    *
+    * Shape at 100 TB: revenue aggregates to nation cardinality BEFORE
+    * any window (the `q1_ratio_rank` discipline) — the fact-side cost is
+    * one keyed sum with mergeable decimal partials; the share/cumulative
+    * windows sort ≤ 25 rows at any fact size. Ordering is
+    * (rev DESC, nation) — a total order, so the cumulative share is
+    * deterministic under revenue ties. Revenue sums as DECIMAL(18,2),
+    * shares divide decimal-over-decimal into exact doubles, and the
+    * edge emits only rounded doubles (the registry-wide convention). */
+  def revenueContribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val rev = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("nation"))
+    val tot = Window.partitionBy()
+    rev
+      .withColumn("share",
+        round(col("rev").cast("double") / sum(col("rev")).over(tot), 6))
+      .withColumn("cum_share",
+        round(sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") /
+          sum(col("rev")).over(tot), 6))
+      .select(col("nation"), round(col("rev"), 2).cast("double").as("revenue"),
+        col("share"), col("cum_share"),
+        when(col("cum_share") <= 0.8, lit("core")).otherwise(lit("tail"))
+          .as("pareto_class"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  val revenueContributionSql: String =
+    """WITH rev AS (
+      |  SELECT n_name AS nation,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |),
+      |shares AS (
+      |  SELECT nation, rev,
+      |         round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+      |           AS share,
+      |         round(CAST(sum(rev) OVER (ORDER BY rev DESC, nation
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |               / CAST(sum(rev) OVER () AS DOUBLE), 6) AS cum_share
+      |  FROM rev
+      |)
+      |SELECT nation, CAST(round(rev, 2) AS DOUBLE) AS revenue, share, cum_share,
+      |       CASE WHEN cum_share <= 0.8 THEN 'core' ELSE 'tail' END AS pareto_class
+      |FROM shares ORDER BY revenue DESC, nation""".stripMargin
 }

@@ -129,4 +129,79 @@ class BehaviorSpec extends SparkSpec {
     }
     assert(got.last._3 == ev.map(_._1).distinct.length.toLong)
   }
+
+  test("event transitions: counts reconcile and probabilities normalize per prev") {
+    val t = Behavior.eventTransitions(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir).filter(col("ts").isNotNull)
+    // each user's length-k sequence emits exactly k-1 adjacency pairs
+    val users = ev.select("user_id").distinct().count()
+    assert(t.agg(sum("n_transitions")).head().getLong(0) == ev.count() - users)
+    // P(next | prev) sums to 1 within each prev row-group
+    t.groupBy("prev_type").agg(sum("p_next").as("p")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r.toString))
+    // the lag window is user-partitioned, never global
+    val plan = t.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition]"), plan.take(1500))
+    t.unpersist()
+  }
+
+  test("event co-occurrence: pair supports bounded by marginals, lift against a model") {
+    val cooc = Behavior.eventCooccurrence(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ut = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val nUsers = ut.map(_._1).distinct.length.toDouble
+    val types = byType.keys.toSeq.sorted
+    for {
+      i <- types.indices; j <- (i + 1) until types.length
+      a = types(i); b = types(j)
+      both = (byType(a) & byType(b)).size if both > 0
+    } {
+      val (nBoth, lift) = cooc((a, b))
+      assert(nBoth == both.toLong, s"$a/$b")
+      val want = both * nUsers / (byType(a).size * byType(b).size)
+      assert(math.abs(lift - want) < 1e-4, s"$a/$b lift $lift vs $want")
+    }
+  }
+
+  test("forward fill: null before first purchase, equal to own value on purchases") {
+    val f = Behavior.forwardFill(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir).filter(col("ts").isNotNull)
+    assert(f.count() == ev.count())
+    // purchase rows observe their own (rounded) value
+    assert(f.filter(col("event_type") === "purchase" &&
+      col("filled") =!= col("observed")).isEmpty)
+    // rows strictly before a user's first purchase are unfilled; at-or-after
+    // rows are filled
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val j = f.join(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts")), "event_id")
+      .join(firstP, Seq("user_id"), "left")
+    assert(j.filter(col("fp").isNull && col("filled").isNotNull).isEmpty)
+    assert(j.filter(col("fp").isNotNull &&
+      struct(col("ts"), col("event_id")) < col("fp") &&
+      col("filled").isNotNull).isEmpty)
+    assert(j.filter(col("fp").isNotNull &&
+      struct(col("ts"), col("event_id")) >= col("fp") &&
+      col("filled").isNull).isEmpty)
+    f.unpersist()
+  }
+
+  test("chi-square cells: marginals reconcile and contributions are non-negative") {
+    val c = Behavior.chiSquareIndependence(spark, sfDir).cache()
+    val total = Tables.events(spark, sfDir).count()
+    assert(c.agg(sum("observed")).head().getLong(0) == total)
+    // expected counts preserve the grand total (up to cell rounding)
+    val expSum = c.agg(sum("expected")).head().getDouble(0)
+    assert(math.abs(expSum - total) < 1e-3, s"$expSum vs $total")
+    assert(c.filter(col("chi2_cell") < 0 || col("expected") <= 0).isEmpty)
+    // both parities present for every type (the contingency is complete)
+    assert(c.groupBy("event_type").count().filter(col("count") =!= 2).isEmpty)
+    c.unpersist()
+  }
 }

@@ -237,4 +237,25 @@ class QuantilesSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
     res.unpersist()
   }
+
+  test("spend deciles: balanced cells, monotone in spend, no global ntile sort") {
+    val d = Quantiles.spendDeciles(spark, sfDir).cache()
+    val n = d.count()
+    assert(d.filter(col("decile") < 1 || col("decile") > 10).isEmpty)
+    // boundary assignment is equi-depth up to interpolation ties: every
+    // decile holds within 25% of n/10
+    val sizes = d.groupBy("decile").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keys.toSet == (1L to 10L).toSet, sizes.toString)
+    sizes.values.foreach(c =>
+      assert(math.abs(c - n / 10.0) <= n / 10.0 * 0.25, sizes.toString))
+    // decile is monotone in spend
+    val bySpend = d.orderBy("spend", "custkey").collect().map(_.getLong(2))
+    assert(bySpend.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // the scalable shape: no ntile over a single global partition of the
+    // customer frame — the only windows run inside the boundary kernel
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), plan.take(1500))
+    d.unpersist()
+  }
 }

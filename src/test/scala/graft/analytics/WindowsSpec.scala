@@ -140,4 +140,22 @@ class WindowsSpec extends SparkSpec {
       assert(gr2 >= 0d && gr2 <= 1d, s"$flag r2 in range")
     }
   }
+
+  test("revenue contribution: shares sum to 1, cumulative is monotone, Pareto cut consistent") {
+    val rows = Windows.revenueContribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // presentation order is revenue DESC; cum_share climbs to 1 along it
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0)._4 <= p(1)._4 + 1e-9, s"${p(0)} ${p(1)}")
+    }
+    assert(math.abs(rows.last._4 - 1.0) < 1e-4)
+    rows.foreach { case (n, _, _, cum, cls) =>
+      assert(cls == (if (cum <= 0.8) "core" else "tail"), n)
+    }
+    assert(rows.map(_._5).toSet == Set("core", "tail"))
+  }
 }
