@@ -1,0 +1,198 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distribution statistics the reference's analysis layer implies but
+  * never spells out (analysis.sql computes ratios/ranks; a warehouse
+  * team's next request is always "is this distribution different from
+  * that one"). Everything here is exact arithmetic over aggregates —
+  * no sampling, no approximation beyond documented binning — and every
+  * entry follows the registry conventions: decimal-exact internal
+  * sums, rounded doubles at the output edge, total orderings anywhere
+  * row position matters. */
+object Stats {
+
+  /** Binned two-sample Kolmogorov–Smirnov distance — how differently
+    * `value` distributes across event types, each type tested against
+    * the pooled rest-of-corpus distribution. The classic drift /
+    * homogeneity check run before trusting a per-segment metric.
+    *
+    * Binning is the scale decision: the exact KS statistic needs a
+    * global CDF walk over DISTINCT values (unbounded at 100 TB — a
+    * single-sort scale-killer). On a fixed [[KsBuckets]]-bucket grid
+    * over the observed [min,max], the per-(type,bucket) counts collapse
+    * map-side into ≤ types × buckets rows, the CDF walk is a
+    * dimension-sized window, and the statistic is exact FOR THE GRID
+    * (documented estimator, same grid in the oracle — deterministic
+    * cross-engine). Degenerate corpus (max == min) pins every row to
+    * bucket 0 rather than dividing by zero (the `value_histogram`
+    * guard, mirrored in the SQL CASE). */
+  val KsBuckets = 200
+
+  def ksByEventType(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val binned = e.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("mn")) * KsBuckets / (col("mx") - col("mn"))),
+            lit(KsBuckets - 1L))).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+    // densify to the full type × occupied-bucket grid BEFORE the CDF
+    // walk: the supremum must be evaluated at every bucket ANY sample
+    // occupies (a type's CDF is flat where it has no mass, but the
+    // rest-CDF keeps moving there — skipping those buckets would
+    // understate D). Both frames are dimension-sized (≤ types ×
+    // KsBuckets rows), so the cross join and windows cost nothing.
+    val byBucket = binned.groupBy("bucket").agg(sum(col("n")).as("n_all"))
+    val types = binned.select("event_type").distinct()
+    val grid = types.crossJoin(broadcast(byBucket))
+      .join(binned, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("n"))
+    val wType = Window.partitionBy("event_type").orderBy("bucket")
+    val totals = Window.partitionBy("event_type")
+    val cum = grid
+      .withColumn("cum_t", sum(col("n")).over(wType))
+      .withColumn("cum_all", sum(col("n_all")).over(wType))
+      .withColumn("tot_t", sum(col("n")).over(totals))
+      .withColumn("tot_all", sum(col("n_all")).over(totals))
+    cum.groupBy(col("event_type"))
+      .agg(
+        max(abs(col("cum_t").cast("double") / col("tot_t") -
+          (col("cum_all") - col("cum_t")).cast("double") /
+            (col("tot_all") - col("tot_t")))).as("d"),
+        max(col("tot_t")).as("n_type"),
+        max(col("tot_all") - col("tot_t")).as("n_rest"))
+      .select(col("event_type"), round(col("d"), 6).as("ks_d"),
+        col("n_type"), col("n_rest"))
+      .orderBy("event_type")
+  }
+
+  /** The oracle walks the identical dense grid: same bucket CASE, same
+    * type × bucket densification, same cumulative frame, same
+    * type-vs-rest contrast — bit-identical doubles on both engines. */
+  val ksByEventTypeSql: String =
+    s"""WITH e AS (SELECT event_type, value FROM events),
+       |b AS (SELECT min(value) AS mn, max(value) AS mx FROM e),
+       |binned AS (
+       |  SELECT event_type,
+       |         CAST(CASE WHEN mx = mn THEN 0
+       |                   ELSE least(floor((value - mn) * $KsBuckets / (mx - mn)),
+       |                              $KsBuckets - 1) END AS BIGINT) AS bucket,
+       |         count(*) AS n
+       |  FROM e CROSS JOIN b GROUP BY 1, 2
+       |),
+       |by_bucket AS (SELECT bucket, sum(n) AS n_all FROM binned GROUP BY 1),
+       |grid AS (
+       |  SELECT t.event_type, bb.bucket, bb.n_all, coalesce(bi.n, 0) AS n
+       |  FROM (SELECT DISTINCT event_type FROM binned) t
+       |  CROSS JOIN by_bucket bb
+       |  LEFT JOIN binned bi ON bi.event_type = t.event_type AND bi.bucket = bb.bucket
+       |),
+       |cum AS (
+       |  SELECT event_type,
+       |         sum(n)     OVER (PARTITION BY event_type ORDER BY bucket) AS cum_t,
+       |         sum(n_all) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_all,
+       |         sum(n)     OVER (PARTITION BY event_type) AS tot_t,
+       |         sum(n_all) OVER (PARTITION BY event_type) AS tot_all
+       |  FROM grid
+       |)
+       |SELECT event_type,
+       |       round(max(abs(CAST(cum_t AS DOUBLE) / tot_t
+       |                     - CAST(cum_all - cum_t AS DOUBLE) / (tot_all - tot_t))), 6)
+       |         AS ks_d,
+       |       CAST(max(tot_t) AS BIGINT) AS n_type,
+       |       CAST(max(tot_all - tot_t) AS BIGINT) AS n_rest
+       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Gini coefficient of customer spend concentration — the
+    * single-number answer to "how unequal is revenue across the
+    * customer base", computed EXACTLY from the rank form
+    * G = Σᵢ (2i − n − 1)·xᵢ / (n · Σ xᵢ) over per-customer spend
+    * sorted ascending (i = 1-based rank).
+    *
+    * Scale shape: spend aggregates per customer first (one keyed sum of
+    * mergeable decimal partials — the fact-side cost), then the global
+    * rank comes from [[graft.warehouse.Dims.surrogateKeys]] — the M4
+    * adaptive kernel: a single window sort while the per-customer frame
+    * is dimension-sized, the range-partition + zipWithIndex twin when
+    * it outgrows one task. The ordering (spend, custkey) is total, so
+    * ranks are deterministic under spend ties and both kernel paths
+    * assign identical ids. The final Σ is one scalar aggregate. */
+  def giniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val ranked = graft.warehouse.Dims.surrogateKeys(
+      spend, "i", Seq(col("spend").asc, col("custkey").asc))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("spend")).as("tot"),
+        sum(col("spend") * (lit(2) * col("i"))).as("wsum"))
+      .select(col("n").as("n_customers"),
+        round(col("tot"), 2).cast("double").as("total_spend"),
+        round((col("wsum").cast("double") -
+            (col("n") + 1).cast("double") * col("tot").cast("double")) /
+          (col("n").cast("double") * col("tot").cast("double")), 6).as("gini"))
+  }
+
+  val giniSpendSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey AS custkey,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1
+      |),
+      |ranked AS (
+      |  SELECT spend, row_number() OVER (ORDER BY spend, custkey) AS i
+      |  FROM spend
+      |)
+      |SELECT count(*) AS n_customers,
+      |       CAST(round(sum(spend), 2) AS DOUBLE) AS total_spend,
+      |       round((CAST(sum(spend * 2 * i) AS DOUBLE)
+      |              - (count(*) + 1) * CAST(sum(spend) AS DOUBLE))
+      |             / (count(*) * CAST(sum(spend) AS DOUBLE)), 6) AS gini
+      |FROM ranked""".stripMargin
+
+  /** Month-over-month revenue growth — the calendar trend report every
+    * warehouse publishes: monthly revenue, the previous month's via a
+    * 1-lag window, absolute delta and percent change (NULL for the
+    * first month, where there is no prior — both engines agree on NULL
+    * rather than a divide-by-zero artifact).
+    *
+    * Shape at 100 TB: the fact stream collapses to ≤ months rows under
+    * one keyed decimal sum before the lag window touches anything —
+    * the window sorts a calendar-bounded series (84 months on this
+    * corpus; bounded by TIME, not data volume, at any scale). */
+  def monthlyRevenueMom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy("month")
+    m.withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("month"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("rev") - col("prev"), 2).cast("double").as("delta"),
+        round((col("rev") - col("prev")).cast("double") /
+          col("prev").cast("double") * 100, 4).as("pct_change"))
+      .orderBy("month")
+  }
+
+  val monthlyRevenueMomSql: String =
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |),
+      |l AS (SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev FROM m)
+      |SELECT month,
+      |       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+      |       CAST(round(rev - prev, 2) AS DOUBLE) AS delta,
+      |       round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 4)
+      |         AS pct_change
+      |FROM l ORDER BY month""".stripMargin
+}
