@@ -21,6 +21,11 @@ import java.nio.file.{Files, Paths}
   *    visited at the wrong moment; the cache is cleared at each pass
   *    boundary so per-query `.cache()` blocks are rebuilt (and paid for)
   *    identically in every pass instead of accumulating across the suite;
+  *  - a NOISE GATE: when the suite's rel_spread_median exceeds
+  *    [[NoiseGateRel]] the worst-spread quartile is re-measured with
+  *    fresh passes, and an artifact still over the gate is stamped
+  *    `"degraded":true` (round 12's artifact was contention-poisoned
+  *    2.6× with nothing in the JSON telling a reader not to credit it);
   *  - per-query reported time = median over passes; `total` = sum of
   *    medians; a suite-level relative-noise summary ships in the same
   *    JSON line so a reader can tell signal from jitter before crediting
@@ -88,16 +93,44 @@ object Bench {
     // cache population the same way, instead of pass 1 paying it for the
     // suite and later passes riding (or evicting) accumulated blocks —
     // the cross-pass bias the interleaved design is meant to remove
-    val passes: Seq[Map[String, Double]] =
+    def runPasses(ns: Seq[String]): Seq[Map[String, Double]] =
       (1 to reps).map { _ =>
         spark.catalog.clearCache()
-        names.map(n => n -> exec(n)).toMap
+        ns.map(n => n -> exec(n)).toMap
       }
-    def samples(n: String): Seq[Double] = passes.map(_(n)).filter(_ >= 0).sorted
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
       else if (xs.size % 2 == 1) xs(xs.size / 2)
       else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
+    def relOf(ps: Seq[Map[String, Double]]): Seq[(String, Double)] =
+      names.flatMap { n =>
+        val xs = ps.map(_.getOrElse(n, -1.0)).filter(_ >= 0).sorted
+        val m = median(xs)
+        if (xs.nonEmpty && m > 0) Some(n -> (xs.max - xs.min) / m) else None
+      }
+    val passes0 = runPasses(names)
+    // NOISE GATE (round-12 lesson: a contended machine produced a bench
+    // artifact whose three reps of the MEDIAN query disagreed by 113% —
+    // unreadable as a regression signal, and indistinguishable from a real
+    // regression without a second run). If the suite-level relative spread
+    // is over [[NoiseGateRel]], re-measure the worst-spread quartile with
+    // fresh interleaved passes — contention is usually transient, and the
+    // worst quartile is where it concentrated — and if the RECOMPUTED
+    // spread still exceeds the gate, stamp the artifact "degraded":true so
+    // no reader credits its totals against another round's numbers.
+    val rel0 = relOf(passes0).map(_._2).sorted
+    val retried: Seq[String] =
+      if (rel0.nonEmpty && median(rel0) > NoiseGateRel) {
+        val worst = relOf(passes0).sortBy(-_._2)
+          .take(math.max(1, (names.size + 3) / 4)).map(_._1)
+        System.err.println(f"[bench] noise gate tripped (rel_spread_median " +
+          f"${median(rel0)}%.3f > $NoiseGateRel) — re-measuring ${worst.size} queries")
+        worst
+      } else Nil
+    val passes: Seq[Map[String, Double]] =
+      if (retried.isEmpty) passes0
+      else passes0.zip(runPasses(retried)).map { case (p, r) => p ++ r }
+    def samples(n: String): Seq[Double] = passes.map(_(n)).filter(_ >= 0).sorted
     val med = names.map(n => n -> median(samples(n)))
     val spreads = names.map { n =>
       val xs = samples(n)
@@ -112,12 +145,17 @@ object Bench {
     val total = med.map(_._2).filter(_ >= 0).sum
     val worst = relByName.sortBy(-_._2).take(3)
       .map { case (n, v) => s"""["$n",${r2(v)}]""" }.mkString("[", ",", "]")
+    // degraded = even after the retry pass the suite's median relative
+    // spread exceeds the gate: the numbers are contention-poisoned and
+    // must not be read as a round-over-round signal
+    val degraded = relSpreads.nonEmpty && median(relSpreads) > NoiseGateRel
     val noise =
-      if (relSpreads.isEmpty) """{"rel_spread_median":-1,"rel_spread_max":-1,"worst":[]}"""
-      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"worst":$worst}"""
-    println(stdoutLine(med, total, sfDir, reps, noise))
+      if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"worst":[]}"""
+      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"worst":$worst}"""
+    println(stdoutLine(med, total, sfDir, reps, noise, degraded))
+    val dg = if (degraded) ""","degraded":true""" else ""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med, _.toString)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps,"spread_sec":${jmap(spreads, _.toString)},"spread_rel":${jmap(relByName, r3)},"noise":$noise}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med, _.toString)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$dg,"spread_sec":${jmap(spreads, _.toString)},"spread_rel":${jmap(relByName, r3)},"noise":$noise}"""
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case _: Throwable => () }
@@ -153,13 +191,31 @@ object Bench {
     * much of it survives the window. */
   private[graft] val StdoutBudget = 1880
 
+  /** Suite-level relative-spread gate: above this, the run re-measures
+    * its worst-spread quartile, and an artifact whose recomputed spread
+    * still exceeds it carries `"degraded":true`. 0.5 sits well above the
+    * quiet-machine noise floor (rel_spread_median ~0.12-0.22, rounds
+    * 7-11) and well below the r12 contamination (1.136). */
+  private[graft] val NoiseGateRel = 0.5
+
+  /** Cross-round ANCHOR queries: always present in the stdout projection
+    * regardless of slowest-K rank, so the driver-visible BENCH_rN history
+    * never loses its round-over-round comparison points as the registry
+    * grows (at 144 entries the stdout budget omits ~75 fast queries — an
+    * anchor that got FAST would otherwise vanish exactly when it got
+    * interesting). One cheap plan-shape anchor (q1), one iterative-job
+    * anchor (dedup_clusters — the most scheduler-sensitive entry), one
+    * shuffle-heavy kernel anchor (value_quantiles). */
+  private[graft] val Anchors = Seq("dedup_clusters", "q1_ratio_rank", "value_quantiles")
+
   /** Builds the one-line stdout JSON, adaptively compacted to fit
     * [[StdoutBudget]] at ANY registry size: full per-query map at 3dp;
     * if over budget, 2dp; then 1dp (quantization up to ±0.05 s/entry —
     * under the suite's own ~0.1 s sub-second jitter, so nothing a reader
-    * could act on is lost); if still over, keep only the slowest-K 1dp
-    * entries that fit (they dominate `total`, which is the operative
-    * baseline metric) and fold the dropped tail into `q_omitted` (count)
+    * could act on is lost); if still over, keep the [[Anchors]] plus the
+    * slowest-K 1dp entries that fit (the slowest dominate `total`, which
+    * is the operative baseline metric; the anchors keep cross-round
+    * comparability) and fold the dropped tail into `q_omitted` (count)
     * + `omitted_sec` (their summed seconds, so `sum(queries) +
     * omitted_sec ≈ value` stays checkable from the line alone, to 1dp
     * quantization). The full-precision map always ships in the BENCH_OUT
@@ -168,18 +224,19 @@ object Bench {
     * oversized registries. */
   private[graft] def stdoutLine(
       med: Seq[(String, Double)], total: Double, sfDir: String,
-      reps: Int, noise: String): String = {
+      reps: Int, noise: String, degraded: Boolean = false): String = {
     // failed queries carry median -1.0; exclude them from omitted_sec (they
     // would subtract a phantom second each and break the documented
     // sum(queries)+omitted_sec ≈ value reconciliation) and surface them as
     // an explicit q_failed count instead
     val failed = med.count(_._2 < 0)
     val fl = if (failed == 0) "" else s""","q_failed":$failed"""
+    val dg = if (degraded) ""","degraded":true""" else ""
     def mk(qjson: String, omitted: Seq[Double]): String = {
       val om =
         if (omitted.isEmpty) ""
         else s""","q_omitted":${omitted.size},"omitted_sec":${r3(omitted.filter(_ >= 0).sum)}"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$fl$om,"noise":$noise}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$fl$dg$om,"noise":$noise}"""
     }
     val full3 = mk(jmap(med, r3), Nil)
     if (full3.length <= StdoutBudget) return full3
@@ -188,11 +245,22 @@ object Bench {
     val full1 = mk(jmap(med, r1), Nil)
     if (full1.length <= StdoutBudget) return full1
     val bySlow = med.sortBy { case (n, v) => (-v, n) }
-    var k = med.size
+    val (anchors, rest) = bySlow.partition(t => Anchors.contains(t._1))
+    var k = rest.size
     var line = full1
     while (line.length > StdoutBudget && k > 0) {
       k -= 1
-      line = mk(jmap(bySlow.take(k).sortBy(_._1), r1), bySlow.drop(k).map(_._2))
+      line = mk(jmap((anchors ++ rest.take(k)).sortBy(_._1), r1),
+        rest.drop(k).map(_._2))
+    }
+    // extremis: if the anchors alone still blow the budget (only possible
+    // with an absurdly long sf path or noise blob), shed them too rather
+    // than emit a line the driver beheads into parsed:null
+    var a = anchors.size
+    while (line.length > StdoutBudget && a > 0) {
+      a -= 1
+      line = mk(jmap(anchors.take(a).sortBy(_._1), r1),
+        (anchors.drop(a) ++ rest).map(_._2))
     }
     // even the k=0 envelope (empty queries map) can exceed the budget if a
     // fixed field balloons (e.g. an absurdly long SPARK_GRAFT_SF_DIR path

@@ -29,12 +29,27 @@ object Stats {
     * (documented estimator, same grid in the oracle — deterministic
     * cross-engine). Degenerate corpus (max == min) pins every row to
     * bucket 0 rather than dividing by zero (the `value_histogram`
-    * guard, mirrored in the SQL CASE). */
+    * guard, mirrored in the SQL CASE).
+    *
+    * Degenerate corpus #2 (a SINGLE event type): the rest-population
+    * denominator `tot_all - tot_t` is 0, so ks_d comes out NULL — there
+    * is no rest distribution to test against, and NULL states that
+    * honestly. The NULL is an EXPLICIT guard on both engines (the
+    * `tot_all = tot_t` CASE below): DuckDB's x/0 is NULL natively, but
+    * Spark under ANSI mode (the 4.x default) throws DIVIDE_BY_ZERO, so
+    * the unguarded division would abort the job instead of reporting
+    * the absent contrast. No row is dropped — the type still reports
+    * its n_type/n_rest counts (pinned in StatsSpec). */
   val KsBuckets = 200
 
-  def ksByEventType(spark: SparkSession, dir: String): DataFrame = {
+  def ksByEventType(spark: SparkSession, dir: String): DataFrame =
+    ksFrom(Tables.events(spark, dir).select(col("event_type"), col("value")))
+
+  /** The KS kernel over any (event_type, value) frame — factored out so
+    * specs can drive it with hand-built distributions whose statistic is
+    * known in closed form (identical distributions ⇒ d = 0). */
+  private[analytics] def ksFrom(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
     val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     val binned = e.crossJoin(broadcast(bounds))
       .select(col("event_type"),
@@ -61,11 +76,12 @@ object Stats {
       .withColumn("cum_all", sum(col("n_all")).over(wType))
       .withColumn("tot_t", sum(col("n")).over(totals))
       .withColumn("tot_all", sum(col("n_all")).over(totals))
+    val restCdf = when(col("tot_all") === col("tot_t"), lit(null).cast("double"))
+      .otherwise((col("cum_all") - col("cum_t")).cast("double") /
+        (col("tot_all") - col("tot_t")))
     cum.groupBy(col("event_type"))
       .agg(
-        max(abs(col("cum_t").cast("double") / col("tot_t") -
-          (col("cum_all") - col("cum_t")).cast("double") /
-            (col("tot_all") - col("tot_t")))).as("d"),
+        max(abs(col("cum_t").cast("double") / col("tot_t") - restCdf)).as("d"),
         max(col("tot_t")).as("n_type"),
         max(col("tot_all") - col("tot_t")).as("n_rest"))
       .select(col("event_type"), round(col("d"), 6).as("ks_d"),
@@ -104,7 +120,9 @@ object Stats {
        |)
        |SELECT event_type,
        |       round(max(abs(CAST(cum_t AS DOUBLE) / tot_t
-       |                     - CAST(cum_all - cum_t AS DOUBLE) / (tot_all - tot_t))), 6)
+       |                     - CASE WHEN tot_all = tot_t THEN NULL
+       |                            ELSE CAST(cum_all - cum_t AS DOUBLE)
+       |                                 / (tot_all - tot_t) END)), 6)
        |         AS ks_d,
        |       CAST(max(tot_t) AS BIGINT) AS n_type,
        |       CAST(max(tot_all - tot_t) AS BIGINT) AS n_rest
@@ -162,6 +180,15 @@ object Stats {
     * 1-lag window, absolute delta and percent change (NULL for the
     * first month, where there is no prior — both engines agree on NULL
     * rather than a divide-by-zero artifact).
+    *
+    * Gap months: the lag compares against the previous PRESENT month,
+    * not the previous calendar month — a month with zero orders simply
+    * has no row, so the next month's delta/pct_change spans the gap
+    * (deliberate: the series reports observed-to-observed movement; a
+    * calendar-densified variant would prepend a `sequence()` spine and
+    * fill gaps with 0 revenue, changing delta semantics from "since
+    * last observed" to "since last calendar month"). On this corpus the
+    * orders table covers every month, so the two readings coincide.
     *
     * Shape at 100 TB: the fact stream collapses to ≤ months rows under
     * one keyed decimal sum before the lag window touches anything —

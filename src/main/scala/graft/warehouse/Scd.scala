@@ -166,15 +166,21 @@ object Scd {
 
   /** Registered SCD2 query (M6 + F5 + M4): one batch applied over the
     * synthetic dimension state, surrogate keys assigned deterministically
-    * post-apply. */
+    * post-apply. Unlike the true dimensions, this table is keyed on
+    * complain_number — in the reference it grows with complaints
+    * (creating-tables.sql:98-124), i.e. fact-sized at scale — so the id
+    * stamp goes through the adaptive [[Dims.surrogateKeys]] kernel: the
+    * single-partition window only on small input, the per-partition-offset
+    * zipWithIndex path above the size threshold. The (complain_number,
+    * start_date, response_to_consumer) ordering is total here — each key's
+    * versions carry distinct start_dates by construction — so both paths
+    * assign identical ids (property-pinned in ScdSpec). */
   def scd2Resolution(spark: SparkSession, dir: String): DataFrame = {
     val applied = scd2Apply(
       resolutionExisting(spark, dir), resolutionIncoming(spark, dir),
       "complain_number", AsOf)
-    applied
-      .withColumn("resolution_id",
-        row_number().over(Window.orderBy(
-          col("complain_number"), col("start_date"), col("response_to_consumer"))).cast("long"))
+    Dims.surrogateKeys(applied, "resolution_id",
+        Seq(col("complain_number"), col("start_date"), col("response_to_consumer")))
       .select("resolution_id", "complain_number", "public_response",
         "response_to_consumer", "start_date", "end_date", "active")
       .orderBy("resolution_id")
@@ -237,14 +243,16 @@ object Scd {
         .otherwise(concat(lit("NEW-"), col("o_orderpriority")))
         .as("consumer_consent"))
 
-  /** Registered SCD3 query (M7 + F5 + M4). */
+  /** Registered SCD3 query (M7 + F5 + M4). Complaint-keyed like the SCD2
+    * table above, so the id stamp rides the adaptive [[Dims.surrogateKeys]]
+    * kernel rather than a bare global window; SCD3 keeps exactly one row
+    * per complain_number, so the single-column ordering is total and both
+    * kernel paths assign identical ids. */
   def scd3Issue(spark: SparkSession, dir: String): DataFrame = {
     val applied = scd3Apply(
       issueExisting(spark, dir), issueIncoming(spark, dir),
       "complain_number", "consumer_consent", AsOf)
-    applied
-      .withColumn("issue_id",
-        row_number().over(Window.orderBy(col("complain_number"))).cast("long"))
+    Dims.surrogateKeys(applied, "issue_id", Seq(col("complain_number")))
       .select("issue_id", "complain_number", "submitted_via",
         "consumer_consent", "consumer_consent_old", "effective_date")
       .orderBy("issue_id")

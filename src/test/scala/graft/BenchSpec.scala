@@ -46,10 +46,43 @@ class BenchSpec extends AnyFunSuite {
       assert(math.abs(shown.values.sum + omittedSec - total) <
           0.051 * (shown.size + 1),
         "shown + omitted_sec does not reconcile with total")
+      // outside the always-kept anchors, no slower query may be dropped
+      // before a faster one
       val maxOmitted = med.filterNot(kv => shown.contains(kv._1)).map(_._2).max
-      val minShown = med.filter(kv => shown.contains(kv._1)).map(_._2).min
+      val minShown = med.filter(kv => shown.contains(kv._1))
+        .filterNot(kv => Bench.Anchors.contains(kv._1)).map(_._2).min
       assert(maxOmitted <= minShown, "a slower query was dropped before a faster one")
+      // the pinned anchors survive truncation regardless of rank
+      Bench.Anchors.foreach(anc =>
+        assert(shown.contains(anc), s"anchor $anc dropped from stdout projection"))
     }
+  }
+
+  test("anchors survive truncation even as the fastest entries; degraded flag ships") {
+    // 300 synthetic slow entries + the 3 real anchors at near-zero time:
+    // the anchors are rank-last by slowness yet must stay in the map
+    val med = registry(300) ++ Bench.Anchors.map(_ -> 0.01)
+    val total = med.map(_._2).sum
+    val line = Bench.stdoutLine(med, total, "sf", 3, noise, degraded = true)
+    assert(line.length <= Bench.StdoutBudget)
+    assert(parseable(line))
+    assert(line.contains(""""degraded":true"""))
+    assert(line.contains("q_omitted"))
+    Bench.Anchors.foreach(anc =>
+      assert(line.contains(s""""$anc":"""), s"anchor $anc dropped"))
+    // reconciliation still holds with anchors pulled out of rank order
+    val shown = """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(
+      line.substring(line.indexOf(""""queries":{"""), line.indexOf(""""sf""""))
+    ).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val omittedSec = """"omitted_sec":([0-9.]+)""".r
+      .findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(shown.values.sum + omittedSec - total) <
+      0.051 * (shown.size + 1))
+  }
+
+  test("degraded defaults to absent") {
+    val line = Bench.stdoutLine(registry(10), 1.0, "sf", 3, noise)
+    assert(!line.contains("degraded"))
   }
 
   test("an oversized registry degrades to slowest-K + q_omitted, never past budget") {

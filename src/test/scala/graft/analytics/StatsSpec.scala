@@ -17,29 +17,35 @@ class StatsSpec extends SparkSpec {
     assert(ks.filter(col("ks_d") < 0 || col("ks_d") > 1).isEmpty)
   }
 
-  test("KS: identical distributions give d = 0 on a hand-built frame") {
+  test("KS: identical distributions give d = 0 through the actual kernel") {
     import spark.implicits._
-    // two types with the SAME per-bucket mass: any grid walk must see
-    // a zero supremum for each type vs the pooled rest
+    // two types with the SAME values: the full CDF walk must see a zero
+    // supremum for each type vs the pooled rest
     val rows = Seq.tabulate(100)(i => ("a", i.toDouble)) ++
       Seq.tabulate(100)(i => ("b", i.toDouble))
-    val df = rows.toDF("event_type", "value")
-    df.createOrReplaceTempView("spec_ks_events")
-    // re-express the engine kernel inline over the temp frame
-    val e = df
-    val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
-    val binned = e.crossJoin(broadcast(bounds))
-      .select(col("event_type"),
-        when(col("mx") === col("mn"), lit(0L))
-          .otherwise(least(
-            floor((col("value") - col("mn")) * Stats.KsBuckets /
-              (col("mx") - col("mn"))), lit(Stats.KsBuckets - 1L)))
-          .cast("long").as("bucket"))
-      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
-    // identical masses → per-bucket n is equal across types
-    val perBucketTypes = binned.groupBy("bucket")
-      .agg(countDistinct(col("n")).as("k"))
-    assert(perBucketTypes.filter(col("k") =!= 1).isEmpty)
+    val out = Stats.ksFrom(rows.toDF("event_type", "value")).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Double]("ks_d") == 0.0),
+      out.map(r => s"${r.getString(0)}=${r.getAs[Double]("ks_d")}").mkString(","))
+    assert(out.forall(r => r.getAs[Long]("n_type") == 100L
+      && r.getAs[Long]("n_rest") == 100L))
+  }
+
+  test("KS: disjoint distributions give d = 1; single type gives NULL") {
+    import spark.implicits._
+    // type a entirely below type b: at the boundary bucket CDF_a = 1 and
+    // CDF_rest = 0, so the supremum is exactly 1 for both contrasts
+    val rows = Seq.tabulate(50)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(50)(i => ("b", 1000.0 + i))
+    val out = Stats.ksFrom(rows.toDF("event_type", "value")).collect()
+    assert(out.length == 2 && out.forall(_.getAs[Double]("ks_d") == 1.0))
+    // degenerate corpus #2 from the scaladoc: one type has no rest
+    // population → ks_d NULL, counts still reported
+    val solo = Stats.ksFrom(Seq.tabulate(10)(i => ("only", i.toDouble))
+      .toDF("event_type", "value")).collect()
+    assert(solo.length == 1 && solo.head.isNullAt(solo.head.fieldIndex("ks_d")))
+    assert(solo.head.getAs[Long]("n_type") == 10L
+      && solo.head.getAs[Long]("n_rest") == 0L)
   }
 
   test("Gini matches the all-pairs mean-absolute-difference form") {
@@ -73,8 +79,13 @@ class StatsSpec extends SparkSpec {
     val plan = Stats.monthlyRevenueMom(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Window"), plan)
-    // the fact stream must aggregate BEFORE the window: a partial_sum
-    // (map-side combine) precedes the exchange
-    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
+    // the fact stream must aggregate BEFORE the window: a map-side
+    // partial_sum combine sits BELOW the Window in the tree (children
+    // print after parents, so "executes first" = LARGER string index)
+    val iWindow = plan.indexOf("Window")
+    val iPartial = plan.indexOf("partial_sum")
+    assert(iPartial >= 0, s"no partial_sum (map-side combine) in plan:\n$plan")
+    assert(iPartial > iWindow,
+      s"partial_sum must be under the Window (idx $iPartial vs $iWindow):\n$plan")
   }
 }

@@ -167,6 +167,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.25, s"recall $recall (ivf=${ivf.size}, bf=${bf.size})")
   }
 
+  test("IVF recall >= 0.8 at k=3 on a planted-neighbor fixture") {
+    // The corpus-floor test above can only assert the chance baseline
+    // because the driver corpus is near-uniform random. This fixture
+    // plants real cluster structure — 8 well-separated directions
+    // (disjoint 8-coordinate support blocks in 64 dims), 10 members each
+    // with a small deterministic perturbation — so ground-truth top-3
+    // neighbors are the query's own cluster and a working IVF quantizer
+    // must recover them. Ids interleave clusters (vec_id = i*8 + c) so
+    // the first-K training seeds land one per cluster.
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val vecs = for (c <- 0 until 8; i <- 0 until 10) yield {
+      val id = i.toLong * 8 + c
+      val ed = (0 until 64).map { d =>
+        val block = if (d >= c * 8 && d < (c + 1) * 8) 1.0 else 0.0
+        block + 0.02 * math.cos(1.7 * id + 0.31 * d)
+      }
+      (id, ed)
+    }
+    val e = vecs.toDF("vec_id", "ed").cache()
+    val cents = Similarity.trainIvfCentroids(e)
+    // queries = ids 0..7, one per cluster
+    val ivf = Similarity.ivfSearchFrom(e, cents, 0L, 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("ed").as("qed"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        expr("cosine_similarity(qed, ed)").as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size == 24)
+    val recall = (ivf & truth).size.toDouble / truth.size
+    info(f"planted-fixture ivf recall@3=$recall%.3f")
+    assert(recall >= 0.8, s"planted recall $recall under 0.8 (ivf=${ivf.size})")
+  }
+
   test("int8 quantization: reconstruction error under one step, top-k preserved") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)

@@ -114,6 +114,24 @@ class ScdSpec extends SparkSpec {
     assert(scd3.groupBy("complain_number").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("scd id-stamps: adaptive kernel and scalable path assign identical ids on SCD output") {
+    // the registered entries route through Dims.surrogateKeys (window path
+    // at sf0.001 size); re-stamping the same frames through the forced
+    // zipWithIndex path must reproduce the ids exactly — the DimsSpec
+    // identity contract, proven on the complaint-keyed SCD outputs whose
+    // orderings must therefore be total
+    val scd2 = Scd.scd2Resolution(spark, sfDir).cache()
+    val re2 = Dims.surrogateKeysScalable(scd2.drop("resolution_id"), "resolution_id",
+      Seq(col("complain_number"), col("start_date"), col("response_to_consumer")))
+    assert(scd2.except(re2.select(scd2.columns.map(col): _*)).isEmpty
+      && re2.select(scd2.columns.map(col): _*).except(scd2).isEmpty)
+    val scd3 = Scd.scd3Issue(spark, sfDir).cache()
+    val re3 = Dims.surrogateKeysScalable(scd3.drop("issue_id"), "issue_id",
+      Seq(col("complain_number")))
+    assert(scd3.except(re3.select(scd3.columns.map(col): _*)).isEmpty
+      && re3.select(scd3.columns.map(col): _*).except(scd3).isEmpty)
+  }
+
   test("scd2 point-in-time join resolves exactly one version per fact") {
     import graft.Tables
     val out = Scd.scd2PointInTimeJoin(spark, sfDir).cache()
