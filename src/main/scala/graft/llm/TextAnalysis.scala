@@ -728,6 +728,142 @@ object TextAnalysis {
        |SELECT row_number() OVER (ORDER BY n DESC, pair) AS rk, pair, n
        |FROM c ORDER BY n DESC, pair LIMIT $BpeMergeK""".stripMargin
 
+  /** Token delimiters for [[bpeApply]]'s separator-string tokenization:
+    * every token is wrapped `␟token␞` (U+001F / U+001E — control chars a
+    * whitespace-split word cannot contain on this corpus; a production
+    * encoder would escape them first). Distinct open/close marks make
+    * merge rewriting exact: adjacent tokens share no characters, so a
+    * leftmost non-overlapping `replace` of `␟a␞␟b␞` → `␟ab␞` is
+    * precisely one BPE merge pass (the shared-separator encoding fails
+    * here — consecutive pair occurrences would share the middle mark and
+    * the second occurrence would not match). */
+  private val TokO = "\u001F"
+  private val TokC = "\u001E"
+
+  /** Session-scoped learned-merge artifact — the tokenizer MODEL file of
+    * the BPE loop, same lifecycle as `Similarity.centroidArtifact`: the
+    * first consumer pays the [[bpeMergePairs]] mining aggregate, later
+    * consumers read the collected [[BpeMergeK]]-row rank-ordered merge
+    * list (bounded by the compile-time constant, never by data size). */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]()
+  private[llm] def bpeMergeArtifact(spark: SparkSession, dir: String): IndexedSeq[String] =
+    bpeCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + dir,
+      _ => bpeMergePairs(spark, dir).orderBy("rk").collect()
+        .map(_.getString(1)).toIndexedSeq)
+
+  /** BPE ENCODE — the follow-through that closes the tokenizer-training
+    * loop [[bpeMergePairs]] opens: apply the learned merges, in rank
+    * order, to every word of the corpus and report per-document token
+    * counts (words, characters, post-merge tokens, chars/token — the
+    * compression the learned merges actually buy).
+    *
+    * Merge application is EXACT rank-ordered BPE over single-character
+    * merges: each word becomes a separator string (`␟c␞` per char), and
+    * merge k rewrites `␟a␞␟b␞` → `␟ab␞` via one leftmost
+    * non-overlapping string replace — the same pass semantics as the
+    * reference BPE encoder (later merges see earlier merges' tokens:
+    * after `th` merges, `he` can no longer claim the consumed `h`). The
+    * K replaces are FOLDED INTO ONE projection over the word array —
+    * per-document, in-row, shuffle-free (the only exchange is the
+    * presentation sort); the merge list rides the session-scoped
+    * [[bpeMergeArtifact]] as literal patterns, so the mining aggregate
+    * is not in the per-document plan at all.
+    *
+    * Token counting is a length difference (#␟ marks = token count) —
+    * no second tokenization pass. Zero-token documents report NULL
+    * chars_per_token on both engines (explicit guard; ANSI Spark would
+    * otherwise throw on the divide). */
+  /** One word → its separator-string tokenization under `merges` (rank
+    * order = list order). Factored so the spec can pin the merge
+    * semantics with hand lists (rank precedence, consumed-character
+    * blocking, non-overlap) independent of the corpus-learned model. */
+  private[llm] def bpeTokenize(w: org.apache.spark.sql.Column,
+      merges: Seq[String]): org.apache.spark.sql.Column = {
+    val asChars = regexp_replace(w, "(.)", TokO + "$1" + TokC)
+    merges.foldLeft(asChars)((s, p) =>
+      replace(s,
+        lit(TokO + p.charAt(0) + TokC + TokO + p.charAt(1) + TokC),
+        lit(TokO + p + TokC)))
+  }
+
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeArtifact(spark, dir)
+    // spread: per-doc regex/replace work serializes on a single-split
+    // scan (identity at real scale, see Tables.spread)
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val words = filter(split(lower(trim(col("text"))), "\\s+"),
+      w => length(w) > lit(0))
+    d.select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        transform(col("ws"), w => bpeTokenize(w, merges)).as("ts"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_word_chars"),
+        aggregate(col("ts"), lit(0L),
+          (a, t) => a + length(t) - length(replace(t, lit(TokO)))).as("n_tokens"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_word_chars").cast("double") / col("n_tokens"), 6)))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same rank-ordered merge application, with the merge
+    * list recomputed by the [[bpeMergePairsSql]] CTE chain (already
+    * hash-verified against the Spark mining) and applied by a recursive
+    * CTE stepping rank 1..K over every word's separator string — the
+    * dynamic twin of the engine's literal-pattern fold. */
+  val bpeApplySql: String =
+    s"""WITH RECURSIVE mw AS (
+       |  SELECT row_number() OVER (ORDER BY n DESC, pair) AS rk, pair
+       |  FROM (
+       |    SELECT pair, count(*) AS n FROM (
+       |      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+       |      FROM (
+       |        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents
+       |      ) WHERE length(w) >= 2
+       |    ) GROUP BY pair
+       |  ) ORDER BY n DESC, pair LIMIT $BpeMergeK
+       |), w AS (
+       |  SELECT doc_id, w, count(*) AS cnt
+       |  FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents
+       |  ) WHERE length(w) > 0
+       |  GROUP BY doc_id, w
+       |), rec AS (
+       |  SELECT doc_id, w, cnt, 0 AS rk,
+       |         regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g') AS s
+       |  FROM w
+       |  UNION ALL
+       |  SELECT r.doc_id, r.w, r.cnt, r.rk + 1,
+       |         replace(r.s,
+       |                 chr(31) || m.pair[1] || chr(30) || chr(31) || m.pair[2] || chr(30),
+       |                 chr(31) || m.pair || chr(30))
+       |  FROM rec r JOIN mw m ON m.rk = r.rk + 1
+       |), fin AS (
+       |  SELECT doc_id, w, cnt, s FROM rec
+       |  WHERE rk = (SELECT count(*) FROM mw)
+       |), agg AS (
+       |  SELECT doc_id,
+       |         CAST(sum(cnt) AS BIGINT) AS n_words,
+       |         CAST(sum(cnt * length(w)) AS BIGINT) AS n_word_chars,
+       |         CAST(sum(cnt * (length(s) - length(replace(s, chr(31), '')))) AS BIGINT)
+       |           AS n_tokens
+       |  FROM fin GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(a.n_words, 0) AS n_words,
+       |       coalesce(a.n_word_chars, 0) AS n_word_chars,
+       |       coalesce(a.n_tokens, 0) AS n_tokens,
+       |       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL
+       |            ELSE round(CAST(a.n_word_chars AS DOUBLE) / a.n_tokens, 6) END
+       |         AS chars_per_token
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** PII patterns shared by engine and oracle — character-class/quantifier
     * constructs only, so Java regex (Spark) and RE2 (DuckDB) agree. */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

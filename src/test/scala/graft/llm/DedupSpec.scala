@@ -97,6 +97,67 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup ≡ full re-cluster on fixtures built to break naive variants") {
+    import spark.implicits._
+    // word universes are disjoint per motif so clusters cannot cross-link
+    def words(p: String, r: Range) = r.map(i => s"$p$i")
+    def text(ws: Seq[String]) = ws.mkString(" ")
+    // motif 1 (bridge): base clusters {1,2}=tX and {3,4}=tY sit below the
+    // 0.5 threshold of each other (first 16 of 40 words replaced,
+    // J=22/54≈0.41); the NEW doc 27 replaces only the first 8 with the
+    // same u-words, landing ≥0.5 of BOTH texts (0.652/0.583) — it must
+    // merge the two prior clusters into one
+    val tX = words("x", 1 to 40)
+    val tY = words("u", 1 to 16) ++ tX.drop(16)
+    val t27 = words("u", 1 to 8) ++ tX.drop(8)
+    // motif 2 (attach via NON-canonical member): {10,11} cluster
+    // (J=30/46≈0.65); new doc 17 is ≥0.5 of 11 ONLY (0.583 vs 0.407 to
+    // 10) — a candidate join against canonicals alone would miss it
+    val tW = words("w", 1 to 40)
+    val t11 = words("v", 1 to 8) ++ tW.drop(8)
+    val t17 = words("v", 1 to 16) ++ tW.drop(16)
+    // motif 3: untouched base cluster {5,6}; motif 4: new-only cluster
+    // {30,31}; singletons 7 (base) and 33 (new) stay unclustered
+    val tQ = words("q", 1 to 12)
+    val tZ = words("z", 1 to 12)
+    val docs = Seq(
+      (1L, text(tX), false), (2L, text(tX), false),
+      (3L, text(tY), false), (4L, text(tY), false),
+      (5L, text(tQ), false), (6L, text(tQ), false),
+      (7L, text(words("s", 1 to 10)), false),
+      (10L, text(tW), false), (11L, text(t11), false),
+      (17L, text(t17), true),
+      (27L, text(t27), true),
+      (30L, text(tZ), true), (31L, text(tZ), true),
+      (33L, text(words("t", 1 to 10)), true)
+    ).toDF("doc_id", "text", "is_new")
+    val sh = Dedup.shinglesOf(docs).cache()
+    val inc = Dedup.dedupIncrementalFrom(sh, Dedup.DefaultMaxShingleDf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // expected = full re-cluster of base ∪ new through the batch kernel
+    val full = Dedup.ngramJaccardPairsFrom(sh.drop("is_new"), Dedup.DefaultMaxShingleDf)
+    val comp = Dedup.connectedComponents(
+      full.select(col("doc_a").as("u"), col("doc_b").as("v"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = comp.map { case (doc, cid) =>
+      doc -> (cid, comp.count(_._2 == cid).toLong, doc == cid)
+    }
+    assert(inc == expected, s"inc=$inc\nexpected=$expected")
+    // and the motifs resolved the way the fixture was built to force
+    assert(Seq(1L, 2L, 3L, 4L, 27L).forall(inc(_)._1 == 1L), "bridge failed")
+    assert(Seq(10L, 11L, 17L).forall(inc(_)._1 == 10L), "non-canonical attach failed")
+    assert(inc(5L) == ((5L, 2L, true)) && inc(6L) == ((5L, 2L, false)))
+    assert(inc(30L)._1 == 30L && inc(31L)._1 == 30L)
+    assert(!inc.contains(7L) && !inc.contains(33L))
+  }
+
+  test("incremental dedup on the corpus equals the full dedup_clusters entry") {
+    val inc = Dedup.dedupIncremental(spark, sfDir)
+    val fullC = Dedup.dedupClusters(spark, sfDir)
+    assert(inc.except(fullC).isEmpty && fullC.except(inc).isEmpty)
+  }
+
   test("dedup apply keeps canonicals and unclustered docs, drops the rest") {
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id").cache()
     val clusters = Dedup.dedupClusters(spark, sfDir).cache()

@@ -236,6 +236,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bpe tokenize: rank precedence, consumed-char blocking, non-overlap") {
+    import spark.implicits._
+    def toks(w: String, merges: Seq[String]): Seq[String] =
+      Seq(w).toDF("w")
+        .select(TextAnalysis.bpeTokenize(col("w"), merges).as("t"))
+        .head().getString(0)
+        .split("\u001E").filter(_.nonEmpty).map(_.stripPrefix("\u001F")).toSeq
+    // merge #1 consumes its chars: with [th, he], "the" → th|e (the h is
+    // gone before he's turn); flipping the ranks gives t|he
+    assert(toks("the", Seq("th", "he")) == Seq("th", "e"))
+    assert(toks("the", Seq("he", "th")) == Seq("t", "he"))
+    // leftmost non-overlapping within one merge: "aaa" → aa|a, "aaaa" → aa|aa
+    assert(toks("aaa", Seq("aa")) == Seq("aa", "a"))
+    assert(toks("aaaa", Seq("aa")) == Seq("aa", "aa"))
+    // a merge whose halves are already consumed cannot fire across token
+    // boundaries: after aa merges, [aa] tokens don't re-pair via "aa"
+    assert(toks("ab", Seq("xy")) == Seq("a", "b"))
+    assert(toks("a", Seq("aa")) == Seq("a"))
+  }
+
+  test("bpe apply: per-doc counts reconcile and compression is real") {
+    val out = TextAnalysis.bpeApply(spark, sfDir).cache()
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    // every word is >= 1 token; every token is 1 or 2 chars (merges are
+    // char pairs), so chars/2 <= tokens <= chars and ratio in [1, 2]
+    assert(out.filter(col("n_tokens") < col("n_words")).isEmpty)
+    assert(out.filter(col("n_tokens") > col("n_word_chars")).isEmpty)
+    assert(out.filter(col("n_tokens") * 2 < col("n_word_chars")).isEmpty)
+    assert(out.filter(col("chars_per_token") < 1.0 || col("chars_per_token") > 2.0).isEmpty)
+    // the learned merges must actually compress this corpus somewhere
+    assert(out.filter(col("n_tokens") < col("n_word_chars")).count() > 0)
+  }
+
   test("vocab coverage matches a driver-side model and the vocab join broadcasts") {
     val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
       .map(r => r.getString(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
