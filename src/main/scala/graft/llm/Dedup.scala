@@ -495,6 +495,130 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Window length (tokens) for [[substringDedup]] — the span size above
+    * which a cross-document repeat is treated as duplicated text rather
+    * than chance collocation (the published exact-substring-dedup
+    * pipelines use 50-token spans at web scale; 20 keeps the entry
+    * exercised on this corpus's near-dup families). */
+  private val SubstrWin = 20
+
+  /** EXACT SUBSTRING dedup — the span-level companion to the
+    * document-level kernels above: document pairs below any whole-doc
+    * similarity threshold can still share long verbatim runs
+    * (boilerplate headers, quoted passages, templated sections), and
+    * span-level dedup is what the training-data literature actually
+    * prescribes for those. Emits one row per document with its
+    * [[SubstrWin]]-token window count, how many of those windows also
+    * occur in ANOTHER document, the duplicated fraction, and the longest
+    * duplicated run (in tokens) — the trim candidate.
+    *
+    * Shape at 100 TB: the window stream is (doc_id, pos, xxhash64(win))
+    * — fixed-width rows, never the window text (the jaccard-kernel key
+    * discipline; same documented 64-bit collision assumption, the
+    * oracle groups raw strings). One explode feeds both phases through
+    * a cache: the duplicated-hash set (two-level aggregate: distinct
+    * (h, doc) map-side, then df ≥ 2) and the mark-back (left_semi on
+    * the hash — fixed-width shuffle both sides). Run lengths come from
+    * an IN-ROW fold over each doc's sorted duplicated positions — no
+    * window function, no second shuffle. Window hashing is
+    * O(W · tokens) here (concat_ws per window inside codegen); the
+    * rolling-hash upgrade (one O(tokens) pass, the [[graft.functions.PolyHash]]
+    * recurrence extended to windows) is the known next step if the
+    * hashing stage ever dominates at real scale. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupFrom(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Kernel over any (doc_id, text) frame — factored so the spec can pin
+    * the semantics on planted fixtures (a known shared run, a
+    * within-doc-only repeat, a short doc). */
+  private[llm] def substringDedupFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+    val ex = toks.filter(size(col("ws")) >= SubstrWin)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${SubstrWin - 1}), i ->
+           |  named_struct('pos', i,
+           |               'h', xxhash64(concat_ws(' ', slice(ws, i, $SubstrWin)))))"""
+          .stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .cache() // read twice: duplicated-hash set + mark-back join
+    // windows present in >= 2 DISTINCT docs (within-doc repetition is
+    // repetition_metrics' business, not dedup's)
+    val dup = ex.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("dd"))
+      .filter(col("dd") >= 2).select("h")
+    val marked = ex.join(dup, Seq("h"), "left_semi")
+    val perDoc = marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("best", expr(
+        """aggregate(ps,
+          |  named_struct('prev', -2, 'cur', 0, 'best', 0),
+          |  (acc, p) -> named_struct(
+          |    'prev', p,
+          |    'cur',  CASE WHEN p = acc.prev + 1 THEN acc.cur + 1 ELSE 1 END,
+          |    'best', greatest(acc.best,
+          |            CASE WHEN p = acc.prev + 1 THEN acc.cur + 1 ELSE 1 END)),
+          |  acc -> acc.best)""".stripMargin))
+      .select(col("doc_id"), col("n_dup_windows"), col("best"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        greatest(size(col("ws")) - (SubstrWin - 1), lit(0)).cast("long").as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("best"), lit(0)).as("best"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_dup_windows").cast("double") / col("n_windows"), 6)))
+      .withColumn("max_dup_span",
+        when(col("n_dup_windows") === 0, lit(0L))
+          .otherwise((col("best") + (SubstrWin - 1)).cast("long")))
+      .select("doc_id", "n_tokens", "n_windows", "n_dup_windows",
+        "dup_ratio", "max_dup_span")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: identical phases over raw window strings; the run length
+    * uses the gaps-and-islands idiom where the engine folds in-row. */
+  val substringDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+       |), wins AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) - ${SubstrWin - 2})) AS pos, ws
+       |  FROM w WHERE len(ws) >= $SubstrWin
+       |), s AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(list_slice(ws, pos, pos + ${SubstrWin - 1}), ' ') AS win
+       |  FROM wins
+       |), dup AS (
+       |  SELECT win FROM s GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+       |), m AS (
+       |  SELECT doc_id, pos FROM s WHERE win IN (SELECT win FROM dup)
+       |), runs AS (
+       |  SELECT doc_id, count(*) AS run_len
+       |  FROM (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM m)
+       |  GROUP BY doc_id, grp
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_dup FROM m GROUP BY doc_id
+       |), best AS (
+       |  SELECT doc_id, max(run_len) AS best FROM runs GROUP BY doc_id
+       |)
+       |SELECT w.doc_id,
+       |       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |       CAST(greatest(len(w.ws) - ${SubstrWin - 1}, 0) AS BIGINT) AS n_windows,
+       |       CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       |       CASE WHEN greatest(len(w.ws) - ${SubstrWin - 1}, 0) = 0 THEN NULL
+       |            ELSE round(CAST(coalesce(a.n_dup, 0) AS DOUBLE)
+       |                       / (len(w.ws) - ${SubstrWin - 1}), 6) END AS dup_ratio,
+       |       CAST(CASE WHEN a.n_dup IS NULL THEN 0
+       |                 ELSE b.best + ${SubstrWin - 1} END AS BIGINT) AS max_dup_span
+       |FROM w
+       |LEFT JOIN agg a ON a.doc_id = w.doc_id
+       |LEFT JOIN best b ON b.doc_id = w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
   /** Candidate pairs TOUCHING the new batch — the merge-shaped pair
     * generator behind [[dedupIncremental]]. Input frame carries
     * (doc_id, shingles, is_new); output is exactly the subset of

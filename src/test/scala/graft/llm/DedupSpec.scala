@@ -97,6 +97,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup: planted shared run, within-doc repeat excluded, short doc guarded") {
+    import spark.implicits._
+    def words(p: String, r: Range) = r.map(i => s"$p$i").mkString(" ")
+    val shared = words("s", 1 to 25) // 25-token verbatim run shared by A and B
+    val rep = words("r", 1 to 20)    // 20-token run repeated WITHIN doc C only
+    val docs = Seq(
+      (1L, words("a", 1 to 10) + " " + shared + " " + words("a", 11 to 15)),
+      (2L, words("b", 1 to 5) + " " + shared + " " + words("b", 6 to 25)),
+      (3L, words("c", 1 to 5) + " " + rep + " " + words("c", 6 to 10) + " " +
+        rep + " " + words("c", 11 to 15)),
+      (4L, words("d", 1 to 5))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getLong(5))).toMap
+    // A: 40 tokens, 21 windows; the shared 25-token run yields 6
+    // consecutive duplicated windows (25 - 20 + 1) → span 25
+    assert(out(1L) == ((40L, 21L, 6L, Some(BigDecimal(6.0/21).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble), 25L)), out(1L).toString)
+    assert(out(2L)._3 == 6L && out(2L)._5 == 25L)
+    // C's repeat is within ONE doc — not cross-doc duplication
+    assert(out(3L)._3 == 0L && out(3L)._5 == 0L)
+    // D is shorter than the window: no windows, NULL ratio, zero span
+    assert(out(4L) == ((5L, 0L, 0L, None, 0L)))
+  }
+
+  test("substring dedup corpus invariants: bounds, coverage, near-dup families fire") {
+    val out = Dedup.substringDedup(spark, sfDir).cache()
+    assert(out.count() == graft.Tables.documents(spark, sfDir).count())
+    assert(out.filter(col("n_dup_windows") > col("n_windows")).isEmpty)
+    assert(out.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).isEmpty)
+    // span is 0 iff no duplicated window; else at least the window size
+    assert(out.filter(col("n_dup_windows") === 0 && col("max_dup_span") =!= 0).isEmpty)
+    assert(out.filter(col("n_dup_windows") > 0 && col("max_dup_span") < 20).isEmpty)
+    // the corpus's near-identical families must surface span-level dups
+    assert(out.filter(col("n_dup_windows") > 0).count() > 0)
+  }
+
   test("incremental dedup ≡ full re-cluster on fixtures built to break naive variants") {
     import spark.implicits._
     // word universes are disjoint per motif so clusters cannot cross-link
