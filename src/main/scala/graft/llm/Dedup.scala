@@ -578,6 +578,97 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SPAN TRIM PLAN — the consumer that turns [[substringDedup]]'s
+    * report into the literature's actual edit: every duplicated window
+    * keeps exactly ONE copy corpus-wide (the minimum doc_id holding it —
+    * deterministic, mirrors the cluster-canonical min-id policy), and
+    * every other holder marks the window's tokens for removal. Emits
+    * per document the tokens-to-remove count (overlapping spans merged,
+    * not double-counted) and the surviving fraction — the numbers a
+    * pipeline reviews before committing a destructive trim.
+    *
+    * Same fixed-width window-hash stream as [[substringDedup]] (the two
+    * entries' cache plans are identical, so a session running both pays
+    * the explode once); removal coverage is an IN-ROW interval-union
+    * fold over each doc's sorted marked positions — windows all span
+    * [[SubstrWin]] tokens, so the fold just carries the furthest
+    * covered end and adds the uncovered suffix of each new span. */
+  def substringTrim(spark: SparkSession, dir: String): DataFrame =
+    substringTrimFrom(Tables.spread(Tables.documents(spark, dir)))
+
+  private[llm] def substringTrimFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+    val ex = toks.filter(size(col("ws")) >= SubstrWin)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${SubstrWin - 1}), i ->
+           |  named_struct('pos', i,
+           |               'h', xxhash64(concat_ws(' ', slice(ws, i, $SubstrWin)))))"""
+          .stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .cache()
+    // duplicated windows with their corpus-wide keeper (min doc_id)
+    val keepers = ex.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("dd"), min(col("doc_id")).as("keeper"))
+      .filter(col("dd") >= 2)
+      .select("h", "keeper")
+    val marked = ex.join(keepers, Seq("h"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id", "pos").distinct()
+    val perDoc = marked.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(ps,
+           |  named_struct('fin', 0, 'tot', 0),
+           |  (acc, p) -> named_struct(
+           |    'fin', greatest(acc.fin, p + $SubstrWin),
+           |    'tot', acc.tot + greatest(0, p + $SubstrWin - greatest(acc.fin, p))),
+           |  acc -> acc.tot)""".stripMargin).cast("long").as("n_removed"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("keep_ratio",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round((col("n_tokens") - col("n_removed")).cast("double") /
+            col("n_tokens"), 6)))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: keeper pick and removal mark over raw window strings;
+    * coverage via lateral range expansion + DISTINCT instead of the
+    * engine's interval fold — same merged-union semantics. */
+  val substringTrimSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+       |), wins AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) - ${SubstrWin - 2})) AS pos, ws
+       |  FROM w WHERE len(ws) >= $SubstrWin
+       |), s AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(list_slice(ws, pos, pos + ${SubstrWin - 1}), ' ') AS win
+       |  FROM wins
+       |), dupk AS (
+       |  SELECT win, min(doc_id) AS keeper
+       |  FROM (SELECT DISTINCT win, doc_id FROM s)
+       |  GROUP BY win HAVING count(*) >= 2
+       |), rm AS (
+       |  SELECT s.doc_id, s.pos FROM s JOIN dupk USING (win)
+       |  WHERE s.doc_id <> dupk.keeper
+       |), cov AS (
+       |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $SubstrWin)) AS tok FROM rm
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id
+       |)
+       |SELECT w.doc_id,
+       |       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |       CASE WHEN len(w.ws) = 0 THEN NULL
+       |            ELSE round(CAST(len(w.ws) - coalesce(a.n_removed, 0) AS DOUBLE)
+       |                       / len(w.ws), 6) END AS keep_ratio
+       |FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
   /** Oracle: identical phases over raw window strings; the run length
     * uses the gaps-and-islands idiom where the engine folds in-row. */
   val substringDedupSql: String =

@@ -135,6 +135,25 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("n_dup_windows") > 0).count() > 0)
   }
 
+  test("substring trim: min-id keeper keeps, holders mark, overlaps merge") {
+    import spark.implicits._
+    def words(p: String, r: Range) = r.map(i => s"$p$i").mkString(" ")
+    val shared = words("s", 1 to 25)
+    val docs = Seq(
+      // doc 1 is the keeper (min id holding the shared run): removes nothing
+      (1L, words("a", 1 to 10) + " " + shared + " " + words("a", 11 to 15)),
+      // doc 2 holds the same run: its 25 tokens are marked, overlapping
+      // windows merged (6 windows cover exactly 25 tokens, not 6 x 20)
+      (2L, words("b", 1 to 5) + " " + shared + " " + words("b", 6 to 25)),
+      (3L, words("c", 1 to 30))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringTrimFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._2 == 0L && out(1L)._3 == 1.0, out(1L).toString)
+    assert(out(2L) == ((50L, 25L, 0.5)), out(2L).toString)
+    assert(out(3L)._2 == 0L)
+  }
+
   test("incremental dedup ≡ full re-cluster on fixtures built to break naive variants") {
     import spark.implicits._
     // word universes are disjoint per motif so clusters cannot cross-link
