@@ -84,4 +84,81 @@ object Decontaminate {
        |WHERE split <> 'test' AND s IN (SELECT s FROM bench)
        |GROUP BY doc_id, split, n_shingles
        |ORDER BY doc_id""".stripMargin
+
+  /** Near-duplicate contamination threshold: a train document whose
+    * EXACT shingle Jaccard against some test document reaches 0.8 is
+    * flagged (the same confirm threshold as [[Dedup.minhashDedup]]). */
+  private val FuzzyMin = 0.8
+
+  /** Fuzzy decontamination — the near-duplicate complement of the exact
+    * n-gram audit above: a benchmark answer that was lightly paraphrased
+    * or re-wrapped before landing in the crawl shares few verbatim
+    * trigrams but is still a near-duplicate, so pipelines additionally
+    * screen train docs whose whole-document similarity against any test
+    * doc is high. Candidates come from MinHash LSH band collisions
+    * between the train and test sides (the SAME [[Dedup.minhashBands]]
+    * signature/banding the dedup family uses, so "near-dup" means the
+    * same thing corpus-wide); candidates are confirmed with EXACT
+    * Jaccard ≥ 0.8, so banding only prunes and the output is exact.
+    *
+    * Scale shape: bands are computed in one hash aggregate per side from
+    * ONE shingle pass (the split column rides along); the candidate join
+    * keys on (band_id, band_key) — fixed-width longs — and the test side
+    * is benchmark-sized, so it broadcasts: the corpus-scale train side
+    * streams through map tasks with no shuffle. The exact-confirm joins
+    * touch only candidate pairs (near-dup-sized). Recall: true
+    * contaminants on this corpus sit at J ≥ 0.97, where the 16-band ×
+    * 4-row miss probability is < 1e-15 (documented at [[Dedup]]). */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Sampling.hashSplitFrom(
+      Dedup.shinglesOf(Tables.spread(Tables.documents(spark, dir))),
+      col("doc_id"))
+      .select("doc_id", "split", "shingles")
+      .cache() // reused: bands + 2 confirm joins
+    val bands = Dedup.minhashBands(sh)
+      .join(sh.select("doc_id", "split"), "doc_id")
+    val test = bands.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("band_id"), col("band_key"))
+    val cands = bands.filter(col("split") =!= "test")
+      .join(broadcast(test), Seq("band_id", "band_key"))
+      .select("doc_id", "split", "test_doc")
+      .dropDuplicates("doc_id", "test_doc")
+    val withSets = cands
+      .join(sh.select(col("doc_id"), col("shingles").as("sa")), "doc_id")
+      .join(sh.select(col("doc_id").as("test_doc"), col("shingles").as("sb")),
+        "test_doc")
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    withSets
+      .withColumn("jaccard", round(
+        inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter), 6))
+      .filter(col("jaccard") >= FuzzyMin)
+      .select("doc_id", "split", "test_doc", "jaccard")
+      .orderBy("doc_id", "test_doc")
+  }
+
+  /** Oracle: exact all-pairs train×test Jaccard at the same threshold
+    * (valid because the engine confirms candidates exactly; see recall
+    * note in the scaladoc). */
+  val decontaminateFuzzySql: String =
+    s"""WITH ${Dedup.shinglesCteSql},
+       |sp AS (
+       |  SELECT doc_id, shingles, ${Sampling.splitBucketSql} AS bucket FROM sh
+       |), spl AS (
+       |  SELECT doc_id, shingles, ${Sampling.splitCaseSql} AS split FROM sp
+       |), tr AS (
+       |  SELECT doc_id, split, unnest(shingles) AS s FROM spl WHERE split <> 'test'
+       |), te AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM spl WHERE split = 'test'
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_id, a.split, b.doc_id AS test_doc, count(*) AS inter
+       |  FROM tr a JOIN te b ON a.s = b.s
+       |  GROUP BY 1, 2, 3
+       |), sizes AS (SELECT doc_id, len(shingles) AS n FROM spl)
+       |SELECT i.doc_id, i.split, i.test_doc,
+       |       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_id
+       |JOIN sizes sb ON sb.doc_id = i.test_doc
+       |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= $FuzzyMin
+       |ORDER BY i.doc_id, i.test_doc""".stripMargin
 }

@@ -154,12 +154,127 @@ object Dedup {
     s"""WITH $shinglesCteSql, $jaccardPairsCteSql
        |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Containment threshold for [[containmentDedup]]: a doc ≥ 90% of whose
+    * shingles appear in another doc is treated as contained. */
+  private val ContainmentMin = 0.9
+
+  /** Asymmetric containment near-dups: directional pairs (contained,
+    * container) where C(a→b) = |Sa ∩ Sb| / |Sa| ≥ 0.9 — the estimator
+    * Jaccard misses by construction: a short document quoted whole inside
+    * a much longer one has tiny Jaccard (the union is dominated by the
+    * long doc) but containment ≈ 1. Pretraining pipelines run this pass
+    * to catch wrapper pages, quote farms, and documents that are strict
+    * extensions of others; the kept copy is usually the container.
+    *
+    * Scale shape: the SAME bounded-posting-list inverted index as
+    * [[ngramJaccardPairsFrom]] — candidates come only from shared
+    * shingles (never all-pairs), hot shingles above [[DefaultMaxShingleDf]]
+    * are dropped from the index on both engines, every posting list is
+    * df-bounded before pair expansion, and the shuffled stream is
+    * fixed-width (doc_id, n, xxhash64) longs. The one unordered
+    * intersection count then fans out into AT MOST two directional rows
+    * in-row (an `explode` of a 2-element literal array — no second join,
+    * no second aggregate), so the directional output costs nothing over
+    * the symmetric one. Same documented df-cap recall trade and 64-bit
+    * collision assumption as the Jaccard kernel. */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsFrom(withShingles(spark, dir), DefaultMaxShingleDf,
+      ContainmentMin)
+
+  /** Core containment kernel over a prepared (doc_id, shingles) frame —
+    * see [[containmentDedup]] for semantics and the scale story. */
+  private[llm] def containmentPairsFrom(sh: DataFrame, maxDf: Int,
+      minC: Double): DataFrame = {
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
+      .cache() // read twice: df head count + posting build
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    val postings = ex.join(hot, Seq("s"), "left_anti")
+      .groupBy("s")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val occ = postings.select(explode(expr(
+      """flatten(transform(ds, (a, i) ->
+        |  transform(slice(ds, i + 2, size(ds) - i - 1),
+        |            b -> named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
+    occ
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      // both directions of one unordered pair, expanded in-row
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          round(col("inter").cast("double") / col("na"), 6).as("containment")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          round(col("inter").cast("double") / col("nb"), 6).as("containment"))))
+        .as("r"))
+      .select(col("r.contained").as("contained"),
+        col("r.container").as("container"),
+        col("r.containment").as("containment"))
+      .filter(col("containment") >= minC)
+      .orderBy("contained", "container")
+  }
+
+  /** Oracle: same inverted-index intersection over raw shingle strings
+    * (same hot-shingle cap), both directions via UNION ALL. */
+  val containmentDedupSql: String =
+    s"""WITH $shinglesCteSql, ex0 AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), hot AS (
+       |  SELECT s FROM ex0 GROUP BY s HAVING count(*) > $DefaultMaxShingleDf
+       |), ex AS (
+       |  SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh
+       |), dirs AS (
+       |  SELECT doc_a AS contained, doc_b AS container,
+       |         round(inter * 1.0 / sa.n, 6) AS containment
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  UNION ALL
+       |  SELECT doc_b AS contained, doc_a AS container,
+       |         round(inter * 1.0 / sb.n, 6) AS containment
+       |  FROM inter
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |)
+       |SELECT contained, container, containment FROM dirs
+       |WHERE containment >= $ContainmentMin
+       |ORDER BY contained, container""".stripMargin
+
   /** MinHash signature length / LSH banding: 64 hashes in 16 bands of 4.
     * Candidate recall at J ≥ 0.8 is 1 - (1 - 0.8^4)^16 > 0.9998; on this
     * corpus (true pairs ≥ 0.97) the miss probability is < 1e-15. */
   private val NumHashes = 64
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows
+
+  /** LSH band keys for a prepared (doc_id, shingles) frame: one row per
+    * (doc_id, band_id, band_key). Signatures are 64 min() aggregates over
+    * the exploded shingle stream — a single codegen'd hash aggregate with
+    * map-side partials, instead of an interpreted per-row higher-order
+    * fold (HOF lambdas don't codegen). Each shingle string is hashed
+    * ONCE; the 64 hash-family members rehash only the fixed-width 64-bit
+    * value (not the string), which also avoids ANSI-mode overflow that a
+    * raw multiply-mix would hit. Shared by [[minhashDedup]] and
+    * [[Decontaminate.decontaminateFuzzy]] so "same bucket" means the same
+    * thing in both audits. */
+  private[llm] def minhashBands(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    sig.withColumn("band", explode(array(
+      (0 until NumBands).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64((lit(b) +: (0 until BandRows).map(r =>
+            col(s"h${b * BandRows + r}"))): _*).as("band_key"))): _*)))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
 
   /** MinHash + LSH near-dup pairs: per-doc signature sig[i] =
     * min over shingles of xxhash64(i, shingle); band key = xxhash64 of the
@@ -168,23 +283,7 @@ object Dedup {
     * shingle arrays. Output is therefore exact (banding only prunes). */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(spark, dir).cache() // reused: signatures + 2 confirm joins
-    // Signatures as 64 min() aggregates over the exploded shingle stream —
-    // a single codegen'd hash aggregate with map-side partials, instead of
-    // an interpreted per-row higher-order fold (HOF lambdas don't codegen).
-    // Each shingle string is hashed ONCE; the 64 hash-family members rehash
-    // only the fixed-width 64-bit value (not the string), which also avoids
-    // ANSI-mode overflow that a raw multiply-mix would hit.
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = sig.withColumn("band", explode(array(
-      (0 until NumBands).map(b =>
-        struct(lit(b).as("band_id"),
-          xxhash64((lit(b) +: (0 until BandRows).map(r =>
-            col(s"h${b * BandRows + r}"))): _*).as("band_key"))): _*)))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val bands = minhashBands(sh)
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key")

@@ -577,4 +577,63 @@ object Sampling {
        |       md5('$CurriculumSalt:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
        |FROM documents CROSS JOIN th
        |ORDER BY band, shuffle_key, doc_id""".stripMargin
+
+  /** Sampling temperature for [[temperatureMix]] — the α in pᵢ ∝ nᵢ^α.
+    * 0.3 is the published multilingual-pretraining setting (mT5/XLM-R
+    * family); α = 1 reproduces natural proportions, α → 0 the uniform
+    * mix. A run config literal, like [[MixBudget]]. */
+  private val MixAlpha = 0.3
+
+  /** Temperature-scaled language mix — the OTHER standard multilingual
+    * sampling schedule (complement of [[epochMixPlan]]'s fixed per-lang
+    * weights): sampling probability pᵢ ∝ tokensᵢ^α with temperature
+    * α = 0.3, so low-resource languages are upsampled smoothly in
+    * proportion to how small they are rather than by a hand-picked
+    * constant. Output per language: natural share `p_raw`, tempered
+    * share `p_temp`, and the implied upsampling factor `boost`
+    * (p_temp / p_raw — > 1 means the language is repeated).
+    *
+    * Scale shape: identical to [[epochMixPlan]] — one corpus scan pruned
+    * to (lang, text) collapsing map-side into per-language token
+    * counters, a 1-row total broadcast back, then pure arithmetic. The
+    * schedule for a 100 TB corpus costs one scan regardless of α.
+    *
+    * Determinism: `pow` on IEEE doubles agrees to well under 1 ulp
+    * across engines; all emitted ratios round to 6/4 dp, the same
+    * guard the rest of the mix family uses. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
+    val perLang = d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tokens"))
+    val tot = perLang.agg(
+      sum(col("tokens")).cast("double").as("tot"),
+      sum(pow(col("tokens").cast("double"), MixAlpha)).as("pot"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("tot"), 6).as("p_raw"),
+        round(pow(col("tokens").cast("double"), MixAlpha) / col("pot"), 6)
+          .as("p_temp"),
+        round((pow(col("tokens").cast("double"), MixAlpha) / col("pot")) /
+          (col("tokens") / col("tot")), 4).as("boost"))
+      .orderBy("lang")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tk
+       |  FROM documents
+       |), pl AS (
+       |  SELECT lang, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS tokens
+       |  FROM d GROUP BY lang
+       |), t AS (
+       |  SELECT CAST(sum(tokens) AS DOUBLE) AS tot,
+       |         sum(pow(CAST(tokens AS DOUBLE), $MixAlpha)) AS pot
+       |  FROM pl
+       |)
+       |SELECT lang, n_docs, tokens,
+       |       round(tokens / tot, 6) AS p_raw,
+       |       round(pow(CAST(tokens AS DOUBLE), $MixAlpha) / pot, 6) AS p_temp,
+       |       round((pow(CAST(tokens AS DOUBLE), $MixAlpha) / pot) / (tokens / tot), 4) AS boost
+       |FROM pl CROSS JOIN t ORDER BY lang""".stripMargin
 }

@@ -32,7 +32,7 @@ object TextAnalysis {
     * length/punct/stopword-ratio heuristics a pretraining-data quality
     * filter runs per document. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    qualityFrame(spark, dir).orderBy("doc_id")
+    qualityFrame(spark, dir).drop("source").orderBy("doc_id")
 
   /** The unordered quality frame, shared by [[textQuality]] and
     * [[qualityGate]] so both score documents identically. */
@@ -60,7 +60,8 @@ object TextAnalysis {
       round(avgTokLen, 6).as("avg_token_len"),
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
-      round(score, 6).as("quality_score"))
+      round(score, 6).as("quality_score"),
+      col("source")) // consumed by sourceQualityReport; textQuality drops it
   }
 
   /** Oracle-side raw-count CTE and 6dp score expression, shared by
@@ -69,7 +70,7 @@ object TextAnalysis {
     * regexes carry backslashes.) */
   private val qualityCteSql: String =
     """t AS (
-      |  SELECT doc_id, lang, n_chars, text,
+      |  SELECT doc_id, lang, n_chars, source, text,
       |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
       |         len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
       |         len(regexp_extract_all(text, '\b(the|a|an|of|to|in|and)\b')) AS n_stop,
@@ -90,6 +91,52 @@ object TextAnalysis {
       |       round(n_punct * 1.0 / length(text), 6) AS punct_ratio,
       |       """.stripMargin + qualityScoreSql + """ AS quality_score
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Below this quality score a document counts as low-quality in the
+    * per-source report — a run-config literal, like the gate medians. */
+  private val LowQuality = 0.5
+
+  /** Per-source quality report — the dashboard that decides which crawl
+    * feeds get downweighted or dropped: per source, document/token
+    * volume, mean quality score, and the share of documents under the
+    * low-quality bar. Pairs with `source_mix_report` (volume) and
+    * `dedup_report` (duplication) as the third per-source curation view;
+    * scores come from the SAME [[qualityFrame]] the gate uses, so "low
+    * quality" means one thing corpus-wide.
+    *
+    * Scale shape: the per-doc scoring is a codegen'd projection over one
+    * scan; everything then collapses map-side into per-source counters
+    * (sources number in the thousands at worst). The mean is summed as
+    * DECIMAL(18,6) over the 6dp-rounded scores, so partial-aggregation
+    * order cannot change the result (the repo-wide decimal-sum rule). */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        round(sum(col("quality_score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality"),
+        sum(when(col("quality_score") < LowQuality, 1L).otherwise(0L))
+          .as("n_low"))
+      .withColumn("low_share",
+        round(col("n_low").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+
+  val sourceQualityReportSql: String =
+    "WITH " + qualityCteSql + """,
+      |q AS (
+      |  SELECT source, n_tokens,
+      |         """.stripMargin + qualityScoreSql + s""" AS quality_score
+      |  FROM t
+      |)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |       round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+      |             / count(*), 6) AS mean_quality,
+      |       CAST(sum(CASE WHEN quality_score < $LowQuality THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |       round(sum(CASE WHEN quality_score < $LowQuality THEN 1 ELSE 0 END) * 1.0
+      |             / count(*), 6) AS low_share
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
 
   /** Language-ID n-gram/stopword heuristic: count per-language marker hits
     * and take the best-scoring language with a fixed priority tie-break

@@ -1,0 +1,134 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Post-load data-quality audits — the checks a warehouse runs after each
+  * batch lands, complementing [[Lifecycle.fkIntegrity]]'s FK orphan scan
+  * (reference creating-tables.sql:143-148 declares constraints; a
+  * Spark-side warehouse asserts them constructively after the fact):
+  * a per-column table profile and a surrogate-key gap audit.
+  */
+object Quality {
+
+  /** Columns profiled by [[tableProfile]], in output order. */
+  private val ProfileCols = Seq("doc_id", "lang", "n_chars", "source", "text")
+
+  /** Per-column table profile over `documents`: row count, null count,
+    * exact distinct count, and min/max rendered as strings — the summary
+    * a catalog or data-contract check reads after every load.
+    *
+    * Scale shape: ONE aggregate pass computes all 21 statistics; the
+    * per-column output rows are then expanded from the single result row
+    * in-row (`explode` of a literal struct array — no second scan, no
+    * join). The multiple exact `count(DISTINCT)` aggregates plan as one
+    * Expand (a deliberate 5× row multiplier in the map stage); at true
+    * 100 TB scale the drop-in substitution is `approx_count_distinct`,
+    * which collapses the Expand into mergeable HLL sketches — kept exact
+    * here because the oracle compare needs engine-identical counts (the
+    * two engines' HLL implementations differ).
+    *
+    * Determinism: min/max are computed on the NATIVE type and cast to
+    * string afterwards (string-cast-first would compare "10" < "9");
+    * both engines render integral types identically, and the remaining
+    * profiled columns are strings already. */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      count_distinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ProfileCols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"))): _*)).as("r"))
+      .select("r.*")
+      .orderBy("col_name")
+  }
+
+  val tableProfileSql: String = {
+    val aggSql = ProfileCols.map(c =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls,
+         |         count(DISTINCT $c) AS ${c}__distinct,
+         |         CAST(min($c) AS VARCHAR) AS ${c}__min,
+         |         CAST(max($c) AS VARCHAR) AS ${c}__max""".stripMargin)
+      .mkString(",\n         ")
+    val rows = ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, n_rows, ${c}__nulls AS n_null,
+         |       ${c}__distinct AS n_distinct, ${c}__min AS min_value,
+         |       ${c}__max AS max_value FROM a""".stripMargin)
+      .mkString("\n|UNION ALL\n|").stripMargin
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |         $aggSql
+       |  FROM documents
+       |)
+       |$rows
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** Bucket width for the two-phase gap scan — a power of two so the
+    * bucket id is an exact `shiftright`, not a float division. */
+  private val GapBucket = 10 // 2^10 = 1024 keys per bucket
+
+  /** Surrogate-key gap audit over the ACTIVE slice of `orders` (status
+    * <> 'F', i.e. not yet archived): every maximal run of key values
+    * absent from the slice between its min and max key, as (gap_start,
+    * gap_end, n_missing) — the sequence-integrity check a warehouse runs
+    * after an archival/purge pass to see exactly which surrogate ids
+    * left the active set (reference creating-tables.sql's SERIAL keys
+    * are dense on insert; only deletes open gaps). The status filter is
+    * a pushed parquet predicate, so the audit reads only the slice.
+    *
+    * Scale shape — the naive formulation is `lag(key) OVER (ORDER BY
+    * key)`: a single global sort window that funnels the whole table
+    * through one task. This kernel two-phases it: keys are bucketed by
+    * `key >> 10` (an exact bit shift — fixed-width shuffle key, 1024
+    * keys/bucket), intra-bucket gaps come from a PARTITIONED window
+    * (distributed, each partition ≤ 1024 rows), and cross-bucket gaps
+    * from a window over the per-bucket (min, max) summary — a frame
+    * 1024× smaller than the table, bucket order = key order because the
+    * shift is monotone. Empty buckets cost nothing: lag over non-empty
+    * bucket summaries spans them. The union is exactly the global-lag
+    * answer (every adjacent key pair is adjacent either within one
+    * bucket or across two consecutive non-empty ones). */
+  def seqGapCheck(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey").as("k"),
+        shiftright(col("o_orderkey"), GapBucket).as("bucket"))
+    val intraW = Window.partitionBy("bucket").orderBy("k")
+    val intra = keys.withColumn("pk", lag(col("k"), 1).over(intraW))
+    val bounds = keys.groupBy("bucket")
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    val crossW = Window.orderBy("bucket")
+    val cross = bounds
+      .withColumn("pk", lag(col("mx"), 1).over(crossW))
+      .select(col("mn").as("k"), col("pk"))
+    intra.select("k", "pk").union(cross)
+      .filter(col("pk").isNotNull && col("k") - col("pk") > 1)
+      .select((col("pk") + 1).as("gap_start"), (col("k") - 1).as("gap_end"),
+        (col("k") - col("pk") - 1).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
+  /** Oracle: the naive single-window global lag — correct at any SF,
+    * single-partition at scale, which is exactly why the engine path
+    * two-phases it (the [[graft.llm.Sampling]] token-budget pattern). */
+  val seqGapCheckSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey AS k,
+      |         lag(o_orderkey) OVER (ORDER BY o_orderkey) AS pk
+      |  FROM orders WHERE o_orderstatus <> 'F'
+      |)
+      |SELECT pk + 1 AS gap_start, k - 1 AS gap_end, k - pk - 1 AS n_missing
+      |FROM s WHERE pk IS NOT NULL AND k - pk > 1
+      |ORDER BY gap_start""".stripMargin
+}

@@ -46,6 +46,29 @@ class DecontaminateSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("fuzzy decontamination equals the exact all-pairs train-by-test model") {
+    val got = Decontaminate.decontaminateFuzzy(spark, sfDir).cache()
+    assert(got.count() > 0, "corpus has near-dups across the split boundary")
+    assert(got.filter(col("split") === "test").isEmpty)
+    // brute-force model on raw shingle strings: every train x test pair,
+    // exact Jaccard, same 0.8 bar — banding must only prune, never lose
+    val sp = Sampling.hashSplitFrom(
+      Dedup.shinglesOf(Tables.documents(spark, sfDir)), col("doc_id"))
+      .select(col("doc_id"), col("split"), col("shingles"))
+    val tr = sp.filter(col("split") =!= "test")
+      .select(col("doc_id"), col("split"), col("shingles").as("sa"))
+    val te = sp.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("shingles").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val want = tr.crossJoin(te)
+      .withColumn("jaccard", round(
+        inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_id", "split", "test_doc", "jaccard")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    got.unpersist()
+  }
+
   test("every flagged doc shares a shingle with some test doc (witness join)") {
     val got = Decontaminate.decontaminate(spark, sfDir)
     val sh = Sampling.hashSplitFrom(

@@ -41,6 +41,39 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("containment catches a short doc quoted inside a long one that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = 10 tokens; doc 2 = doc 1 + a 30-token unique tail. Every
+    // shingle of 1 appears in 2 (containment 1.0) but the union is
+    // dominated by 2's tail, so Jaccard sits far below any dedup bar.
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val sh = Dedup.shinglesOf(docs)
+    val got = Dedup.containmentPairsFrom(sh, maxDf = 64, minC = 0.9).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0)), "only the short doc is contained, at exactly 1.0")
+    val jac = Dedup.ngramJaccardPairsFrom(sh, maxDf = 64).collect()
+    assert(jac.isEmpty, "the Jaccard kernel misses this pair at its 0.5 bar")
+  }
+
+  test("containment is a superset of symmetric exact duplicates, both directions") {
+    val cont = Dedup.containmentDedup(spark, sfDir).cache()
+    assert(cont.count() > 0, "corpus has containment pairs")
+    assert(cont.filter(col("contained") === col("container") ||
+      col("containment") < 0.9 || col("containment") > 1).isEmpty)
+    // every Jaccard-1.0 pair (identical shingle sets) must appear in BOTH
+    // directions at containment 1.0
+    val ident = Dedup.ngramJaccardPairs(spark, sfDir)
+      .filter(col("jaccard") === 1.0)
+    val fwd = ident.select(col("doc_a").as("contained"), col("doc_b").as("container"))
+    val bwd = ident.select(col("doc_b").as("contained"), col("doc_a").as("container"))
+    val both = fwd.union(bwd)
+    assert(both.except(cont.filter(col("containment") === 1.0)
+      .select("contained", "container")).isEmpty)
+    cont.unpersist()
+  }
+
   test("connected components resolve chains, triangles, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, triangle 20-21-22

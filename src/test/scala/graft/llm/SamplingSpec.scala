@@ -229,6 +229,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix: shares sum to 1, boost compresses toward uniform") {
+    val rows = Sampling.temperatureMix(spark, sfDir).collect()
+    assert(rows.length >= 2, "multilingual corpus")
+    val raw = rows.map(_.getAs[Double]("p_raw"))
+    val temp = rows.map(_.getAs[Double]("p_temp"))
+    assert(math.abs(raw.sum - 1.0) < 1e-4 && math.abs(temp.sum - 1.0) < 1e-4)
+    // α < 1 compresses: token-rank and tempered-share rank agree (pow is
+    // monotone), but the spread shrinks — max/min of p_temp is strictly
+    // inside max/min of p_raw on any non-uniform corpus
+    val byTokens = rows.sortBy(_.getAs[Long]("tokens"))
+    assert(byTokens.map(_.getAs[Double]("p_temp")).toSeq ==
+      temp.sorted.toSeq, "pow(·, 0.3) preserves the token ordering")
+    assert(temp.max / temp.min < raw.max / raw.min,
+      "temperature compresses the share spread")
+    // boost = p_temp/p_raw is anti-monotone in size: the smallest language
+    // gets the largest upsampling factor, the largest the smallest
+    val boosts = byTokens.map(_.getAs[Double]("boost"))
+    assert(boosts.head == boosts.max && boosts.last == boosts.min)
+    assert(boosts.last < 1.0 && boosts.head > 1.0,
+      "largest language is subsampled, smallest upsampled")
+  }
+
   test("curriculum bands partition the corpus monotonically by length") {
     val cur = Sampling.curriculumOrder(spark, sfDir).cache()
     assert(cur.count() == graft.Tables.documents(spark, sfDir).count())

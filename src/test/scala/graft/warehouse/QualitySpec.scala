@@ -1,0 +1,60 @@
+package graft.warehouse
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class QualitySpec extends SparkSpec {
+
+  test("table profile: one row per column, counts reconcile, min <= max") {
+    val prof = Quality.tableProfile(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(prof.map(_.getAs[String]("col_name")).toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_null") == 0, "driver corpus has no nulls")
+      val d = r.getAs[Long]("n_distinct")
+      assert(d >= 1 && d <= n)
+    }
+    val byCol = prof.map(r => r.getAs[String]("col_name") -> r).toMap
+    // doc_id is the PK: distinct == rows; min/max render natively-compared
+    assert(byCol("doc_id").getAs[Long]("n_distinct") == n)
+    assert(byCol("doc_id").getAs[String]("min_value") == "0")
+    // native-type min then cast: n_chars must not be the string-min ("1xx"
+    // style artifacts would show as min starting with '1' yet shorter text)
+    val mn = byCol("n_chars").getAs[String]("min_value").toLong
+    val mx = byCol("n_chars").getAs[String]("max_value").toLong
+    assert(mn <= mx)
+  }
+
+  test("seq gap audit equals the naive global-lag formulation") {
+    val got = Quality.seqGapCheck(spark, sfDir).cache()
+    val keys = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey").as("k"))
+    val want = keys
+      .withColumn("pk", lag(col("k"), 1).over(Window.orderBy("k")))
+      .filter(col("pk").isNotNull && col("k") - col("pk") > 1)
+      .select((col("pk") + 1).as("gap_start"), (col("k") - 1).as("gap_end"),
+        (col("k") - col("pk") - 1).as("n_missing"))
+    assert(got.count() > 0, "archived 'F' orders leave real gaps in the active slice")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    got.unpersist()
+  }
+
+  test("seq gap audit: planted gaps across bucket boundaries and empty buckets") {
+    import spark.implicits._
+    // keys straddle three 1024-wide buckets with bucket 1 fully empty:
+    // intra-bucket gap (5->9), cross-bucket gap spanning the empty bucket
+    // (1000 -> 2050), and a dense run (2050,2051) contributing nothing
+    val keys = Seq(3L, 4L, 5L, 9L, 1000L, 2050L, 2051L)
+      .map(k => (k, "O")).toDF("o_orderkey", "o_orderstatus")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/qgap_${System.nanoTime()}"
+    keys.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Quality.seqGapCheck(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((6L, 8L, 3L), (10L, 999L, 990L), (1001L, 2049L, 1049L)))
+  }
+}
