@@ -538,4 +538,29 @@ object Queries {
       |FROM cell
       |QUALIFY rank <= 3
       |ORDER BY nation, rank""".stripMargin
+
+  /** LISTAGG / string_agg — the denormalizing string aggregate every
+    * warehouse exposes (reporting views, label columns): per order
+    * status, the sorted comma-joined set of distinct priorities present
+    * plus the order count. collect_set's hash-set partials merge
+    * map-side like any aggregate; the per-group buffer is bounded by the
+    * DOMAIN of the aggregated column (5 priorities here — LISTAGG over
+    * an unbounded-cardinality column is an anti-pattern at any scale,
+    * on any engine). The deterministic part is `array_sort` AFTER the
+    * set collapse: collect_set order is partition-dependent, the sorted
+    * join is not — the same trick the oracle's ORDER BY inside
+    * string_agg encodes. */
+  def listaggPriorities(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"))
+      .orderBy("o_orderstatus")
+
+  val listaggPrioritiesSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+      |         AS priorities
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

@@ -322,6 +322,64 @@ object Dedup {
        |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Dedup-estimator evaluation — the audit a pipeline runs before
+    * trusting a cheap sketch at scale: score the SimHash candidate pairs
+    * (Hamming ≤ 7) against the exact-Jaccard ground truth (J ≥ 0.8) and
+    * report the confusion counts plus precision/recall. One row out; the
+    * number that decides whether the 100 TB corpus can skip the exact
+    * confirm join, or how much post-filter work the sketch leaves behind.
+    *
+    * Scale shape: both inputs are the already-bucketed kernels above
+    * (never all-pairs); the comparison itself is a full-outer join on
+    * (doc_a, doc_b) between two near-dup-sized pair lists, collapsing
+    * into counters map-side. Precision/recall guard their zero
+    * denominators explicitly (ANSI mode throws on x/0). */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val pred = simhashDedup(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    val joined = truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+    val counts = joined.agg(
+      sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+      sum(coalesce(col("p"), lit(0L))).as("n_pred"),
+      sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("t").isNull && col("p").isNotNull, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("t").isNotNull && col("p").isNull, 1L).otherwise(0L)).as("fn"))
+    counts.select(col("n_truth"), col("n_pred"), col("tp"), col("fp"), col("fn"),
+      round(when(col("n_pred") === 0, lit(null))
+        .otherwise(col("tp").cast("double") / col("n_pred")), 6).as("precision"),
+      round(when(col("n_truth") === 0, lit(null))
+        .otherwise(col("tp").cast("double") / col("n_truth")), 6).as("recall"))
+  }
+
+  /** Oracle: the two public pair queries as nested subqueries (each
+    * carries its own WITH chain), same confusion arithmetic. */
+  lazy val dedupEvalSql: String =
+    s"""WITH truth AS (
+       |  SELECT doc_a, doc_b FROM ($ngramJaccardPairsSql) WHERE jaccard >= 0.8
+       |), pred AS (
+       |  SELECT doc_a, doc_b FROM ($simhashDedupSql)
+       |), j AS (
+       |  SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
+       |         coalesce(t.doc_b, p.doc_b) AS doc_b,
+       |         (t.doc_a IS NOT NULL) AS in_t, (p.doc_a IS NOT NULL) AS in_p
+       |  FROM truth t FULL OUTER JOIN pred p
+       |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+       |), c AS (
+       |  SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |         CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |         CAST(sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN NOT in_t AND in_p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN in_t AND NOT in_p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM j
+       |)
+       |SELECT n_truth, n_pred, tp, fp, fn,
+       |       round(CASE WHEN n_pred = 0 THEN NULL ELSE tp * 1.0 / n_pred END, 6) AS precision,
+       |       round(CASE WHEN n_truth = 0 THEN NULL ELSE tp * 1.0 / n_truth END, 6) AS recall
+       |FROM c""".stripMargin
+
   /** SimHash bit width (60: 15 hex chars of md5 — fits a signed 64-bit
     * lane on both engines), Hamming threshold, and band count. 8 disjoint
     * bands make Hamming ≤ 7 recall EXACT by pigeonhole. */

@@ -98,4 +98,19 @@ class QueriesSpec extends SparkSpec {
       .select("n_name").distinct().collect().map(_.getString(0)).toSet
     assert(byNation.keySet == nations)
   }
+
+  test("listagg: sorted comma-joined distinct priorities, partition-order independent") {
+    val rows = Queries.listaggPriorities(spark, sfDir).collect()
+    val n = graft.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == n)
+    rows.foreach { r =>
+      val parts = r.getAs[String]("priorities").split(",").toSeq
+      assert(parts == parts.sorted && parts.distinct == parts,
+        s"${r.getAs[String]("o_orderstatus")}: ${parts.mkString("|")}")
+    }
+    // determinism: a second execution (fresh shuffle, fresh set order)
+    // must produce byte-identical strings — array_sort seals the set
+    val again = Queries.listaggPriorities(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

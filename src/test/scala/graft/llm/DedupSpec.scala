@@ -74,6 +74,26 @@ class DedupSpec extends SparkSpec {
     cont.unpersist()
   }
 
+  test("dedup eval: confusion counts reconcile and match the two pair kernels") {
+    val r = Dedup.dedupEval(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nt, np) = (row.getAs[Long]("n_truth"), row.getAs[Long]("n_pred"))
+    val (tp, fp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"), row.getAs[Long]("fn"))
+    assert(tp + fn == nt && tp + fp == np, "confusion identities")
+    // independent re-derivation from the kernels themselves
+    val truth = Dedup.ngramJaccardPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b").cache()
+    val pred = Dedup.simhashDedup(spark, sfDir).select("doc_a", "doc_b").cache()
+    assert(truth.count() == nt && pred.count() == np)
+    assert(truth.intersect(pred).count() == tp)
+    // on this corpus the near-dup families are blatant: both estimators
+    // must agree on them well above chance
+    assert(nt > 0 && row.getAs[Double]("recall") > 0.5,
+      s"simhash recall ${row.getAs[Double]("recall")} collapsed")
+    truth.unpersist(); pred.unpersist()
+  }
+
   test("connected components resolve chains, triangles, and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, triangle 20-21-22

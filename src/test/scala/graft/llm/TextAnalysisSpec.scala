@@ -441,4 +441,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bs.join(tok, "doc_id").filter(col("n_bigrams") =!= col("want")).isEmpty)
     bs.unpersist()
   }
+
+  test("source quality report reconciles with the per-doc quality frame") {
+    val rep = TextAnalysis.sourceQualityReport(spark, sfDir).collect()
+    val q = TextAnalysis.textQuality(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .cache()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == q.count())
+    val bySource = q.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_tokens")).as("tok"),
+      sum(when(col("quality_score") < 0.5, 1L).otherwise(0L)).as("low"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("tok"), r.getAs[Long]("low"))).toMap
+    rep.foreach { r =>
+      val (n, tok, low) = bySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("tokens") == tok &&
+        r.getAs[Long]("n_low") == low)
+      val mq = r.getAs[Double]("mean_quality")
+      assert(mq > 0 && mq <= 1)
+      assert(math.abs(r.getAs[Double]("low_share") - low.toDouble / n) < 1e-6)
+    }
+    q.unpersist()
+  }
 }
