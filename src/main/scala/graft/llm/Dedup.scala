@@ -335,10 +335,13 @@ object Dedup {
     * into counters map-side. Precision/recall guard their zero
     * denominators explicitly (ANSI mode throws on x/0). */
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccardPairs(spark, dir)
+    // one shingle pass feeds both estimators (each kernel re-reads it
+    // for its confirm/vote stages, so the cache is read 3+ times)
+    val sh = withShingles(spark, dir).cache()
+    val truth = ngramJaccardPairsFrom(sh, DefaultMaxShingleDf)
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-    val pred = simhashDedup(spark, dir)
+    val pred = simhashDedupFrom(sh)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
     val joined = truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
     val counts = joined.agg(
@@ -394,7 +397,13 @@ object Dedup {
     * value are candidates; pairs within Hamming distance ≤ 7 are emitted.
     * Banding is recall-exact here (pigeonhole), so the all-pairs oracle
     * matches bit-for-bit. */
-  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    simhashDedupFrom(withShingles(spark, dir))
+
+  /** Core SimHash kernel over a prepared (doc_id, shingles) frame —
+    * shared by the entry and [[dedupEval]] (which feeds both estimators
+    * from ONE cached shingle pass). */
+  private[llm] def simhashDedupFrom(shingled: DataFrame): DataFrame = {
     // Per-bit votes over the exploded shingle-hash stream. Bit j of the
     // simhash is set iff the +1/-1 vote is positive, i.e. 2·(count of
     // 1-bits) > shingle count. The 60 per-bit counters are packed into 9
@@ -407,7 +416,7 @@ object Dedup {
     val LaneBits = 9
     val LanesPerWord = 7
     val numWords = (SimBits + LanesPerWord - 1) / LanesPerWord // 9
-    val ex = withShingles(spark, dir)
+    val ex = shingled
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("h", expr(
         "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"))

@@ -819,4 +819,59 @@ object Similarity {
       |       CAST(mn AS DOUBLE) AS min_v,
       |       CAST(mx AS DOUBLE) AS max_v
       |FROM a ORDER BY pos""".stripMargin
+
+  /** Norm-bucket width for [[embeddingNormAudit]] (0.1) and the unit-norm
+    * tolerance (|norm − 1| ≤ 0.01) — audit config literals. */
+  private val NormBucket = 0.1
+  private val UnitTol = 0.01
+
+  /** Embedding L2-norm audit — the sanity check a vector store runs at
+    * ingest: cosine retrieval assumes unit-normalized vectors, so the
+    * audit histograms the corpus's L2 norms in 0.1-wide buckets and
+    * counts how many vectors sit within the unit tolerance. A healthy
+    * normalized corpus is one bucket with n_unit == n_vecs; anything
+    * else is the red flag that some producer skipped normalization.
+    *
+    * Scale shape: the norm is an IN-ROW left-to-right fold over each
+    * vector (no explode, no shuffle of components — the per-vector twin
+    * of [[embeddingDimStats]]'s per-dimension pass); everything then
+    * collapses map-side into ≤ a few dozen bucket counters.
+    *
+    * Determinism: both engines fold float components cast to double in
+    * array order — the identical IEEE add/mul sequence, so the norms are
+    * bit-equal before the single 6dp round. Bucket edges land on 0.1
+    * multiples of ROUNDED norms (a 6dp-rounded value cannot straddle an
+    * 0.1 edge differently across engines when the pre-round values are
+    * bit-equal). */
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("l2", round(sqrt(expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |          (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin)), 6))
+    e.select(floor(col("l2") / NormBucket).cast("long").as("bucket"), col("l2"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(abs(col("l2") - 1.0) <= UnitTol, 1L).otherwise(0L)).as("n_unit"),
+        round(min(col("l2")), 6).as("min_norm"),
+        round(max(col("l2")), 6).as("max_norm"))
+      .withColumn("norm_lo", round(col("bucket") * NormBucket, 1))
+      .select("bucket", "norm_lo", "n_vecs", "n_unit", "min_norm", "max_norm")
+      .orderBy("bucket")
+  }
+
+  val embeddingNormAuditSql: String =
+    s"""WITH e AS (
+       |  SELECT round(sqrt(list_reduce(
+       |           list_prepend(0.0::DOUBLE,
+       |             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+       |           (a, b) -> a + b)), 6) AS l2
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT CAST(floor(l2 / $NormBucket) AS BIGINT) AS bucket, l2 FROM e
+       |)
+       |SELECT bucket, round(bucket * $NormBucket, 1) AS norm_lo,
+       |       count(*) AS n_vecs,
+       |       CAST(sum(CASE WHEN abs(l2 - 1.0) <= $UnitTol THEN 1 ELSE 0 END) AS BIGINT) AS n_unit,
+       |       round(min(l2), 6) AS min_norm, round(max(l2), 6) AS max_norm
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 }

@@ -350,6 +350,49 @@ object TextAnalysis {
       .limit(TopTermsK)
   }
 
+  /** Per-language top-k term count for [[topTermsPerLang]]. */
+  private val TermsPerLang = 10
+
+  /** Top terms PER LANGUAGE — the segmented twin of [[corpusTopTerms]]
+    * (global top-K): the vocabulary dashboards and per-language stopword
+    * candidates a multilingual curation pipeline reads. Ranking ties
+    * break on the term string, so the cut is total-ordered and
+    * engine-stable.
+    *
+    * Scale shape: the token stream collapses map-side into (lang, term)
+    * counters; the per-language rank filter plans as WindowGroupLimit
+    * (Partial before the exchange, Final after), so each map task ships
+    * at most k rows per language it saw — the exchange carries candidate
+    * survivors, never the term vocabulary. Same tokenization as every
+    * other text kernel (lower, trim, whitespace split). */
+  def topTermsPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val counts = d.select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("tf").desc, col("term").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TermsPerLang)
+      .orderBy("lang", "rank")
+  }
+
+  val topTermsPerLangSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), a AS (
+       |  SELECT lang, term, count(*) AS tf FROM t GROUP BY lang, term
+       |)
+       |SELECT lang, term, tf,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY lang ORDER BY tf DESC, term) AS BIGINT) AS rank
+       |FROM a
+       |QUALIFY rank <= $TermsPerLang
+       |ORDER BY lang, rank""".stripMargin
+
   val corpusTopTermsSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -62,6 +63,43 @@ object EventsStream {
       .queryName(table)
       .outputMode(OutputMode.Append)
       .start()
+
+  /** Sliding-window transform: 2-hour windows advancing every hour, per
+    * event_type — the overlapping-window shape behind "last 2h" tiles
+    * that refresh hourly. Epoch-aligned, so every event lands in EXACTLY
+    * two windows: starts `date_trunc(hour, ts)` and that minus 1 hour
+    * (the oracle formulation — a 2-element unnest, no window function).
+    * The aggregate is still one partial+final hash aggregate keyed on
+    * (window, type); the slide multiplies rows into the aggregate by
+    * length/slide (2 here), a constant factor set by config, not data. */
+  def slidingAggTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("value_sum"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Batch entry (registered): sliding windows over the parquet events. */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    slidingAggTransform(Tables.events(spark, dir))
+      .orderBy("win_start", "event_type")
+
+  val slidingWindowAggSql: String =
+    """WITH ex AS (
+      |  SELECT event_type, value,
+      |         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+      |                 date_trunc('hour', ts)]) AS win_start
+      |  FROM events
+      |)
+      |SELECT win_start, event_type, count(*) AS n,
+      |       round(sum(value), 6) AS value_sum
+      |FROM ex GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Streaming twin: same transform behind the 2-hour watermark; state is
+    * bounded at (watermark + window length) / slide windows per key. */
+  def streamingSlidingAgg(events: DataFrame): DataFrame =
+    slidingAggTransform(events.withWatermark("ts", "2 hours"))
 
   /** Gap-filled (dense) hourly aggregation — the windowed aggregate with
     * every missing hour present as an explicit zero row, the shape BI
@@ -158,6 +196,103 @@ object EventsStream {
       |WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
       |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
       |ORDER BY hour_start, event_type""".stripMargin
+
+  /** Linear interpolation over the dense hourly grid — the third member
+    * of the gap-handling family (zero-fill: [[denseHourlyAgg]]; carry
+    * forward: `Behavior.forwardFill`; this: straight-line estimate):
+    * hours with no observations for an event type get the linear
+    * interpolation between the surrounding observed hourly MEANS, the
+    * imputation a metrics store applies before charting or anomaly
+    * scoring. Edge hours before the first / after the last observation
+    * stay NULL (no extrapolation).
+    *
+    * Scale shape: two window passes over the ALREADY-AGGREGATED grid
+    * (hours × types, config-bounded — never the fact table), both
+    * partitioned by event_type: a running `last(_, ignoreNulls)` looking
+    * back and a `first(_, ignoreNulls)` looking forward. WindowExec
+    * keeps each as one linear pass per partition.
+    *
+    * Determinism: `round(x, 6)` is NOT the same primitive on the two
+    * engines (Spark rounds the double's exact decimal expansion HALF_UP;
+    * DuckDB scales by 10⁶ in floating point first) — on a boundary
+    * value the results differ in the 6th decimal. Every rounding here is
+    * therefore written as the explicit `round(x * 1e6) / 1e6` sequence
+    * ON BOTH ENGINES, and the interpolation arithmetic mirrors the
+    * oracle's operation order exactly, so the pre-round doubles are
+    * bit-equal and scale-0 rounding agrees everywhere off the
+    * measure-zero .5 tie. Inputs are bit-equal to start: the dense
+    * grid's value_sum is 6dp-stable (its entry is oracle-green) and the
+    * epoch weights are exact integers. On an observed hour
+    * prev==next==current, so the n>0 branch is taken explicitly (the
+    * general formula would hit 0/0 there). */
+  def linearInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseHourlyAgg(spark, dir)
+      .withColumn("mean_obs",
+        when(col("n") > 0,
+          round(col("value_sum") / col("n") * 1e6) / 1e6))
+    val back = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsHour = when(col("n") > 0, col("hour_start"))
+    val withEnds = dense
+      .withColumn("pv", last(col("mean_obs"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(obsHour, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("mean_obs"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(obsHour, ignoreNulls = true).over(fwd))
+    val frac = (unix_timestamp(col("hour_start")) - unix_timestamp(col("ph")))
+      .cast("double") /
+      (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double")
+    val v = when(col("n") > 0, col("mean_obs"))
+      .when(col("pv").isNull || col("nv").isNull, lit(null))
+      .otherwise(col("pv") + (col("nv") - col("pv")) * frac)
+    withEnds.select(col("hour_start"), col("event_type"), col("n"),
+      (round(v * 1e6) / 1e6).as("value_interp"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val linearInterpolateSql: String =
+    """WITH sparse AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |         count(*) AS n, round(sum(value), 6) AS value_sum
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      |  FROM events
+      |), hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+      |), grid AS (
+      |  SELECT hour_start, event_type
+      |  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+      |), dense AS (
+      |  SELECT g.hour_start, g.event_type,
+      |         coalesce(s.n, 0) AS n,
+      |         CASE WHEN s.n > 0
+      |              THEN round(s.value_sum / s.n * 1000000) / 1000000 END AS mean_obs
+      |  FROM grid g LEFT JOIN sparse s
+      |    ON s.hour_start = g.hour_start AND s.event_type = g.event_type
+      |), w AS (
+      |  SELECT hour_start, event_type, n, mean_obs,
+      |         last_value(mean_obs IGNORE NULLS) OVER wb AS pv,
+      |         last_value(CASE WHEN n > 0 THEN hour_start END IGNORE NULLS) OVER wb AS ph,
+      |         first_value(mean_obs IGNORE NULLS) OVER wf AS nv,
+      |         first_value(CASE WHEN n > 0 THEN hour_start END IGNORE NULLS) OVER wf AS nh
+      |  FROM dense
+      |  WINDOW wb AS (PARTITION BY event_type ORDER BY hour_start
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY event_type ORDER BY hour_start
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT hour_start, event_type, n,
+      |       round((CASE WHEN n > 0 THEN mean_obs
+      |                   WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |                   ELSE pv + (nv - pv)
+      |                        * ((epoch(hour_start) - epoch(ph))
+      |                           / (epoch(nh) - epoch(ph))) END) * 1000000)
+      |       / 1000000 AS value_interp
+      |FROM w ORDER BY hour_start, event_type""".stripMargin
 
   /** Ingest-time exact deduplication — the streaming twin of the corpus
     * dedup family: an at-least-once source (Kafka, redelivering log

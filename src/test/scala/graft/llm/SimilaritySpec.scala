@@ -343,4 +343,27 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty)
     st.unpersist()
   }
+
+  test("norm audit matches driver-side in-order folds and partitions the corpus") {
+    val audit = Similarity.embeddingNormAudit(spark, sfDir).collect()
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    // identical fold: left-to-right double accumulation, one 6dp round
+    val norms = vecs.map { v =>
+      val ss = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      BigDecimal(math.sqrt(ss)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val wantBuckets = norms.groupBy(n => math.floor(n / 0.1).toLong)
+      .map { case (b, ns) => b -> (ns.length.toLong, ns.min, ns.max) }
+    assert(audit.map(_.getAs[Long]("n_vecs")).sum == vecs.length)
+    assert(audit.map(_.getAs[Long]("bucket")).toSet == wantBuckets.keySet)
+    audit.foreach { r =>
+      val (n, mn, mx) = wantBuckets(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(math.abs(r.getAs[Double]("min_norm") - mn) < 1e-9)
+      assert(math.abs(r.getAs[Double]("max_norm") - mx) < 1e-9)
+      assert(r.getAs[Long]("n_unit") <= r.getAs[Long]("n_vecs"))
+    }
+  }
 }

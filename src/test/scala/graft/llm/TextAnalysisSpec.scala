@@ -442,6 +442,31 @@ class TextAnalysisSpec extends SparkSpec {
     bs.unpersist()
   }
 
+  test("top terms per lang: k rows per language, ordered, WindowGroupLimit planned") {
+    val tt = TextAnalysis.topTermsPerLang(spark, sfDir).cache()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(tt.count() == langs * 10, "full k rows for every language (vocab >> k)")
+    // rank is dense 1..10 per lang; tf non-increasing along rank
+    val rows = tt.collect().groupBy(_.getAs[String]("lang"))
+    rows.foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      val tfs = sorted.map(_.getAs[Long]("tf")).toSeq
+      assert(tfs == tfs.sorted.reverse, s"$lang tf ordering")
+    }
+    // driver-side recount for one (lang, term) cell
+    val head = tt.filter(col("rank") === 1).collect().head
+    val want = Tables.documents(spark, sfDir)
+      .filter(col("lang") === head.getAs[String]("lang"))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") === head.getAs[String]("term")).count()
+    assert(head.getAs[Long]("tf") == want)
+    // the rank filter must reach WindowGroupLimit (map-side truncation)
+    val plan = tt.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank filter pushed below the shuffle")
+    tt.unpersist()
+  }
+
   test("source quality report reconciles with the per-doc quality frame") {
     val rep = TextAnalysis.sourceQualityReport(spark, sfDir).collect()
     val q = TextAnalysis.textQuality(spark, sfDir)

@@ -36,6 +36,48 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windows: every event in exactly two windows, streaming twin matches batch") {
+    import spark.implicits._
+    // batch: each 2h/1h-slide window equals the sum of its two tumbling hours
+    val slide = EventsStream.slidingWindowAgg(spark, sfDir).cache()
+    val tumble = EventsStream.windowAgg(spark, sfDir)
+      .select(col("hour_start"), col("event_type"), col("n").as("tn"))
+    val twoHours = slide.join(tumble,
+        tumble("event_type") === slide("event_type") &&
+          (tumble("hour_start") === slide("win_start") ||
+            tumble("hour_start") === slide("win_start") + expr("INTERVAL 1 HOUR")),
+        "left")
+      .groupBy(slide("win_start"), slide("event_type"), col("n"))
+      .agg(sum(col("tn")).as("want"))
+    assert(twoHours.filter(col("n") =!= col("want")).isEmpty)
+    // total row-slots: every event counted exactly twice across windows
+    assert(slide.agg(sum("n")).head().getLong(0) ==
+      2 * Tables.events(spark, sfDir).count())
+    slide.unpersist()
+    // streaming twin over a MemoryStream prefix
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val df = source.toDF().toDF("ts", "event_type", "value")
+    val query = EventsStream.streamingSlidingAgg(df).writeStream
+      .format("memory").queryName("sliding_agg_test")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 11:10:00"), "click", 2.0),
+        (ts("2024-01-01 15:00:00"), "view", 7.0)) // watermark -> 13:00
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      val emitted = spark.table("sliding_agg_test")
+        .select("win_start", "event_type", "n", "value_sum").collect()
+      val expected = EventsStream.slidingAggTransform(
+        rows.toDF("ts", "event_type", "value"))
+        .filter(col("win_start") + expr("INTERVAL 2 HOURS") <= ts("2024-01-01 13:00:00"))
+        .collect()
+      assert(expected.nonEmpty && emitted.toSet == expected.toSet)
+    } finally query.stop()
+  }
+
   test("streaming ingest dedup drops in-watermark redeliveries, batch twin dedups exactly") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -167,6 +209,49 @@ class EventsStreamSpec extends SparkSpec {
     assert(first.filter(abs(col("ma24") - round(col("value_sum"), 6)) > 1e-9).isEmpty)
     // grid cardinality preserved (one output row per dense-grid cell)
     assert(ma.count() == EventsStream.denseHourlyAgg(spark, sfDir).count())
+  }
+
+  test("linear interpolation matches a driver-side walk of the dense grid") {
+    val li = EventsStream.linearInterpolate(spark, sfDir).cache()
+    val dense = EventsStream.denseHourlyAgg(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_start").getTime / 1000,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("value_sum")))
+    assert(li.count() == dense.length)
+    // driver-side model: per type, observed means, then straight lines
+    val want = dense.toSeq.groupBy(_._2).toSeq.flatMap { case (tpe, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val obs = sorted.filter(_._3 > 0)
+        .map(t => t._1 -> BigDecimal(t._4 / t._3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      val obsHours = obs.keys.toSeq.sorted
+      sorted.map { case (h, _, n, _) =>
+        val v: Option[Double] =
+          if (n > 0) Some(obs(h))
+          else {
+            val prev = obsHours.filter(_ < h).lastOption
+            val next = obsHours.find(_ > h)
+            (prev, next) match {
+              case (Some(p), Some(nx)) =>
+                val f = (h - p).toDouble / (nx - p)
+                Some(BigDecimal(obs(p) + (obs(nx) - obs(p)) * f)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              case _ => None
+            }
+          }
+        (h, tpe) -> v
+      }
+    }.toMap
+    li.collect().foreach { r =>
+      val k = (r.getAs[java.sql.Timestamp]("hour_start").getTime / 1000,
+        r.getAs[String]("event_type"))
+      val got = Option(r.getAs[java.lang.Double]("value_interp")).map(_.doubleValue)
+      (got, want(k)) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 2e-6, s"$k: $g vs $w")
+        case (g, w) => assert(g == w, s"$k: $g vs $w")
+      }
+    }
+    li.unpersist()
   }
 
   test("lag-based session boundaries agree with the sessionizer's gap rule") {
