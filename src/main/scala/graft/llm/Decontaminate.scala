@@ -161,4 +161,42 @@ object Decontaminate {
        |JOIN sizes sb ON sb.doc_id = i.test_doc
        |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= $FuzzyMin
        |ORDER BY i.doc_id, i.test_doc""".stripMargin
+
+  /** The drop step that finishes the decontamination pipeline — the
+    * [[Dedup.dedupApply]] of this family: the train/val corpus with every
+    * fuzzy-flagged document removed (test rows are excluded by
+    * definition — they are the benchmark, not training data). This is
+    * the frame the training job reads after the audit; the audit queries
+    * above say WHO is contaminated, this one applies the policy.
+    *
+    * Scale shape: the flagged list is benchmark-adjacent-sized (docs
+    * near-duplicating a test doc), so the anti-join broadcasts and the
+    * corpus streams map-only; the split column is the shuffle-free md5
+    * projection. */
+  def decontaminateApply(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = decontaminateFuzzy(spark, dir).select("doc_id").distinct()
+    Sampling.hashSplitFrom(Tables.documents(spark, dir), col("doc_id"))
+      .filter(col("split") =!= "test")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the fuzzy audit as a nested subquery (own WITH chain),
+    * anti-joined against the split corpus. */
+  lazy val decontaminateApplySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         ${Sampling.splitBucketSql} AS bucket
+       |  FROM documents
+       |), spl AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         ${Sampling.splitCaseSql} AS split
+       |  FROM b
+       |)
+       |SELECT doc_id, lang, source, n_chars, split
+       |FROM spl
+       |WHERE split <> 'test'
+       |  AND doc_id NOT IN (SELECT doc_id FROM ($decontaminateFuzzySql))
+       |ORDER BY doc_id""".stripMargin
 }

@@ -661,6 +661,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Corpus duplication profile — the histogram of dedup-cluster sizes
+    * including the singleton mass: how many clusters of each size the
+    * corpus carries and how many documents they bind. THE summary
+    * number a curation review reads first ("what fraction of the corpus
+    * is duplicated, and is it many pairs or a few megaclusters?") and
+    * the input to policy choices like keep-best vs keep-first.
+    *
+    * Scale shape: third consumer of the session-scoped
+    * [[clusterArtifact]] (clustered-docs-sized, checkpointed once);
+    * the histogram is one counter aggregate over one row per CLUSTER
+    * (canonical rows only), and the singleton row is one anti-join
+    * count — the corpus side streams map-only. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val art = clusterArtifact(spark, dir)
+    val hist = art.filter(col("is_canonical"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singles = Tables.documents(spark, dir).select("doc_id")
+      .join(art.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+    hist.union(singles).orderBy("cluster_size")
+  }
+
+  /** Oracle: recursive-closure labels → per-cluster sizes → histogram,
+    * singleton mass from the complement count. */
+  val clusterSizeHistogramSql: String =
+    s"""WITH RECURSIVE $shinglesCteSql, $jaccardPairsCteSql, edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+       |), sized AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+       |), hist AS (
+       |  SELECT cluster_size, count(*) AS n_clusters,
+       |         cluster_size * count(*) AS n_docs
+       |  FROM sized GROUP BY cluster_size
+       |  UNION ALL
+       |  SELECT 1 AS cluster_size, count(*) AS n_clusters, count(*) AS n_docs
+       |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+       |)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(n_clusters AS BIGINT) AS n_clusters,
+       |       CAST(n_docs AS BIGINT) AS n_docs
+       |FROM hist ORDER BY cluster_size""".stripMargin
+
   /** Window length (tokens) for [[substringDedup]] — the span size above
     * which a cross-document repeat is treated as duplicated text rather
     * than chance collocation (the published exact-substring-dedup

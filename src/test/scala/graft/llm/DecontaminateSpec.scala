@@ -69,6 +69,22 @@ class DecontaminateSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("decontaminate apply: drops exactly the fuzzy-flagged train/val docs") {
+    val kept = Decontaminate.decontaminateApply(spark, sfDir).cache()
+    val sp = Sampling.hashSplitFrom(
+      Tables.documents(spark, sfDir), col("doc_id")).cache()
+    val trainval = sp.filter(col("split") =!= "test")
+    val flagged = Decontaminate.decontaminateFuzzy(spark, sfDir)
+      .select("doc_id").distinct()
+    assert(kept.count() == trainval.count() - flagged.count(),
+      "every flagged doc is train/val by construction, so counts subtract")
+    assert(kept.filter(col("split") === "test").isEmpty)
+    assert(kept.select("doc_id").intersect(flagged).isEmpty, "no flagged doc survives")
+    assert(trainval.select("doc_id").except(kept.select("doc_id"))
+      .except(flagged).isEmpty, "nothing else was dropped")
+    kept.unpersist(); sp.unpersist()
+  }
+
   test("every flagged doc shares a shingle with some test doc (witness join)") {
     val got = Decontaminate.decontaminate(spark, sfDir)
     val sh = Sampling.hashSplitFrom(

@@ -74,6 +74,23 @@ class DedupSpec extends SparkSpec {
     cont.unpersist()
   }
 
+  test("cluster size histogram covers the corpus and reconciles with the clusters") {
+    val h = Dedup.clusterSizeHistogram(spark, sfDir).collect()
+    val corpus = graft.Tables.documents(spark, sfDir).count()
+    assert(h.map(_.getAs[Long]("n_docs")).sum == corpus, "every doc in one bucket")
+    h.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    // non-singleton mass equals the cluster table; cluster counts agree
+    val cl = Dedup.dedupClusters(spark, sfDir).cache()
+    val multi = h.filter(_.getAs[Long]("cluster_size") > 1)
+    assert(multi.map(_.getAs[Long]("n_docs")).sum == cl.count())
+    assert(multi.map(_.getAs[Long]("n_clusters")).sum ==
+      cl.filter(col("is_canonical")).count())
+    cl.unpersist()
+  }
+
   test("dedup eval: confusion counts reconcile and match the two pair kernels") {
     val r = Dedup.dedupEval(spark, sfDir).collect()
     assert(r.length == 1)
