@@ -99,11 +99,16 @@ object Quality {
     * bucket summaries spans them. The union is exactly the global-lag
     * answer (every adjacent key pair is adjacent either within one
     * bucket or across two consecutive non-empty ones). */
-  def seqGapCheck(spark: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.orders(spark, dir)
+  def seqGapCheck(spark: SparkSession, dir: String): DataFrame =
+    seqGapsFrom(Tables.orders(spark, dir)
       .filter(col("o_orderstatus") =!= "F")
-      .select(col("o_orderkey").as("k"),
-        shiftright(col("o_orderkey"), GapBucket).as("bucket"))
+      .select(col("o_orderkey").as("k")))
+
+  /** Core two-phase gap kernel over a (k: long) frame of distinct keys —
+    * see [[seqGapCheck]]; property-tested against the global-lag model
+    * in QualityProperties. */
+  private[warehouse] def seqGapsFrom(ks: DataFrame): DataFrame = {
+    val keys = ks.select(col("k"), shiftright(col("k"), GapBucket).as("bucket"))
     val intraW = Window.partitionBy("bucket").orderBy("k")
     val intra = keys.withColumn("pk", lag(col("k"), 1).over(intraW))
     val bounds = keys.groupBy("bucket")

@@ -211,6 +211,41 @@ class PlanSpec extends SparkSpec {
       initial.contains("SortMergeJoin"), initial.take(2000))
   }
 
+  test("seq gap audit: table window is bucket-partitioned; status filter pushed") {
+    val df = graft.warehouse.Quality.seqGapCheck(spark, sfDir)
+    val initial = df.queryExecution.executedPlan.toString
+    // the only windows are (a) the intra-bucket lag PARTITIONED by bucket
+    // and (b) the bucket-summary lag — never an unpartitioned lag over the
+    // table scan (the naive global formulation the kernel exists to avoid)
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(initial).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, initial.take(2000))
+    val partitioned = specs.filter(_.contains("bucket"))
+    assert(partitioned.nonEmpty,
+      s"intra-bucket window lost its partition key:\n${specs.mkString("\n")}")
+    // pushdown: the archival-status predicate reaches the parquet scan
+    assert(initial.contains("PushedFilters") && initial.contains("o_orderstatus"),
+      initial.take(3000))
+  }
+
+  test("fuzzy decontamination: band candidates join broadcast (test side is small)") {
+    val df = graft.llm.Decontaminate.decontaminateFuzzy(spark, sfDir)
+    val finalPlan = planString(df)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"test-side band join did not broadcast:\n${finalPlan.take(3000)}")
+  }
+
+  test("table profile: all 21 statistics come from ONE scan of the table") {
+    val df = graft.warehouse.Quality.tableProfile(spark, sfDir)
+    // pre-execution plan: AQE's final-plan string collapses materialized
+    // stages into QueryStage references, hiding the Expand
+    val initial = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(initial).size
+    assert(scans == 1, s"expected one documents scan, saw $scans:\n${initial.take(2000)}")
+    // the multiple exact count(DISTINCT) aggregates plan as one Expand
+    assert(initial.contains("Expand"), initial.take(2000))
+  }
+
   test("native kNN: cosine kernel runs inside whole-stage codegen") {
     val df = Similarity.embeddingKnnNative(spark, sfDir)
     // pre-execution plan: AQE hasn't collapsed materialized stages yet, so
