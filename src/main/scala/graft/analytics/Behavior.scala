@@ -494,4 +494,54 @@ object Behavior {
       |SELECT event_type, k_parity, observed, expected,
       |       round(pow(observed - expected, 2) / expected, 6) AS chi2_cell
       |FROM ex ORDER BY event_type, k_parity""".stripMargin
+
+  /** Per-user behavioral diversity — Shannon entropy (bits) of each
+    * user's event-type distribution: 0 = monotype bot-like behavior,
+    * log₂(#types) = uniform engagement. The segmentation feature a
+    * personalization or abuse model consumes alongside RFM.
+    *
+    * Scale shape: two chained user-keyed counter aggregates (events →
+    * (user, type) cells → per-user rollup) plus one user-keyed equi-join
+    * of cell rows against per-user totals — cells are ≤ #types per user,
+    * so everything past the first aggregate is user-cardinality-sized.
+    *
+    * Determinism: each cell's −p·log₂p term is rounded to 6dp and summed
+    * as DECIMAL(18,6), so partial-aggregation order cannot change the
+    * result (the repo-wide decimal-sum rule); cross-engine log₂ ulp
+    * differences sit ~9 orders of magnitude inside the rounding step.
+    * The entropy IS the exact decimal sum — no trailing division, no
+    * second rounding. */
+  def userEventEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy("user_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    val p = col("c").cast("double") / col("n")
+    cells.join(totals, "user_id")
+      .withColumn("term",
+        round(-p * log2(p), 6).cast("decimal(18,6)"))
+      .groupBy("user_id")
+      .agg(first(col("n")).as("n_events"), first(col("n_types")).as("n_types"),
+        sum(col("term")).cast("double").as("entropy_bits"))
+      .orderBy("user_id")
+  }
+
+  val userEventEntropySql: String =
+    """WITH cells AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY user_id, event_type
+      |), totals AS (
+      |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types
+      |  FROM cells GROUP BY user_id
+      |), terms AS (
+      |  SELECT c.user_id, t.n, t.n_types,
+      |         CAST(round(-(c.c * 1.0 / t.n) * log2(c.c * 1.0 / t.n), 6)
+      |              AS DECIMAL(18,6)) AS term
+      |  FROM cells c JOIN totals t USING (user_id)
+      |)
+      |SELECT user_id, n AS n_events, n_types,
+      |       CAST(sum(term) AS DOUBLE) AS entropy_bits
+      |FROM terms GROUP BY user_id, n, n_types
+      |ORDER BY user_id""".stripMargin
 }

@@ -222,4 +222,61 @@ object Stats {
       |       round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 4)
       |         AS pct_change
       |FROM l ORDER BY month""".stripMargin
+
+  /** Supplier-concentration HHI per nation — the Herfindahl–Hirschman
+    * index over supplier revenue shares (Σ shareᵢ²): 1/n_suppliers =
+    * perfectly even, → 1 = one supplier owns the nation. The market- or
+    * feed-concentration number a sourcing/risk dashboard tracks; the
+    * same formula monitors corpus source concentration.
+    *
+    * Scale shape: revenue collapses to (nation, supplier) cells in one
+    * decimal-exact fact aggregate (map-side partials); nation totals are
+    * a second aggregate over cells; the share arithmetic is per-cell.
+    * Per-cell share² terms round to 9dp and sum as DECIMAL(18,9) so
+    * partial order cannot move the result; shares divide exact decimals
+    * once, so the pre-round doubles are bit-equal across engines. */
+  def nationRevenueHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+    val cells = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("s_suppkey").as("suppkey"))
+      .agg(sum(rev).as("srev"))
+    val totals = cells.groupBy("nation")
+      .agg(sum(col("srev")).as("trev"), count(lit(1)).as("n_suppliers"))
+    val share = col("srev").cast("double") / col("trev").cast("double")
+    cells.join(totals, "nation")
+      .withColumn("term", round(share * share, 9).cast("decimal(18,9)"))
+      .groupBy("nation")
+      .agg(first(col("n_suppliers")).as("n_suppliers"),
+        round(first(col("trev")), 2).cast("double").as("revenue"),
+        sum(col("term")).cast("double").as("hhi"))
+      .orderBy("nation")
+  }
+
+  val nationRevenueHhiSql: String =
+    """WITH cells AS (
+      |  SELECT n_name AS nation, s_suppkey AS suppkey,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS srev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name, s_suppkey
+      |), totals AS (
+      |  SELECT nation, sum(srev) AS trev, count(*) AS n_suppliers
+      |  FROM cells GROUP BY nation
+      |), terms AS (
+      |  SELECT c.nation, t.n_suppliers, t.trev,
+      |         CAST(round((CAST(c.srev AS DOUBLE) / CAST(t.trev AS DOUBLE))
+      |                    * (CAST(c.srev AS DOUBLE) / CAST(t.trev AS DOUBLE)), 9)
+      |              AS DECIMAL(18,9)) AS term
+      |  FROM cells c JOIN totals t USING (nation)
+      |)
+      |SELECT nation, n_suppliers,
+      |       CAST(round(trev, 2) AS DOUBLE) AS revenue,
+      |       CAST(sum(term) AS DOUBLE) AS hhi
+      |FROM terms GROUP BY nation, n_suppliers, trev
+      |ORDER BY nation""".stripMargin
 }

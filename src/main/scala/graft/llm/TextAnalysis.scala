@@ -350,6 +350,56 @@ object TextAnalysis {
       .limit(TopTermsK)
   }
 
+  /** N-gram novelty curve — per document (in doc_id ingestion order),
+    * the fraction of its distinct word-trigrams never seen in any
+    * EARLIER document: the "is this feed still contributing new text"
+    * signal a growing corpus is monitored by (novelty collapsing toward
+    * 0 means the crawl is re-reading itself; pairs with the dedup
+    * family, which catches the pairwise extreme of the same decay).
+    *
+    * Scale shape: the same inverted-index discipline as the dedup
+    * kernels — explode distinct shingles hashed to fixed-width longs,
+    * ONE min-aggregate per shingle (its first doc), then a shingle-hash
+    * equi-join back to count first-seen shingles per document. No pair
+    * expansion at any skew (min() is a scalar aggregate, and the join
+    * emits each posting once). Same 64-bit collision assumption as the
+    * dedup family ([[Dedup.ngramJaccardPairsFrom]]).
+    *
+    * doc_id stands in for ingestion time on this corpus; a real pipeline
+    * substitutes its arrival ordinal. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Dedup.shinglesOf(Tables.spread(Tables.documents(spark, dir)))
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
+      .cache() // read twice: first-doc aggregate + count-back join
+    val firsts = ex.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    ex.join(firsts, "s")
+      .groupBy("doc_id", "n_shingles")
+      .agg(sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+        .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+        col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: identical first-doc aggregate over raw shingle strings. */
+  val ngramNoveltySql: String =
+    s"""WITH ${Dedup.shinglesCteSql}, ex AS (
+       |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+       |         unnest(shingles) AS s
+       |  FROM sh
+       |), firsts AS (
+       |  SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s
+       |)
+       |SELECT e.doc_id, e.n_shingles,
+       |       CAST(sum(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       round(sum(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END) * 1.0
+       |             / e.n_shingles, 6) AS novelty
+       |FROM ex e JOIN firsts f USING (s)
+       |GROUP BY e.doc_id, e.n_shingles
+       |ORDER BY e.doc_id""".stripMargin
+
   /** Per-language top-k term count for [[topTermsPerLang]]. */
   private val TermsPerLang = 10
 

@@ -204,4 +204,29 @@ class BehaviorSpec extends SparkSpec {
     assert(c.groupBy("event_type").count().filter(col("count") =!= 2).isEmpty)
     c.unpersist()
   }
+
+  test("user event entropy: bounds, monotype zero, and a driver-side recompute") {
+    val ent = Behavior.userEventEntropy(spark, sfDir).cache()
+    val nUsers = graft.Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(ent.count() == nUsers)
+    // 0 <= H <= log2(n_types); monotype users are exactly 0 (with 6dp slack
+    // from the per-term rounding)
+    assert(ent.filter(col("entropy_bits") < -1e-6 ||
+      col("entropy_bits") > log2(col("n_types")) + 1e-5).isEmpty)
+    assert(ent.filter(col("n_types") === 1 && col("entropy_bits") =!= 0.0).isEmpty)
+    // exact recompute for the busiest user
+    val top = ent.orderBy(col("n_events").desc).first()
+    val counts = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id") === top.getAs[Long]("user_id"))
+      .groupBy("event_type").count().collect().map(_.getLong(1))
+    val n = counts.sum.toDouble
+    val want = counts.map { c =>
+      val p = c / n
+      BigDecimal(-p * (math.log(p) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(top.getAs[Double]("entropy_bits") - want) < 1e-5,
+      s"${top.getAs[Double]("entropy_bits")} vs $want")
+    ent.unpersist()
+  }
 }

@@ -88,4 +88,30 @@ class StatsSpec extends SparkSpec {
     assert(iPartial > iWindow,
       s"partial_sum must be under the Window (idx $iPartial vs $iWindow):\n$plan")
   }
+
+  test("nation HHI: bounds, even-market floor, and a driver-side recompute") {
+    val hhi = Stats.nationRevenueHhi(spark, sfDir).cache()
+    assert(hhi.count() > 0)
+    // 1/n <= HHI <= 1 for every nation (6dp slack from per-term rounding)
+    assert(hhi.filter(col("hhi") > 1.0 + 1e-5 ||
+      col("hhi") < lit(1.0) / col("n_suppliers") - 1e-5).isEmpty)
+    // exact recompute for one nation
+    val r = hhi.first()
+    val cells = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === r.getAs[String]("nation"))
+      .groupBy("s_suppkey")
+      .agg(sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")).as("srev"))
+      .collect().map(_.getAs[java.math.BigDecimal]("srev"))
+    val total = cells.map(BigDecimal(_)).sum
+    val want = cells.map { c =>
+      val s = (BigDecimal(c) / total).toDouble
+      BigDecimal(s * s).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(r.getAs[Long]("n_suppliers") == cells.length)
+    assert(math.abs(r.getAs[Double]("hhi") - want) < 1e-6,
+      s"${r.getAs[Double]("hhi")} vs $want")
+    hhi.unpersist()
+  }
 }

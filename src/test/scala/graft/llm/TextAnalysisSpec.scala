@@ -467,6 +467,25 @@ class TextAnalysisSpec extends SparkSpec {
     tt.unpersist()
   }
 
+  test("ngram novelty: first doc fully novel, exact dup fully stale, counts bounded") {
+    val nv = TextAnalysis.ngramNovelty(spark, sfDir).cache()
+    // coverage: every >=3-token doc appears, bounds hold
+    val expected = Tables.documents(spark, sfDir)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    assert(nv.count() == expected)
+    assert(nv.filter(col("n_novel") < 0 || col("n_novel") > col("n_shingles") ||
+      col("novelty") < 0 || col("novelty") > 1).isEmpty)
+    // the smallest doc_id can only contain first-seen shingles
+    assert(nv.orderBy("doc_id").first().getAs[Double]("novelty") == 1.0)
+    // any exact-duplicate pair: the LATER doc has novelty 0 (every shingle
+    // was seen in its twin)
+    val dups = Dedup.ngramJaccardPairs(spark, sfDir)
+      .filter(col("jaccard") === 1.0)
+      .select(col("doc_b").as("doc_id"))
+    assert(nv.join(dups, "doc_id").filter(col("novelty") =!= 0.0).isEmpty)
+    nv.unpersist()
+  }
+
   test("source quality report reconciles with the per-doc quality frame") {
     val rep = TextAnalysis.sourceQualityReport(spark, sfDir).collect()
     val q = TextAnalysis.textQuality(spark, sfDir)
