@@ -651,4 +651,45 @@ object Quantiles {
       |              + CAST(spend > d9 AS INT) AS BIGINT) AS decile
       |FROM spend CROSS JOIN b
       |ORDER BY custkey""".stripMargin
+
+  /** Fulfillment-latency profile — per order priority, the distribution
+    * of days between order placement and line shipment (count, mean,
+    * exact p50/p90): the SLA dashboard an operations team reads, and
+    * the latest consumer of the [[groupedQuantiles]] selection kernel
+    * (no per-group task sort at any fact size).
+    *
+    * Scale shape: ONE fact-side equi-join on the order key feeds both a
+    * counter aggregate (count + exact integer day-sum → mean) and the
+    * two-phase quantile kernel; delays are small integers, so the mean
+    * divides two exact numbers once. */
+  def shipDelayProfile(spark: SparkSession, dir: String): DataFrame = {
+    val j = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay"))
+    val th = groupedQuantiles(
+      j.select(col("priority"), col("delay").cast("double").as("delay")),
+      "priority", "delay", Seq("p50" -> 0.5, "p90" -> 0.9))
+    val stats = j.groupBy("priority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("delay").cast("long")).as("sd"))
+    stats.join(th, "priority")
+      .select(col("priority"), col("n_lines"),
+        round(col("sd").cast("double") / col("n_lines"), 6).as("avg_days"),
+        col("p50"), col("p90"))
+      .orderBy("priority")
+  }
+
+  val shipDelayProfileSql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority AS priority,
+      |         datediff('day', o_orderdate, l_shipdate) AS delay
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT priority, count(*) AS n_lines,
+      |       round(CAST(sum(delay) AS DOUBLE) / count(*), 6) AS avg_days,
+      |       round(quantile_cont(CAST(delay AS DOUBLE), 0.5), 6) AS p50,
+      |       round(quantile_cont(CAST(delay AS DOUBLE), 0.9), 6) AS p90
+      |FROM j GROUP BY priority ORDER BY priority""".stripMargin
 }

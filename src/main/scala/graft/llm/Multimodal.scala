@@ -302,4 +302,33 @@ object Multimodal {
        |       round(sqrt(($sumSq) / $NumSamples), 6) AS rms
        |FROM a ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Exact content dedup over the media payloads — the first dedup pass
+  // every multimodal pipeline runs (byte-identical re-uploads, mirror
+  // copies) BEFORE any decode: hash the opaque payload, group, keep one.
+
+  /** Byte-identical media dedup by content digest: one row per distinct
+    * payload digest with the canonical keeper (min doc_id — the
+    * keep-first policy of the text family) and its copy count — the
+    * [[graft.llm.TextAnalysis.exactDedup]] contract applied to binary
+    * content. The payload digest, like every feature above, is computed
+    * from the synthetic payload's generator (md5 chain on doc text), so
+    * the columnar twin is oracle-expressible; on real media the digest
+    * is `md5(content)` over the binary column and the plan is
+    * IDENTICAL — one counter aggregate keyed on a fixed-width digest.
+    * The digest (not the blob) is the shuffle key, so a 10 MB image
+    * costs the same exchange bytes as a 10-char caption; the caller's
+    * drop step anti-joins on `n_copies > 1` groups. */
+  def mediaExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(md5(col("text"))).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+
+  val mediaExactDedupSql: String =
+    """SELECT md5(md5(text)) AS digest, min(doc_id) AS canonical_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
 }

@@ -258,4 +258,29 @@ class QuantilesSpec extends SparkSpec {
     assert(!plan.contains("ntile"), plan.take(1500))
     d.unpersist()
   }
+
+  test("ship delay profile: coherent stats and a driver-side percentile recompute") {
+    val p = Quantiles.shipDelayProfile(spark, sfDir).cache()
+    val joined = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay"))
+      .cache()
+    assert(p.agg(sum("n_lines")).head().getLong(0) == joined.count())
+    assert(p.filter(col("p50") > col("p90") || col("avg_days") < 0).isEmpty)
+    // exact interpolated percentile for one priority, recomputed in-driver
+    val r = p.first()
+    val ds = joined.filter(col("priority") === r.getAs[String]("priority"))
+      .collect().map(_.getInt(1)).sorted
+    def q(frac: Double): Double = {
+      val pos = frac * (ds.length - 1)
+      val (lo, hi) = (ds(pos.toInt), ds(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    assert(math.abs(r.getAs[Double]("p50") - q(0.5)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p90") - q(0.9)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("avg_days") -
+      ds.map(_.toLong).sum.toDouble / ds.length) < 1e-6)
+    joined.unpersist(); p.unpersist()
+  }
 }

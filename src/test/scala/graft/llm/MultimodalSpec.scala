@@ -73,4 +73,30 @@ class MultimodalSpec extends SparkSpec {
     assert(perDoc.filter(col("frames") =!=
       typedLit(Seq(0L, 2L, 4L, 6L))).isEmpty)
   }
+
+  test("media exact dedup: digest groups equal text-identity groups, keep-first") {
+    import org.apache.spark.sql.functions._
+    val md = Multimodal.mediaExactDedup(spark, sfDir).cache()
+    // payloads derive deterministically from text, so digest groups must
+    // be exactly the text-identity groups — same count, same keepers,
+    // same copy totals
+    val byText = graft.Tables.documents(spark, sfDir)
+      .groupBy("text").agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+    assert(md.count() == byText.count())
+    assert(md.agg(sum("n_copies")).head().getLong(0) ==
+      graft.Tables.documents(spark, sfDir).count())
+    assert(md.select(col("canonical_id"), col("n_copies"))
+      .except(byText.select(col("keeper"), col("n"))).isEmpty)
+    // planted byte-identical payloads collapse to one group, keep-first
+    import spark.implicits._
+    val planted = Seq((10L, "same words here"), (20L, "same words here"),
+      (30L, "different words"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(md5(col("text"))).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(planted == Set((10L, 2L), (30L, 1L)))
+    md.unpersist()
+  }
 }
