@@ -527,6 +527,39 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** Event types pivoted by [[userTypeMatrix]] — passed EXPLICITLY so
+    * the pivot plans as ONE aggregate with five conditional counters.
+    * A pivot without a value list first runs a corpus-wide DISTINCT to
+    * discover columns (a second job + an unbounded schema) — the 100 TB
+    * anti-pattern this literal exists to avoid. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user event-type feature matrix — one row per user, one count
+    * column per event type: the wide feature shape an ML training or
+    * segmentation job consumes directly (the events twin of the ETL
+    * melt/pivot pair, on the behavioral axis).
+    *
+    * Scale shape: exactly one user-keyed hash aggregate; each counter
+    * is a codegen'd conditional count with map-side partials. Absent
+    * cells are 0, not NULL (a feature matrix has no missing cells,
+    * only zero counts). */
+  def userTypeMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+      .orderBy("user_id")
+
+  val userTypeMatrixSql: String = {
+    val cols = EventTypes.map(t =>
+      s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""")
+      .mkString(",\n      |       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   val userEventEntropySql: String =
     """WITH cells AS (
       |  SELECT user_id, event_type, count(*) AS c

@@ -101,6 +101,49 @@ object EventsStream {
   def streamingSlidingAgg(events: DataFrame): DataFrame =
     slidingAggTransform(events.withWatermark("ts", "2 hours"))
 
+  /** Spark's NATIVE gap-based sessionization — `session_window(ts, gap)`
+    * — as a registered batch entry (the custom
+    * flatMapGroupsWithState sessionizer above demonstrates arbitrary
+    * state; this is the declarative operator you reach for FIRST, with
+    * Catalyst planning the merge): per user, sessions close after a
+    * 30-minute silence, window end = last event + gap.
+    *
+    * Semantics note for the oracle: session_window starts a NEW session
+    * when an event lands exactly ON the previous window's end
+    * (gap >= 30 min ⇒ break), while [[SessionGapMs]]'s custom rule
+    * breaks only on gap > 30 min — the oracle encodes the native
+    * operator's >= rule. Scale: one hash exchange on user_id, then
+    * per-partition ordered merge inside the aggregate — the same
+    * single-shuffle shape as the lag-based twin. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("value_sum"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowAggSql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), g AS (
+      |  SELECT user_id, ts, value,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events, round(sum(value), 6) AS value_sum
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Gap-filled (dense) hourly aggregation — the windowed aggregate with
     * every missing hour present as an explicit zero row, the shape BI
     * tools and downstream window functions require (a moving average over

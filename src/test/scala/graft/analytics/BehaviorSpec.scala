@@ -205,6 +205,30 @@ class BehaviorSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("user type matrix: one row per user, cells reconcile, zeros not nulls") {
+    // plan pin FIRST (before .cache() — the cache manager would rewrite
+    // later identical plans to an InMemoryTableScan and hide the scan
+    // count): the explicit pivot value list means no distinct-discovery
+    // job, so the events table is scanned exactly once
+    val fresh = Behavior.userTypeMatrix(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(fresh).size == 1, fresh.take(1500))
+    val m = Behavior.userTypeMatrix(spark, sfDir).cache()
+    val ev = graft.Tables.events(spark, sfDir)
+    assert(m.count() == ev.select("user_id").distinct().count())
+    val typeCols = Seq("click", "error", "purchase", "signup", "view")
+    // row sums cover the corpus; no null cells
+    val total = m.select(typeCols.map(c => sum(col(c))): _*).head()
+      .toSeq.map(_.asInstanceOf[Long]).sum
+    assert(total == ev.count())
+    assert(m.filter(typeCols.map(col(_).isNull).reduce(_ || _)).isEmpty)
+    // spot-check one cell against a direct count
+    val u = m.first().getAs[Long]("user_id")
+    val want = ev.filter(col("user_id") === u && col("event_type") === "click").count()
+    assert(m.filter(col("user_id") === u).head().getAs[Long]("click") == want)
+    m.unpersist()
+  }
+
   test("user event entropy: bounds, monotype zero, and a driver-side recompute") {
     val ent = Behavior.userEventEntropy(spark, sfDir).cache()
     val nUsers = graft.Tables.events(spark, sfDir).select("user_id").distinct().count()

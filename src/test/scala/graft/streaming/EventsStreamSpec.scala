@@ -254,6 +254,24 @@ class EventsStreamSpec extends SparkSpec {
     li.unpersist()
   }
 
+  test("native session_window sessions partition each user's stream correctly") {
+    val sw = EventsStream.sessionWindowAgg(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+    // every event lands in exactly one session
+    assert(sw.agg(sum("n_events")).head().getLong(0) == ev.count())
+    // window end is last event + gap, so end - start >= gap always, and
+    // consecutive sessions of a user never overlap (end <= next start)
+    assert(sw.filter(col("session_end") <= col("session_start")).isEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val nxt = sw.withColumn("next_start",
+      lead(col("session_start"), 1).over(
+        Window.partitionBy("user_id").orderBy("session_start")))
+    assert(nxt.filter(col("next_start").isNotNull &&
+      col("session_end") > col("next_start")).isEmpty,
+      "native sessions must be disjoint per user")
+    sw.unpersist()
+  }
+
   test("lag-based session boundaries agree with the sessionizer's gap rule") {
     import spark.implicits._
     // each boundary event closes exactly one session (the user's final
