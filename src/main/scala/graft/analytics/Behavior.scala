@@ -560,6 +560,122 @@ object Behavior {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Gaps-and-islands run-length encoding over the per-user event
+    * sequence: consecutive same-type events form a run (an "island");
+    * the classic two-window kernel marks run starts with a 1-lag type
+    * compare, numbers runs with a cumulative sum of the start flags,
+    * then collapses. Output is the bounded run-length distribution per
+    * event type — (type, run_len, n_runs) cells — not the per-run rows,
+    * so result size is vocab × max-run-length at any corpus scale.
+    *
+    * Shape at 100 TB: both windows share ONE partitioning (user_id) and
+    * ONE sort (ts, event_id) — a single hash exchange + per-partition
+    * sort serves the lag, the cumulative sum, and feeds straight into a
+    * (user, run_id, type)-keyed aggregate with map-side partials. The
+    * final distribution aggregate is cell-bounded. Per-user windows are
+    * per-user-event-count sized — the scalable window discipline (never
+    * a global ORDER BY over the stream). */
+  def eventRuns(spark: SparkSession, dir: String): DataFrame =
+    eventRunsFrom(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** [[eventRuns]] kernel over any (user_id, ts, event_id, event_type)
+    * frame — factored so specs can drive hand-built sequences. */
+  private[graft] def eventRunsFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("run_start",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("run_start")).over(w))
+    flagged
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("event_type"), col("run_len"))
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy("event_type", "run_len")
+  }
+
+  val eventRunsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS prev_type
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, event_type,
+      |         sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+      |  FROM seq
+      |), runs AS (
+      |  SELECT user_id, run_id, event_type, count(*) AS run_len
+      |  FROM numbered GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, run_len, count(*) AS n_runs
+      |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Debounce window: an event within this many seconds of the previous
+    * event in the same (user, type) burst chain is collapsed into it. */
+  private val DebounceGapSec = 300L
+
+  /** Telemetry debounce — collapse bursts of the same (user, event_type)
+    * into their first event: an event survives only if it starts a new
+    * burst, i.e. arrives ≥ [[DebounceGapSec]] after the PREVIOUS event of
+    * that key (gap-sessionization keep-first; deliberately NOT the
+    * throttle variant "≥ gap after the previous KEPT event", which is a
+    * sequential recurrence that cannot be expressed as one window pass —
+    * the gap-chain form is the standard streaming-dedup semantics and
+    * matches `session_window` burst boundaries). Emits the per-type
+    * audit: events in, events kept, drop share.
+    *
+    * Shape at 100 TB: one hash exchange on (user_id, event_type) + one
+    * per-key sort serves the single lag window; the survivors collapse
+    * under a vocab-bounded counter aggregate. Nothing global, nothing
+    * iterative — the same shape as `event_transitions`. */
+  def eventDebounce(spark: SparkSession, dir: String): DataFrame =
+    eventDebounceFrom(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id")))
+
+  /** [[eventDebounce]] kernel over any (user_id, event_type, ts, event_id)
+    * frame — factored so specs can drive hand-built burst chains. */
+  private[graft] def eventDebounceFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // true-elapsed gap on microsecond epochs (event timestamps carry
+      // microseconds; a seconds-truncated diff would call a 299.6 s gap
+      // "300") — unix_micros here, epoch_us in the oracle
+      .withColumn("kept",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= DebounceGapSec * 1000000L,
+          1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))
+      .withColumn("drop_share",
+        round((col("n_events") - col("n_kept")).cast("double") / col("n_events"), 6))
+      .orderBy("event_type")
+  }
+
+  val eventDebounceSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type, ts,
+       |         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+       |           AS prev_ts
+       |  FROM events
+       |), flagged AS (
+       |  SELECT event_type,
+       |         CASE WHEN prev_ts IS NULL
+       |                   OR epoch_us(ts) - epoch_us(prev_ts) >= $DebounceGapSec * 1000000
+       |              THEN 1 ELSE 0 END AS kept
+       |  FROM seq
+       |)
+       |SELECT event_type, count(*) AS n_events,
+       |       CAST(sum(kept) AS BIGINT) AS n_kept,
+       |       round(CAST(count(*) - sum(kept) AS DOUBLE) / count(*), 6) AS drop_share
+       |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val userEventEntropySql: String =
     """WITH cells AS (
       |  SELECT user_id, event_type, count(*) AS c

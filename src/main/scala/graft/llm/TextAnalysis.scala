@@ -184,6 +184,42 @@ object TextAnalysis {
       |       c_en, c_de, c_fr, c_es
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Language-ID confusion matrix — declared `lang` label vs the
+    * [[langId]] heuristic's prediction, one cell per (label, pred) pair
+    * with the within-label share and a hit flag: the quality report that
+    * tells a corpus curator where the classifier disagrees with the
+    * metadata (and which side to audit). Composes the langId kernel
+    * verbatim so the two entries can never drift.
+    *
+    * Shape at 100 TB: the per-doc prediction collapses under ONE
+    * (label, pred)-keyed counter aggregate with map-side partials; the
+    * within-label share is a window over the ≤ langs² cell frame —
+    * bounded by vocabulary, not corpus. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perLabel =
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang_label"))
+    cells
+      .withColumn("label_share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(perLabel), 6))
+      .withColumn("is_hit", (col("lang_label") === col("lang_pred")).cast("int"))
+      .orderBy("lang_label", "lang_pred")
+  }
+
+  val langConfusionSql: String =
+    s"""WITH pred AS ($langIdSql),
+       |cells AS (
+       |  SELECT lang_label, lang_pred, count(*) AS n_docs
+       |  FROM pred GROUP BY 1, 2
+       |)
+       |SELECT lang_label, lang_pred, n_docs,
+       |       round(CAST(n_docs AS DOUBLE) /
+       |             sum(n_docs) OVER (PARTITION BY lang_label), 6) AS label_share,
+       |       CAST(lang_label = lang_pred AS INT) AS is_hit
+       |FROM cells ORDER BY lang_label, lang_pred""".stripMargin
+
   /** Document fingerprinting: an md5 content fingerprint over
     * whitespace-normalized lowercased text, plus a 31-base polynomial
     * rolling hash mod 1e9+7 folded sequentially over the characters

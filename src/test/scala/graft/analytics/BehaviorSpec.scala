@@ -253,4 +253,49 @@ class BehaviorSpec extends SparkSpec {
       s"${top.getAs[Double]("entropy_bits")} vs $want")
     ent.unpersist()
   }
+
+  test("event runs: hand-built islands split correctly; corpus lengths reconcile") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: A A B A → runs A:2, B:1, A:1; user 2: B B B → one run of 3
+    val ev = Seq(
+      (1L, t(0), 1L, "A"), (1L, t(1), 2L, "A"), (1L, t(2), 3L, "B"),
+      (1L, t(3), 4L, "A"),
+      (2L, t(0), 5L, "B"), (2L, t(1), 6L, "B"), (2L, t(2), 7L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Behavior.eventRunsFrom(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set(("A", 1L, 1L), ("A", 2L, 1L), ("B", 1L, 1L), ("B", 3L, 1L)))
+    // corpus: run-length-weighted run counts give back per-type event totals
+    val fromRuns = Behavior.eventRuns(spark, sfDir)
+      .groupBy("event_type").agg(sum(col("run_len") * col("n_runs")).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val totals = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(fromRuns == totals)
+  }
+
+  test("event debounce: burst collapses to first, exact 300s gap survives") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1 type A: 0s kept, 100s dropped (<300s after previous event),
+    // 400s kept (exactly 300s after the previous EVENT at 100s — the >=
+    // boundary, and the gap-chain-not-throttle semantics: vs the previous
+    // KEPT event at 0s the gap would be 400s either way, but vs previous
+    // event it is exactly 300)
+    val ev = Seq(
+      (1L, "A", t(0), 1L), (1L, "A", t(100), 2L), (1L, "A", t(400), 3L),
+      (2L, "B", t(0), 4L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = Behavior.eventDebounceFrom(ev).collect()
+      .map(x => (x.getString(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("A" -> ((3L, 2L)), "B" -> ((1L, 1L))))
+    // corpus: kept bounded by totals, share consistent
+    val c = Behavior.eventDebounce(spark, sfDir).cache()
+    assert(c.filter(col("n_kept") > col("n_events") || col("n_kept") < 1).isEmpty)
+    assert(c.filter(abs(col("drop_share") -
+      round((col("n_events") - col("n_kept")) / col("n_events").cast("double"), 6))
+        > lit(1e-9)).isEmpty)
+    c.unpersist()
+  }
 }

@@ -508,4 +508,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
     q.unpersist()
   }
+
+  test("lang confusion reconciles with langId cells; shares normalize per label") {
+    val conf = TextAnalysis.langConfusion(spark, sfDir).cache()
+    // cell counts are exactly the grouped langId output
+    val want = TextAnalysis.langId(spark, sfDir)
+      .groupBy("lang_label", "lang_pred").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = conf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // within-label shares sum to 1 (6dp rounding slack per cell)
+    val sums = conf.groupBy("lang_label")
+      .agg(sum("label_share").as("s"), count(lit(1)).as("k")).collect()
+    sums.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < r.getLong(2) * 1e-6 + 1e-9)
+    }
+    // hit flag is the diagonal indicator
+    assert(conf.filter((col("lang_label") === col("lang_pred")) =!=
+      (col("is_hit") === 1)).isEmpty)
+    conf.unpersist()
+  }
 }
