@@ -279,4 +279,73 @@ object Stats {
       |       CAST(sum(term) AS DOUBLE) AS hhi
       |FROM terms GROUP BY nation, n_suppliers, trev
       |ORDER BY nation""".stripMargin
+
+  /** ntile bucket count for [[customerPercentiles]]. */
+  private val PctTiles = 4L
+
+  /** Per-customer spend percentile report — percent_rank, cume_dist and
+    * the ntile quartile over total customer spend, WITHOUT the global
+    * single-partition window those functions normally plan: the total
+    * order comes from the adaptive surrogate-key kernel
+    * ([[graft.warehouse.Dims.surrogateKeys]], the `gini_spend` pattern —
+    * window on dimension-sized input, per-partition-offset zipWithIndex
+    * above it), and the three statistics are closed forms over that
+    * position:
+    *   - percent_rank = (rank − 1) / (n − 1) with rank = min position
+    *     among spend peers (ties share a rank, exactly the SQL-standard
+    *     peer semantics);
+    *   - cume_dist = max peer position / n;
+    *   - ntile(k) from the standard first-(n mod k)-buckets-get-one-extra
+    *     split, on the (spend, custkey) total order (ntile has no peer
+    *     concept — its tie order must be made deterministic, same
+    *     tie-break in the oracle's OVER clause).
+    *
+    * Shape at 100 TB: the fact stream collapses under one customer-keyed
+    * decimal sum; the id-stamp survives fact-sized customer counts by
+    * construction; peer min/max is a window partitioned BY SPEND VALUE
+    * (peer-group-sized partitions); n is a broadcast 1-row frame. The
+    * single-row-corpus guard (n = 1 → percent_rank 0, the SQL-standard
+    * value) avoids the ANSI 0/0 abort. */
+  def customerPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val ranked = graft.warehouse.Dims.surrogateKeys(
+      spend, "i", Seq(col("spend").asc, col("custkey").asc))
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    val peers = Window.partitionBy(col("spend"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("rnk", min(col("i")).over(peers))
+      .withColumn("mxp", max(col("i")).over(peers))
+      .withColumn("qq", expr(s"n div $PctTiles"))
+      .withColumn("rr", col("n") - col("qq") * PctTiles)
+      .select(
+        col("custkey"),
+        col("spend").cast("double").as("spend"),
+        round(when(col("n") === 1, 0.0)
+          .otherwise((col("rnk") - 1).cast("double") / (col("n") - 1)), 6)
+          .as("pct_rank"),
+        round(col("mxp").cast("double") / col("n"), 6).as("cume_dist"),
+        // lazy CASE keeps the qq=0 (n < k) corner out of the div-by-zero
+        // branch: there rr = n, so every i takes the first arm
+        when(col("i") <= col("rr") * (col("qq") + 1),
+          expr("(i - 1) div (qq + 1) + 1"))
+          .otherwise(expr("rr + (i - rr * (qq + 1) - 1) div qq + 1"))
+          .cast("long").as("quartile"))
+      .orderBy("custkey")
+  }
+
+  val customerPercentilesSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey AS custkey,
+       |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT custkey, CAST(spend AS DOUBLE) AS spend,
+       |       round(percent_rank() OVER (ORDER BY spend), 6) AS pct_rank,
+       |       round(cume_dist() OVER (ORDER BY spend), 6) AS cume_dist,
+       |       CAST(ntile($PctTiles) OVER (ORDER BY spend, custkey) AS BIGINT)
+       |         AS quartile
+       |FROM spend ORDER BY custkey""".stripMargin
 }

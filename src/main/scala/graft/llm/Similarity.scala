@@ -118,6 +118,98 @@ object Similarity {
        |QUALIFY rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Neighbor count for the [[knnLabelVote]] majority vote. */
+  private val KnnVoteK = 5
+
+  /** Leave-one-out kNN label classification over the embedding corpus —
+    * each vector is classified by the majority label of its
+    * [[KnnVoteK]] nearest cosine neighbors (ties: most votes, then the
+    * smallest label — deterministic), and the report is per-true-label
+    * accuracy: the standard embedding-quality probe ("do labels cluster
+    * in this space?") run before trusting the space for dedup or
+    * retrieval.
+    *
+    * The vote argmax is a struct-min aggregate ((−votes, label) min —
+    * the `dedup_keep_best` pattern), not a window: votes per query are
+    * ≤ label-vocabulary rows, and the aggregate keeps the whole vote →
+    * prediction → accuracy tail in map-side-combinable shapes.
+    *
+    * Scale: the exact all-pairs stage is the documented brute-force
+    * baseline (same candidate generation as `embedding_knn_native`); at
+    * corpus scale the identical vote/report tail rides the LSH- or
+    * IVF-bucketed candidate streams instead (`embedding_ann_lsh`,
+    * `ivf_index_search`) — candidate generation and vote semantics are
+    * deliberately orthogonal here. */
+  /** The per-query (q_id, pred_label) stage of [[knnLabelVote]] —
+    * factored so specs can pin individual predictions against a
+    * driver-side model. */
+  private[graft] def knnPredictions(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    // spread the stream side: see embeddingKnnNative (one task per
+    // stream partition under a broadcast nested-loop join otherwise)
+    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val b = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("label").as("c_label"))
+    val neighbors = a.crossJoin(b)
+      .filter(col("c_id") =!= col("q_id"))
+      // project embeddings away before the rank exchange (knn lesson)
+      .select(col("q_id"), col("c_id"), col("c_label"),
+        round(expr("cosine_similarity(q_emb, c_emb)"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rank") <= KnnVoteK)
+    neighbors
+      .groupBy(col("q_id"), col("c_label")).agg(count(lit(1)).as("votes"))
+      .groupBy(col("q_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("c_label").as("lbl"))).as("best"))
+      .select(col("q_id"), col("best").getField("lbl").as("pred_label"))
+  }
+
+  def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    knnPredictions(spark, dir)
+      .join(e.select(col("vec_id").as("q_id"), col("label")), "q_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_vectors"), 6))
+      .orderBy("label")
+  }
+
+  val knnLabelVoteSql: String =
+    s"""WITH embl AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS ed,
+       |         list_reduce(list_prepend(0.0::DOUBLE,
+       |           list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b) AS n2
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+       |         ${pairSimSql("q", "c")} AS sim
+       |  FROM embl q JOIN embl c ON c.vec_id <> q.vec_id
+       |), nn AS (
+       |  SELECT q_id, c_label,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+       |  FROM pairs
+       |), votes AS (
+       |  SELECT q_id, c_label, count(*) AS votes
+       |  FROM nn WHERE rank <= $KnnVoteK GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT q_id, c_label AS pred_label,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label) AS pr
+       |  FROM votes
+       |)
+       |SELECT e.label, count(*) AS n_vectors,
+       |       CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_correct,
+       |       round(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) * 1.0
+       |             / count(*), 6) AS accuracy
+       |FROM pred p JOIN embeddings e ON p.q_id = e.vec_id AND p.pr = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** LSH planes: ±1 weights derived (at library-build time, deterministic)
     * from the md5 parity of "plane_dim" — embedded as literals in both the
     * Spark plan and the oracle SQL, so the engines share bit-identical

@@ -114,4 +114,29 @@ class StatsSpec extends SparkSpec {
       s"${r.getAs[Double]("hhi")} vs $want")
     hhi.unpersist()
   }
+
+  test("customer percentiles: closed forms equal Spark's own window functions") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Stats.customerPercentiles(spark, sfDir).cache()
+    // reference model: the built-in global-window functions on the same
+    // dimension-sized frame (fine in a spec; the kernel avoids them so
+    // the id-stamp survives fact-sized input)
+    val spend = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val want = spend
+      .withColumn("pct_rank", round(percent_rank().over(Window.orderBy("spend")), 6))
+      .withColumn("cume_dist", round(cume_dist().over(Window.orderBy("spend")), 6))
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("spend"), col("custkey"))).cast("long"))
+      .select(col("custkey"), col("spend").cast("double").as("spend"),
+        col("pct_rank"), col("cume_dist"), col("quartile"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // quartiles are balanced: sizes differ by at most 1, ordered 1..4
+    val sizes = got.groupBy("quartile").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L, 4L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    got.unpersist()
+  }
 }

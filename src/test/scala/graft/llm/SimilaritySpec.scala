@@ -366,4 +366,39 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("n_unit") <= r.getAs[Long]("n_vecs"))
     }
   }
+
+  test("knn label vote: totals reconcile, accuracy bounded, vote matches knn top-5") {
+    val rep = Similarity.knnLabelVote(spark, sfDir).cache()
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rep.agg(sum("n_vectors")).head().getLong(0) == nVecs)
+    assert(rep.filter(col("n_correct") > col("n_vectors") ||
+      col("accuracy") < 0 || col("accuracy") > 1).isEmpty)
+    // drive the kernel's per-query prediction stage against a full
+    // driver-side model on 10 query ids: exact 5-NN (rounded cosine,
+    // c_id tie-break) → vote → (most votes, smallest label) argmax
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probeIds = e.map(_._1).sorted.take(10).toSet
+    val wantPred = probeIds.map { q =>
+      val qv = e.find(_._1 == q).get._2
+      val top5 = e.filter(_._1 != q)
+        .map { case (id, v, lbl) => (cos(qv, v), id, lbl) }
+        .sortBy { case (s, id, _) => (-s, id) }.take(5)
+      val votes = top5.groupBy(_._3).map { case (l, xs) => (l, xs.size) }
+      q -> votes.toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+    }.toMap
+    val gotPred = Similarity.knnPredictions(spark, sfDir)
+      .filter(col("q_id").isin(probeIds.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotPred == wantPred)
+    rep.unpersist()
+  }
 }
