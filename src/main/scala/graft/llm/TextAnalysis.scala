@@ -184,6 +184,69 @@ object TextAnalysis {
       |       c_en, c_de, c_fr, c_es
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** The one-row dataset card — the header block of a corpus datasheet:
+    * document / token / character volume, language and source breadth,
+    * mean quality, and the near-dup share under the standard MinHash
+    * cluster policy. One row a release pipeline stamps next to the
+    * data; every number is definitionally consistent with the
+    * drill-down entries because it composes their kernels verbatim
+    * ([[qualityFrame]] for quality, [[Dedup.clusterArtifact]] for
+    * duplication — fourth consumer of the session-scoped artifact).
+    *
+    * Shape at 100 TB: three independent 1-row aggregates (corpus
+    * counters incl. two low-cardinality DISTINCTs, the quality decimal
+    * sum, the artifact's non-canonical count) crossed as broadcast
+    * 1-row frames. Nothing here adds a shuffle beyond what the composed
+    * kernels already pay. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("n_chars"))
+    val qual = qualityFrame(spark, dir).agg(
+      sum(col("n_tokens")).as("n_tokens"),
+      round(sum(col("quality_score").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("mean_quality"))
+    val dups = Dedup.clusterArtifact(spark, dir)
+      .filter(!col("is_canonical"))
+      .agg(count(lit(1)).as("n_dup_docs"))
+    corpus.crossJoin(broadcast(qual)).crossJoin(broadcast(dups))
+      .withColumn("dup_share",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH RECURSIVE ${Dedup.shinglesCteSql}, ${Dedup.jaccardPairsCteSql}, edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+       |), corpus AS (
+       |  SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       |         count(DISTINCT source) AS n_sources,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM documents
+       |), $qualityCteSql, q AS (
+       |  SELECT n_tokens, $qualityScoreSql AS quality_score FROM t
+       |), qq AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |         round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+       |               / count(*), 6) AS mean_quality
+       |  FROM q
+       |), dups AS (
+       |  SELECT count(*) AS n_dup_docs FROM comp WHERE doc_id <> cluster_id
+       |)
+       |SELECT c.n_docs, c.n_langs, c.n_sources, c.n_chars,
+       |       qq.n_tokens, qq.mean_quality, d.n_dup_docs,
+       |       round(CAST(d.n_dup_docs AS DOUBLE) / c.n_docs, 6) AS dup_share
+       |FROM corpus c, qq, dups d""".stripMargin
+
   /** Language-ID confusion matrix — declared `lang` label vs the
     * [[langId]] heuristic's prediction, one cell per (label, pred) pair
     * with the within-label share and a hit flag: the quality report that

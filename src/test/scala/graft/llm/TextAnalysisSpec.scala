@@ -529,4 +529,24 @@ class TextAnalysisSpec extends SparkSpec {
       (col("is_hit") === 1)).isEmpty)
     conf.unpersist()
   }
+
+  test("dataset card reconciles with the drill-down entries it composes") {
+    val card = TextAnalysis.datasetCard(spark, sfDir).head()
+    val docs = graft.Tables.documents(spark, sfDir).cache()
+    assert(card.getAs[Long]("n_docs") == docs.count())
+    assert(card.getAs[Long]("n_langs") == docs.select("lang").distinct().count())
+    assert(card.getAs[Long]("n_sources") == docs.select("source").distinct().count())
+    assert(card.getAs[Long]("n_chars") ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    // token volume matches the per-doc quality entry's sum
+    val tok = TextAnalysis.textQuality(spark, sfDir)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(card.getAs[Long]("n_tokens") == tok)
+    // duplication matches the drop step: card dups = docs − survivors
+    val kept = graft.llm.Dedup.dedupApply(spark, sfDir).count()
+    assert(card.getAs[Long]("n_dup_docs") == docs.count() - kept)
+    assert(card.getAs[Double]("dup_share") >= 0 && card.getAs[Double]("dup_share") < 1)
+    assert(card.getAs[Double]("mean_quality") > 0 && card.getAs[Double]("mean_quality") <= 1)
+    docs.unpersist()
+  }
 }
