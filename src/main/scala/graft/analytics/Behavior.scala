@@ -676,6 +676,107 @@ object Behavior {
        |       round(CAST(count(*) - sum(kept) AS DOUBLE) / count(*), 6) AS drop_share
        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Attribution lookback window (days): clicks within this many days
+    * before a purchase share its conversion credit. */
+  private val AttribWindowDays = 7
+
+  /** Linear multi-touch attribution — every click in the
+    * [[AttribWindowDays]]-day window before a same-user purchase gets an
+    * equal 1/n share of that conversion's credit, reported as credited
+    * volume per click date: the marketing-analytics complement to the
+    * stream entry's last-touch `click_attribution`.
+    *
+    * Shape at 100 TB: the candidate join is user-keyed equi (tc < tp and
+    * the lookback are post-join filters on the pair stream, the funnel
+    * assumption: per-user event counts are bounded); the 1/n split is a
+    * window partitioned BY PURCHASE (per-purchase candidate sets — small
+    * by the same bound); credits collapse under a date-keyed counter/
+    * decimal-sum aggregate with map-side partials. Credit shares are
+    * 6dp-rounded then summed as DECIMAL(18,6), so partial order cannot
+    * change the result (the repo-wide decimal-sum rule). */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("tp"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("tc"))
+    val cand = purch.join(clk, Seq("user_id"))
+      .filter(col("tc") < col("tp") &&
+        col("tc") >= col("tp") - expr(s"INTERVAL $AttribWindowDays DAYS"))
+    val perPurchase = Window.partitionBy(col("p_id"))
+    cand
+      .withColumn("cr",
+        round(lit(1.0) / count(lit(1)).over(perPurchase), 6).cast("decimal(18,6)"))
+      .groupBy(to_date(col("tc")).as("click_date"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("cr")).cast("double").as("credit"))
+      .orderBy("click_date")
+  }
+
+  val linearAttributionSql: String =
+    s"""WITH purch AS (
+       |  SELECT event_id AS p_id, user_id, ts AS tp
+       |  FROM events WHERE event_type = 'purchase'
+       |), clk AS (
+       |  SELECT event_id AS c_id, user_id, ts AS tc
+       |  FROM events WHERE event_type = 'click'
+       |), cand AS (
+       |  SELECT p.p_id, c.c_id, c.tc
+       |  FROM purch p JOIN clk c ON p.user_id = c.user_id
+       |  WHERE c.tc < p.tp AND c.tc >= p.tp - INTERVAL $AttribWindowDays DAY
+       |), credit AS (
+       |  SELECT tc, CAST(round(CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY p_id), 6)
+       |                  AS DECIMAL(18,6)) AS cr
+       |  FROM cand
+       |)
+       |SELECT CAST(tc AS DATE) AS click_date, count(*) AS n_credits,
+       |       CAST(sum(cr) AS DOUBLE) AS credit
+       |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Conversion-lag profile — the distribution of time from a user's
+    * first view to their first subsequent purchase (the funnel's
+    * time-to-convert axis): converting-user count plus exact p10/p50/p90
+    * lag seconds via the two-phase distributed-selection kernel
+    * ([[Quantiles.groupedQuantiles]], its seventh consumer — never a
+    * global sort).
+    *
+    * Shape at 100 TB: two user-keyed min-aggregates and a user-keyed
+    * join (user-cardinality frames, the funnel shape), then the quantile
+    * kernel over one value per converting user. Lag is computed on
+    * microsecond epochs and rounded to 6dp before the kernel, so both
+    * engines select among identical doubles. */
+  def conversionLagProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val lags = ev.filter(col("event_type") === "purchase")
+      .join(tv, "user_id").filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"), min(col("tv")).as("tv"))
+      .select(round((unix_micros(col("tp")) - unix_micros(col("tv")))
+        .cast("double") / 1000000.0, 6).as("lag_sec"))
+    Quantiles.groupedQuantiles(
+        lags.select(lit("all").as("g"), col("lag_sec")), "g", "lag_sec",
+        Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+      .drop("g")
+  }
+
+  val conversionLagProfileSql: String =
+    """WITH tv AS (
+      |  SELECT user_id, min(ts) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), lags AS (
+      |  SELECT round((epoch_us(min(e.ts)) - epoch_us(min(t.tv))) / 1000000.0, 6)
+      |           AS lag_sec
+      |  FROM events e JOIN tv t USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > t.tv
+      |  GROUP BY e.user_id
+      |)
+      |SELECT count(*) AS n,
+      |       round(quantile_cont(lag_sec, 0.1), 6) AS p10,
+      |       round(quantile_cont(lag_sec, 0.5), 6) AS p50,
+      |       round(quantile_cont(lag_sec, 0.9), 6) AS p90
+      |FROM lags""".stripMargin
+
   val userEventEntropySql: String =
     """WITH cells AS (
       |  SELECT user_id, event_type, count(*) AS c

@@ -298,4 +298,58 @@ class BehaviorSpec extends SparkSpec {
         > lit(1e-9)).isEmpty)
     c.unpersist()
   }
+
+  test("linear attribution: hand-built credit split and corpus credit conservation") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: clicks at 0s and 10s, purchase at 20s → each click 0.5;
+    // click at 20s+8d is AFTER the purchase → no credit; user 2: click
+    // 8 days before the purchase → outside the 7-day lookback, no credit
+    val day = 86400
+    val ev = Seq(
+      (1L, 1L, "click", t(0)), (2L, 1L, "click", t(10)),
+      (3L, 1L, "purchase", t(20)), (4L, 1L, "click", t(20 + 8 * day)),
+      (5L, 2L, "click", t(0)), (6L, 2L, "purchase", t(8 * day)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("attrib").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Behavior.linearAttribution(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 2L && math.abs(r(0).getDouble(2) - 1.0) < 1e-9)
+    // corpus: total credit equals the number of attributed purchases
+    // (each purchase with ≥1 window click distributes exactly 1.0, up to
+    // per-click 6dp rounding: n_clicks * 5e-7 worst case per purchase)
+    val events = Tables.events(spark, sfDir)
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("tp"))
+    val clk = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("tc"))
+    val attributed = purch.join(clk, Seq("user_id"))
+      .filter(col("tc") < col("tp") &&
+        col("tc") >= col("tp") - expr("INTERVAL 7 DAYS"))
+      .select("p_id").distinct().count()
+    val totalCredit = Behavior.linearAttribution(spark, sfDir)
+      .agg(sum("credit")).head().getDouble(0)
+    assert(math.abs(totalCredit - attributed) < attributed * 1e-4 + 1e-6)
+  }
+
+  test("conversion lag profile: quantiles ordered and n matches the funnel band") {
+    val p = Behavior.conversionLagProfile(spark, sfDir).head()
+    val n = p.getAs[Long]("n")
+    assert(n > 0)
+    val Seq(p10, p50, p90) =
+      Seq("p10", "p50", "p90").map(p.getAs[Double])
+    assert(p10 >= 0 && p10 <= p50 && p50 <= p90)
+    // n = users with a purchase strictly after their first view — the
+    // driver model recomputed independently
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.count { case (_, xs) =>
+      val views = xs.filter(_._2 == "view")
+      views.nonEmpty && xs.exists(e => e._2 == "purchase" && e._3 > views.map(_._3).min)
+    }
+    assert(n == want)
+  }
 }
