@@ -280,6 +280,101 @@ object Stats {
       |FROM terms GROUP BY nation, n_suppliers, trev
       |ORDER BY nation""".stripMargin
 
+  /** Day-of-week order seasonality — ISO weekday (1 = Monday … 7 =
+    * Sunday) order counts, revenue, and the seasonal index (7 × share of
+    * weekly revenue; 1.0 = flat): the calendar-profile report behind
+    * staffing and anomaly baselines. Spark's `weekday()` (0 = Monday)
+    * +1 is DuckDB's `isodow` — the one dow numbering the two engines
+    * can share without a remap table.
+    *
+    * Shape at 100 TB: one 7-cell conditional aggregate with map-side
+    * partials (the fact stream collapses immediately); the index
+    * divides by a broadcast 1-row total. Decimal revenue sums, 6dp
+    * index rounding at the edge. */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy((weekday(col("o_orderdate")) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val tot = cells.agg(sum(col("rev")).as("trev"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow").cast("int").as("dow"), col("n_orders"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(lit(7.0) * col("rev").cast("double") / col("trev").cast("double"), 6)
+          .as("rev_index"))
+      .orderBy("dow")
+  }
+
+  val dowSeasonalitySql: String =
+    """WITH cells AS (
+      |  SELECT CAST(isodow(o_orderdate) AS INT) AS dow, count(*) AS n_orders,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |), tot AS (SELECT sum(rev) AS trev FROM cells)
+      |SELECT dow, n_orders, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+      |       round(7.0 * CAST(rev AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS rev_index
+      |FROM cells, tot ORDER BY dow""".stripMargin
+
+  /** Region → nation revenue share — customer revenue rolled to the
+    * geography hierarchy with each nation's share of its region and its
+    * within-region rank: the hierarchical share-of-parent report every
+    * warehouse publishes one level below `rollup_revenue`'s totals.
+    *
+    * Shape at 100 TB: the fact stream collapses per-customer FIRST (one
+    * fact-keyed aggregate), then joins the customer dimension at equal
+    * cardinality and collapses again to ≤ nations cells; nation/region
+    * are broadcast tiny dims, and share/rank windows run over the
+    * bounded cell frame. No fact-side row ever carries a dimension
+    * payload. */
+  def regionNationShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    val byNation = perCust.join(cust, "custkey")
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev")).as("rev"))
+    val geo = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name").as("nation"),
+        col("r_name").as("region"))
+    val w = Window.partitionBy(col("region"))
+    byNation.join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
+      .select(col("region"), col("nation"), col("n_orders"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          sum(col("rev")).over(w).cast("double"), 6).as("region_share"),
+        rank().over(w.orderBy(col("rev").desc)).cast("long").as("region_rank"))
+      .orderBy("region", "nation")
+  }
+
+  val regionNationShareSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |), by_nation AS (
+      |  SELECT c_nationkey, CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |         sum(rev) AS rev
+      |  FROM per_cust JOIN customer ON custkey = c_custkey
+      |  GROUP BY 1
+      |)
+      |SELECT r_name AS region, n_name AS nation, n_orders,
+      |       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+      |       round(CAST(rev AS DOUBLE) /
+      |             CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+      |         AS region_share,
+      |       CAST(rank() OVER (PARTITION BY r_name ORDER BY rev DESC) AS BIGINT)
+      |         AS region_rank
+      |FROM by_nation
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY region, nation""".stripMargin
+
   /** ntile bucket count for [[customerPercentiles]]. */
   private val PctTiles = 4L
 

@@ -139,4 +139,45 @@ class StatsSpec extends SparkSpec {
     assert(sizes.values.max - sizes.values.min <= 1)
     got.unpersist()
   }
+
+  test("dow seasonality: 7 cells, counts reconcile, index averages to 1") {
+    val s = Stats.dowSeasonality(spark, sfDir).cache()
+    assert(s.count() == 7)
+    assert(s.select("dow").collect().map(_.getInt(0)).sorted.toSeq == (1 to 7))
+    val orders = graft.Tables.orders(spark, sfDir)
+    assert(s.agg(sum("n_orders")).head().getLong(0) == orders.count())
+    // pin the defining identity per row: index = 7 · revenue / total
+    val rows = s.collect()
+    val trev = rows.map(r => BigDecimal(r.getAs[Double]("revenue"))).sum
+    rows.foreach { r =>
+      val want = (BigDecimal(7.0) * BigDecimal(r.getAs[Double]("revenue")) / trev).toDouble
+      assert(math.abs(r.getAs[Double]("rev_index") - want) < 1e-4)
+    }
+    // Monday..Sunday mapping: spot-check one known date's bucket via Spark SQL
+    val d = spark.sql("SELECT weekday(DATE'2026-08-10') + 1").head().getInt(0)
+    assert(d == 1, "2026-08-10 is a Monday")
+    s.unpersist()
+  }
+
+  test("region nation share: shares normalize, ranks valid, totals reconcile") {
+    val r = Stats.regionNationShare(spark, sfDir).cache()
+    // every customer nation appears; revenue total matches orders total
+    val tot = r.agg(sum("revenue")).head().getDouble(0)
+    val want = graft.Tables.orders(spark, sfDir)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+      .getDecimal(0).doubleValue()
+    assert(math.abs(tot - want) < 0.5)
+    // per-region share sums to 1, rank is a permutation of 1..k (ties absent)
+    val byRegion = r.groupBy("region")
+      .agg(sum("region_share").as("s"), count(lit(1)).as("k"),
+        min("region_rank").as("mn"), max("region_rank").as("mx"),
+        countDistinct("region_rank").as("kd")).collect()
+    byRegion.foreach { row =>
+      assert(math.abs(row.getAs[Double]("s") - 1.0) < row.getAs[Long]("k") * 1e-6 + 1e-9)
+      assert(row.getAs[Long]("mn") == 1L)
+      assert(row.getAs[Long]("kd") == row.getAs[Long]("k") ||
+        row.getAs[Long]("mx") <= row.getAs[Long]("k"))
+    }
+    r.unpersist()
+  }
 }
