@@ -777,6 +777,74 @@ object Behavior {
       |       round(quantile_cont(lag_sec, 0.9), 6) AS p90
       |FROM lags""".stripMargin
 
+  /** Trailing window for [[rollingActiveUsers]] (days): a user counts as
+    * active on day d if they have any event in [d − 29, d]. */
+  private val ActiveWindowDays = 30
+
+  /** Rolling 30-day active users (daily MAU curve) — for every calendar
+    * day in the corpus span, how many distinct users had activity in the
+    * trailing [[ActiveWindowDays]]-day window. The headline engagement
+    * series every product warehouse publishes, and the textbook case
+    * where the naive formulation (per-day DISTINCT over a 30-day
+    * self-join — the oracle's direct definition) is a scale-killer.
+    *
+    * The kernel is sweep-line over merged coverage intervals instead:
+    * an activity day a makes its user active on [a, a+29], so per user,
+    * activity days chain-merge into coverage intervals (two days merge
+    * iff ≤ 29 apart — the gaps-and-islands kernel with a date gap);
+    * each interval emits +1 at its start and −1 past its end, and the
+    * daily series is the running sum of deltas over the calendar spine.
+    *
+    * Shape at 100 TB: events collapse to DISTINCT (user, day) map-side
+    * (the only event-volume shuffle); the merge windows are per-user;
+    * deltas collapse under a day-keyed sum into ≤ 2·days rows; and the
+    * final running sum is a window over the calendar spine — bounded by
+    * TIME, not data volume (the `monthly_revenue_mom` stance), which is
+    * why the one global window here is sound. Each day's count is exact
+    * — identical to the naive per-day DISTINCT. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val intervals = days
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("new_iv",
+        when(col("prev").isNull ||
+          datediff(col("day"), col("prev")) > ActiveWindowDays - 1, 1L)
+          .otherwise(0L))
+      .withColumn("iv_id", sum(col("new_iv")).over(w))
+      .groupBy(col("user_id"), col("iv_id"))
+      .agg(min(col("day")).as("cov_start"),
+        date_add(max(col("day")), ActiveWindowDays - 1).as("cov_end"))
+    val deltas = intervals.select(col("cov_start").as("day"), lit(1L).as("delta"))
+      .unionAll(intervals.select(date_add(col("cov_end"), 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy("day").agg(sum(col("delta")).as("delta"))
+    val spine = ev.agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    spine.join(deltas, Seq("day"), "left")
+      .withColumn("active_users",
+        sum(coalesce(col("delta"), lit(0L)))
+          .over(Window.orderBy(col("day"))))
+      .select("day", "active_users")
+      .orderBy("day")
+  }
+
+  /** Oracle: the DIRECT definition — per-day DISTINCT over a trailing
+    * 30-day join. Fine at oracle scale; the kernel exists because this
+    * shape is quadratic-ish at corpus scale. */
+  val rollingActiveUsersSql: String =
+    s"""WITH bounds AS (
+       |  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+       |), spine AS (
+       |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM bounds
+       |)
+       |SELECT s.day, count(DISTINCT e.user_id) AS active_users
+       |FROM spine s LEFT JOIN events e
+       |  ON CAST(e.ts AS DATE) BETWEEN s.day - INTERVAL ${ActiveWindowDays - 1} DAY
+       |                            AND s.day
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val userEventEntropySql: String =
     """WITH cells AS (
       |  SELECT user_id, event_type, count(*) AS c

@@ -333,6 +333,23 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(totalCredit - attributed) < attributed * 1e-4 + 1e-6)
   }
 
+  test("rolling active users: sweep-line equals the naive per-day distinct") {
+    val got = Behavior.rollingActiveUsers(spark, sfDir).cache()
+    // naive model recomputed in Spark: day spine × trailing-window join
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("aday"))
+    val spine = ev.agg(min("aday").as("mn"), max("aday").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val want = spine.join(ev,
+        col("aday").between(date_sub(col("day"), 29), col("day")), "left")
+      .groupBy("day").agg(countDistinct(col("user_id")).as("active_users"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // series is positive through the corpus span and bounded by user count
+    val users = ev.select("user_id").distinct().count()
+    assert(got.filter(col("active_users") < 0 || col("active_users") > users).isEmpty)
+    got.unpersist()
+  }
+
   test("conversion lag profile: quantiles ordered and n matches the funnel band") {
     val p = Behavior.conversionLagProfile(spark, sfDir).head()
     val n = p.getAs[Long]("n")
