@@ -375,6 +375,68 @@ object Stats {
       |JOIN region ON n_regionkey = r_regionkey
       |ORDER BY region, nation""".stripMargin
 
+  /** Cohort LTV matrix — customers grouped by first-order month, each
+    * cohort's revenue laid out by months-since-acquisition, with the
+    * running cumulative LTV per cohort member: the lifetime-value
+    * triangle every subscription/commerce warehouse publishes (the
+    * revenue twin of `retention_cohorts`).
+    *
+    * Shape at 100 TB: first-order month is one customer-keyed min
+    * aggregate; the fact stream joins it customer-keyed and collapses
+    * immediately to (cohort, offset) cells — months² cells bounded by
+    * TIME, so the per-cohort cumulative window is calendar-bounded (the
+    * `monthly_revenue_mom` stance). Revenue sums are decimal end-to-end;
+    * the per-member division happens once at the edge, 6dp. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val cohort = o.groupBy("custkey").agg(min(col("m")).as("cohort_month"))
+    val sizes = cohort.groupBy("cohort_month")
+      .agg(count(lit(1)).as("cohort_size"))
+    val offset = (year(col("m")) * 12 + month(col("m"))) -
+      (year(col("cohort_month")) * 12 + month(col("cohort_month")))
+    val cells = o.join(cohort, "custkey")
+      .groupBy(col("cohort_month"), offset.as("month_offset"))
+      .agg(sum(col("price")).as("rev"))
+    val w = Window.partitionBy(col("cohort_month")).orderBy(col("month_offset"))
+    cells.join(sizes, "cohort_month")
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .select(col("cohort_month"), col("month_offset").cast("int").as("month_offset"),
+        col("cohort_size"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("cum_rev").cast("double") / col("cohort_size"), 6).as("cum_ltv"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |), cohort AS (
+      |  SELECT custkey, min(m) AS cohort_month FROM o GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_month, count(*) AS cohort_size FROM cohort GROUP BY 1
+      |), cells AS (
+      |  SELECT c.cohort_month,
+      |         (year(o.m) * 12 + month(o.m))
+      |           - (year(c.cohort_month) * 12 + month(c.cohort_month)) AS month_offset,
+      |         sum(o.price) AS rev
+      |  FROM o JOIN cohort c USING (custkey)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cells.cohort_month, CAST(month_offset AS INT) AS month_offset,
+      |       cohort_size,
+      |       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+      |       round(CAST(sum(rev) OVER (PARTITION BY cells.cohort_month
+      |                                 ORDER BY month_offset) AS DOUBLE)
+      |             / cohort_size, 6) AS cum_ltv
+      |FROM cells JOIN sizes USING (cohort_month)
+      |ORDER BY cohort_month, month_offset""".stripMargin
+
   /** ntile bucket count for [[customerPercentiles]]. */
   private val PctTiles = 4L
 

@@ -159,6 +159,30 @@ class StatsSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("cohort ltv: offset-0 rows exist, cumulative monotone, totals reconcile") {
+    val m = Stats.cohortLtv(spark, sfDir).cache()
+    // every cohort has an offset-0 cell (the acquisition month itself)
+    val cohorts = m.select("cohort_month").distinct().count()
+    assert(m.filter(col("month_offset") === 0).count() == cohorts)
+    // cum_ltv never decreases within a cohort and sizes partition customers
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cohort_month")).orderBy(col("month_offset"))
+    assert(m.withColumn("prev", lag(col("cum_ltv"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_ltv") < col("prev") - 1e-9).isEmpty)
+    val sizeSum = m.select("cohort_month", "cohort_size").distinct()
+      .agg(sum("cohort_size")).head().getLong(0)
+    val customers = graft.Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(sizeSum == customers)
+    // revenue across all cells equals total order revenue
+    val tot = m.agg(sum("revenue")).head().getDouble(0)
+    val want = graft.Tables.orders(spark, sfDir)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+      .getDecimal(0).doubleValue()
+    assert(math.abs(tot - want) < 0.5)
+    m.unpersist()
+  }
+
   test("region nation share: shares normalize, ranks valid, totals reconcile") {
     val r = Stats.regionNationShare(spark, sfDir).cache()
     // every customer nation appears; revenue total matches orders total
