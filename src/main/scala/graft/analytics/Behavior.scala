@@ -862,4 +862,86 @@ object Behavior {
       |       CAST(sum(term) AS DOUBLE) AS entropy_bits
       |FROM terms GROUP BY user_id, n, n_types
       |ORDER BY user_id""".stripMargin
+
+  /** Minimum co-ordered order count for a part pair to be reported by
+    * [[basketPartPairs]] — support 1 is noise (any two parts that ever
+    * met once), and dropping it bounds the output to genuinely
+    * recurring affinities. */
+  private val BasketMinSupport = 2
+
+  /** Market-basket affinity — part pairs that are ordered together more
+    * often than chance, the classic association-rule mining seed
+    * (frequent itemsets of size 2 with their lift). For each pair of
+    * parts co-occurring in at least [[BasketMinSupport]] orders:
+    * how many orders contain both, how many contain each alone, and
+    * lift = P(a,b) / (P(a)·P(b)) — lift > 1 means the pair attracts.
+    *
+    * Shape at 100 TB: the pair candidates are generated IN-ROW, not by a
+    * lineitem self-join — one shuffle keyed on orderkey collapses each
+    * order to its distinct-part basket (TPC-H-shape baskets are ≤ ~10
+    * items, so the in-row expansion is ≤ C(10,2) structs per order — the
+    * `source_overlap_matrix` idiom), and the exploded pairs collapse
+    * map-side into (a, b) counters. Per-part order counts ride the SAME
+    * basket frame (no second lineitem scan), and the corpus total is a
+    * broadcast 1-row frame. A lineitem⋈lineitem self-join on orderkey
+    * would shuffle the fact twice and emit the pairs as ROWS through the
+    * join — strictly worse at any scale. */
+  def basketPartPairs(spark: SparkSession, dir: String): DataFrame =
+    basketPairsFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_partkey").as("partkey")))
+
+  /** The basket kernel over any (orderkey, partkey) frame — factored so
+    * specs can drive it with hand-built baskets whose pair counts and
+    * lifts are known in closed form. */
+  private[analytics] def basketPairsFrom(items: DataFrame): DataFrame = {
+    // one shuffle: order → sorted distinct basket; reused by pairs,
+    // per-part counts, and the corpus total
+    val baskets = items.groupBy("orderkey")
+      .agg(sort_array(collect_set(col("partkey"))).as("parts"))
+      .cache()
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val perPart = baskets.select(explode(col("parts")).as("partkey"))
+      .groupBy("partkey").agg(count(lit(1)).as("n"))
+    val pairs = baskets
+      .filter(size(col("parts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= BasketMinSupport)
+    pairs
+      .join(perPart.select(col("partkey").as("part_a"), col("n").as("orders_a")), "part_a")
+      .join(perPart.select(col("partkey").as("part_b"), col("n").as("orders_b")), "part_b")
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("pair_orders"),
+        col("orders_a"), col("orders_b"),
+        round(col("pair_orders").cast("double") * col("n_orders") /
+          (col("orders_a") * col("orders_b")), 6).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /** Oracle: distinct-pair self-join formulation of the same counts. */
+  val basketPartPairsSql: String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT l_orderkey AS orderkey, l_partkey AS partkey
+       |  FROM lineitem
+       |), tot AS (
+       |  SELECT count(DISTINCT orderkey) AS n_orders FROM b
+       |), per_part AS (
+       |  SELECT partkey, count(*) AS n FROM b GROUP BY 1
+       |), p AS (
+       |  SELECT x.partkey AS part_a, y.partkey AS part_b, count(*) AS pair_orders
+       |  FROM b x JOIN b y ON x.orderkey = y.orderkey AND x.partkey < y.partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport
+       |)
+       |SELECT part_a, part_b, pair_orders, ca.n AS orders_a, cb.n AS orders_b,
+       |       round(CAST(pair_orders AS DOUBLE) * tot.n_orders
+       |             / (ca.n * cb.n), 6) AS lift
+       |FROM p
+       |JOIN per_part ca ON part_a = ca.partkey
+       |JOIN per_part cb ON part_b = cb.partkey
+       |CROSS JOIN tot
+       |ORDER BY part_a, part_b""".stripMargin
 }

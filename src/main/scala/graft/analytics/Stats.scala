@@ -505,4 +505,81 @@ object Stats {
        |       CAST(ntile($PctTiles) OVER (ORDER BY spend, custkey) AS BIGINT)
        |         AS quartile
        |FROM spend ORDER BY custkey""".stripMargin
+
+  /** CUSUM changepoint scan over daily order revenue — the cumulative
+    * sum of deviations from the corpus mean, S_t = Σ_{i≤t}(rev_i − μ),
+    * peaks exactly where the series' level shifts; reporting the
+    * arg-max |S_t| with the before/after segment means is the textbook
+    * single-changepoint detector (Page's CUSUM, the offline form) every
+    * monitoring pipeline runs on its daily KPIs.
+    *
+    * Cross-engine determinism is the design constraint: a running SUM
+    * of doubles is combination-order-sensitive (DuckDB's windowed
+    * aggregate uses segment trees; Spark's is sequential), so the
+    * cumulative revenue is accumulated in DECIMAL — exact in both
+    * engines under any combination order — and only the per-row scalar
+    * arithmetic (S_t = cum − t·μ, the segment means) runs in double,
+    * where identical per-row expressions give identical IEEE results.
+    *
+    * Shape at 100 TB: the fact stream collapses map-side to one row per
+    * DATE before anything windows; both global windows (the date-ordered
+    * cumulative walk and the peak ranking) run over that calendar-bounded
+    * frame — the `monthly_revenue_mom` stance. Output is one row. The
+    * peak-at-last-day edge (empty "after" segment) yields NULL
+    * mean_after via an explicit guard: Spark's ANSI mode throws on the
+    * division DuckDB would NULL. */
+  def revenueCusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val totals = daily.agg(sum(col("rev")).as("tot"), count(lit(1)).as("n"))
+    val wd = Window.orderBy(col("d"))
+    val mean = col("tot").cast("double") / col("n")
+    val s = daily.crossJoin(broadcast(totals))
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("cum", sum(col("rev")).over(wd))
+      .withColumn("s_t", col("cum").cast("double") - col("t") * mean)
+    val peak = Window.orderBy(abs(col("s_t")).desc, col("d"))
+    s.withColumn("rk", row_number().over(peak))
+      .filter(col("rk") === 1)
+      .select(col("d").as("change_date"),
+        col("n").as("n_days"),
+        round(mean, 4).as("mean_daily"),
+        round(col("s_t"), 4).as("cusum_peak"),
+        round(col("cum").cast("double") / col("t"), 4).as("mean_before"),
+        when(col("n") === col("t"), lit(null).cast("double"))
+          .otherwise(round((col("tot") - col("cum")).cast("double") /
+            (col("n") - col("t")), 4)).as("mean_after"))
+  }
+
+  /** Oracle: same decimal cumulative walk and double edge arithmetic. */
+  val revenueCusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(rev) AS tot, count(*) AS n FROM daily
+      |), s AS (
+      |  SELECT d, n, tot,
+      |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+      |         sum(rev) OVER (ORDER BY d
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING
+      |                        AND CURRENT ROW) AS cum
+      |  FROM daily CROSS JOIN tot
+      |), sc AS (
+      |  SELECT *, CAST(cum AS DOUBLE) - t * (CAST(tot AS DOUBLE) / n) AS s_t
+      |  FROM s
+      |)
+      |SELECT d AS change_date, n AS n_days,
+      |       round(CAST(tot AS DOUBLE) / n, 4) AS mean_daily,
+      |       round(s_t, 4) AS cusum_peak,
+      |       round(CAST(cum AS DOUBLE) / t, 4) AS mean_before,
+      |       CASE WHEN n = t THEN NULL
+      |            ELSE round(CAST(tot - cum AS DOUBLE) / (n - t), 4)
+      |       END AS mean_after
+      |FROM sc
+      |ORDER BY abs(s_t) DESC, d
+      |LIMIT 1""".stripMargin
 }

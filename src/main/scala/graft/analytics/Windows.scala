@@ -336,4 +336,60 @@ object Windows {
       |SELECT nation, CAST(round(rev, 2) AS DOUBLE) AS revenue, share, cum_share,
       |       CASE WHEN cum_share <= 0.8 THEN 'core' ELSE 'tail' END AS pareto_class
       |FROM shares ORDER BY revenue DESC, nation""".stripMargin
+
+  /** Per-brand price/size Pareto frontier (skyline) — the parts no
+    * same-brand part strictly beats on BOTH axes (cheaper-or-equal AND
+    * bigger-or-equal, strictly better on at least one). The classic
+    * multi-criteria "best offers" query; ties on both axes are all kept
+    * (neither dominates the other).
+    *
+    * Shape at 100 TB: the naive skyline is an all-pairs NOT EXISTS
+    * anti-join — quadratic, never acceptable. For a 2-D skyline the
+    * frontier is a single ordered sweep: collapse to per-(brand, price)
+    * max size (any same-price smaller part is dominated in-cell), then
+    * one window partitioned by brand and ordered by price keeps exactly
+    * the cells whose size exceeds every strictly-cheaper cell's running
+    * max. The cell frame is bounded by brands × the 2-decimal price
+    * domain (not by part count), so the window partitions stay small no
+    * matter how many parts land in each cell; the join back to parts is
+    * a broadcast of that bounded frontier frame. */
+  def brandSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+    val cells = p.groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("msize"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per (brand, price) by construction, so the ROWS frame is
+    // exactly "all strictly cheaper prices of this brand"
+    val frontier = cells
+      .withColumn("prev_max", max(col("msize")).over(w))
+      .filter(col("prev_max").isNull || col("msize") > col("prev_max"))
+      .select(col("p_brand"), col("p_retailprice"), col("msize"))
+    p.join(broadcast(frontier.withColumnRenamed("msize", "p_size")),
+        Seq("p_brand", "p_retailprice", "p_size"))
+      .select(col("p_brand").as("brand"), col("p_partkey"), col("p_name"),
+        col("p_size"), col("p_retailprice").as("price"))
+      .orderBy("brand", "price", "p_partkey")
+  }
+
+  /** Oracle: identical cell collapse + sweep window. */
+  val brandSkylineSql: String =
+    """WITH cells AS (
+      |  SELECT p_brand, p_retailprice, max(p_size) AS msize
+      |  FROM part GROUP BY 1, 2
+      |), f AS (
+      |  SELECT p_brand, p_retailprice, msize,
+      |         max(msize) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND 1 PRECEDING) AS prev_max
+      |  FROM cells
+      |)
+      |SELECT p.p_brand AS brand, p.p_partkey, p.p_name, p.p_size,
+      |       p.p_retailprice AS price
+      |FROM part p
+      |JOIN f ON p.p_brand = f.p_brand AND p.p_retailprice = f.p_retailprice
+      |      AND p.p_size = f.msize
+      |WHERE prev_max IS NULL OR msize > prev_max
+      |ORDER BY brand, price, p.p_partkey""".stripMargin
 }

@@ -369,4 +369,34 @@ class BehaviorSpec extends SparkSpec {
     }
     assert(n == want)
   }
+
+  test("basket pairs: closed-form counts and lift through the kernel") {
+    import spark.implicits._
+    // 4 baskets: {1,2} ×2, {1,2,3} ×1, {3} ×1 — pair (1,2) in 3 orders,
+    // (1,3) and (2,3) in 1 (below support), part counts 1→3, 2→3, 3→2.
+    // Duplicate item in order 10 pins the distinct-basket semantics.
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (10L, 1L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 3L),
+      (13L, 3L)).toDF("orderkey", "partkey")
+    val out = Behavior.basketPairsFrom(items).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("part_a") == 1L && r.getAs[Long]("part_b") == 2L)
+    assert(r.getAs[Long]("pair_orders") == 3L)
+    assert(r.getAs[Long]("orders_a") == 3L && r.getAs[Long]("orders_b") == 3L)
+    // lift = 3 * 4 / (3 * 3)
+    assert(math.abs(r.getAs[Double]("lift") - 12.0 / 9.0) < 1e-6)
+  }
+
+  test("basket pairs: sf corpus pairs are symmetric-ordered and support-bounded") {
+    val p = Behavior.basketPartPairs(spark, sfDir).cache()
+    assert(p.filter(col("part_a") >= col("part_b")).isEmpty)
+    assert(p.filter(col("pair_orders") < 2).isEmpty)
+    // pair support can never exceed either side's order count
+    assert(p.filter(col("pair_orders") > col("orders_a") ||
+      col("pair_orders") > col("orders_b")).isEmpty)
+    p.unpersist()
+  }
 }

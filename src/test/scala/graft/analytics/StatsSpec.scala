@@ -204,4 +204,27 @@ class StatsSpec extends SparkSpec {
     }
     r.unpersist()
   }
+
+  test("cusum changepoint: one row, segments reconcile to the corpus mean") {
+    val r = Stats.revenueCusumChangepoint(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_days")
+    val days = graft.Tables.orders(spark, sfDir)
+      .select("o_orderdate").distinct().count()
+    assert(n == days)
+    // mean_before over t days and mean_after over n-t days must weighted-
+    // average back to mean_daily; recover t from the CUSUM identity
+    // s_t = t*(mean_before - mean_daily)
+    val mean = row.getAs[Double]("mean_daily")
+    val before = row.getAs[Double]("mean_before")
+    val peak = row.getAs[Double]("cusum_peak")
+    val t = math.round(peak / (before - mean))
+    assert(t >= 1 && t <= n, s"t=$t")
+    if (!row.isNullAt(row.fieldIndex("mean_after"))) {
+      val after = row.getAs[Double]("mean_after")
+      val recon = (before * t + after * (n - t)) / n
+      assert(math.abs(recon - mean) < 1e-2, s"recon=$recon mean=$mean")
+    }
+  }
 }

@@ -158,4 +158,22 @@ class WindowsSpec extends SparkSpec {
     }
     assert(rows.map(_._5).toSet == Set("core", "tail"))
   }
+
+  test("brand skyline: exact non-dominated set vs brute-force oracle") {
+    val sky = Windows.brandSkyline(spark, sfDir)
+      .select("brand", "p_partkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val parts = graft.Tables.part(spark, sfDir)
+      .select("p_brand", "p_partkey", "p_size", "p_retailprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // brute-force dominance on the tiny sf: q dominates p within a brand
+    // iff q is cheaper-or-equal AND bigger-or-equal, strict somewhere
+    val want = parts.filter { case (b, _, sz, pr) =>
+      !parts.exists { case (b2, _, sz2, pr2) =>
+        b2 == b && pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.map(p => (p._1, p._2)).toSet
+    assert(sky == want, s"missing=${(want -- sky).take(5)} extra=${(sky -- want).take(5)}")
+    assert(sky.nonEmpty)
+  }
 }
