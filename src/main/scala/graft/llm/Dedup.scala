@@ -1267,4 +1267,117 @@ object Dedup {
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HamMax
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Document-frequency cap for [[tfidfCosinePairs]]'s inverted index —
+    * shingles in more documents than this are dropped before the pair
+    * join (the skew guard every inverted-index joiner here carries; far
+    * above this corpus's max shingle df, so the default entry is exact). */
+  private val CosDfCap = 20
+
+  /** Cosine similarity floor for a pair to be reported. */
+  private val CosMinSim = 0.30
+
+  /** TF-IDF–weighted cosine near-dup pairs — the SOFT companion to
+    * [[ngramJaccardPairs]]: where Jaccard scores distinct-shingle set
+    * overlap, this weights every shared 3-gram by how corpus-distinctive
+    * it is (idf) and how often the document repeats it (tf), the
+    * weighted bag-of-ngrams scorer curation pipelines use when boilerplate
+    * shingles shouldn't count as much as rare ones.
+    *
+    * Shape at 100 TB: candidate generation is the df-capped inverted
+    * shingle index — docs meet ONLY through a shared shingle whose df ≤
+    * [[CosDfCap]] (never all-pairs; the hot boilerplate head is dropped,
+    * which for THIS scorer is not even an approximation so much as the
+    * model — near-ubiquitous shingles carry ~zero idf weight). The tf
+    * aggregate collapses the token stream map-side; df derives from tf
+    * (vocabulary-sized, one pass); the pair join shuffles on the 64-bit
+    * shingle hash. Weighted sums accumulate in DECIMAL over 6dp-rounded
+    * per-term products — combination-order-proof, so both engines see
+    * bit-identical dots and norms (the `revenue_cusum` determinism
+    * stance applied to a float dot product). */
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    tfidfCosineFrom(Tables.spread(Tables.documents(spark, dir)))
+
+  /** The weighted-cosine kernel over any (doc_id, text) frame — factored
+    * so specs can plant near-duplicates with known similarity. */
+  private[llm] def tfidfCosineFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+        .as("shingle"))
+    val tf = toks
+      .groupBy(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= CosDfCap)
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // shared by norms and both sides of the pair join — materialize once
+    // (cache, not localCheckpoint: the sourceOverlapMatrix storage-reuse
+    // rationale, Dedup.scala:1049)
+    val w = tf.join(df, "sh")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("sh"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .cache()
+    val norms = w.groupBy("doc_id")
+      .agg(sum(round(col("w") * col("w"), 6).cast("decimal(28,6)")).as("nsq"))
+      .select(col("doc_id"), sqrt(col("nsq").cast("double")).as("nrm"))
+    val dots = w.as("a")
+      .join(w.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(round(col("a.w") * col("b.w"), 6).cast("decimal(28,6)")).as("dot"))
+    val cosine = round(
+      col("dot").cast("double") / (col("na") * col("nb")), 6)
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("doc_a"), col("doc_b"), cosine.as("cosine"))
+      .filter(col("cosine") >= CosMinSim)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: raw-string shingle join (the Spark side joins on xxhash64 —
+    * same pairs absent collisions), identical decimal-summed products. */
+  val tfidfCosinePairsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+       |), t AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(ws) - 1),
+       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM docs WHERE len(ws) >= 3
+       |), tf AS (
+       |  SELECT doc_id, shingle, count(*) AS tf FROM t GROUP BY 1, 2
+       |), df AS (
+       |  SELECT shingle, count(*) AS df FROM tf
+       |  GROUP BY 1 HAVING count(*) <= $CosDfCap
+       |), n AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+       |), w AS (
+       |  SELECT doc_id, shingle,
+       |         tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+       |  FROM tf JOIN df USING (shingle) CROSS JOIN n
+       |), norms AS (
+       |  SELECT doc_id,
+       |         sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(28,6))) AS DOUBLE))
+       |           AS nrm
+       |  FROM w GROUP BY 1
+       |), dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         sum(CAST(round(a.w * b.w, 6) AS DECIMAL(28,6))) AS dot
+       |  FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM dots
+       |JOIN norms na ON doc_a = na.doc_id
+       |JOIN norms nb ON doc_b = nb.doc_id
+       |WHERE na.nrm > 0 AND nb.nrm > 0
+       |  AND round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= $CosMinSim
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

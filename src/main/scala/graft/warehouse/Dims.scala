@@ -231,4 +231,57 @@ object Dims {
       |)
       |SELECT row_number() OVER (ORDER BY company) AS company_id, company
       |FROM unioned ORDER BY company_id""".stripMargin
+
+  /** Simulated late-arrival gap for [[inferredDimMembers]]: the dim load
+    * "misses" every 97th customer. The testdata's referential integrity
+    * is complete (fk_integrity proves it), so the gap is induced
+    * deterministically to exercise the kernel; in production the gap is
+    * whatever the upstream dim feed hasn't delivered yet. */
+  private val InferredGapMod = 97
+
+  /** Late-arriving dimension handling — the "inferred member" pattern
+    * (Kimball): facts referencing a dimension key the dim load hasn't
+    * delivered yet must not be dropped or stall the load; instead the
+    * dim gets a placeholder row per missing key, flagged `is_inferred`,
+    * to be enriched when the real member arrives (the update is then
+    * just [[graft.warehouse.Merge]]'s upsert). Output is the patched
+    * dimension: every loaded member plus one inferred row per
+    * fact-referenced missing key.
+    *
+    * Shape at 100 TB: the fact side collapses to DISTINCT referenced
+    * keys first (customer-cardinality, not fact-cardinality — map-side
+    * combine does the heavy lift), then one key-partitioned left_anti
+    * join against the dim finds the gaps. No broadcast assumption on
+    * either side: both frames are dimension-scaled and the join is
+    * key-partitioned; the fact scan reads exactly one column. */
+  def inferredDimMembers(spark: SparkSession, dir: String): DataFrame = {
+    val full = graft.Tables.customer(spark, dir)
+    val dim = full.filter(col("c_custkey") % InferredGapMod =!= 0)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_nationkey").as("nationkey"))
+    val referenced = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val inferred = referenced.join(dim, Seq("custkey"), "left_anti")
+      .select(col("custkey"), lit("(inferred)").as("name"),
+        lit(-1L).as("nationkey"))
+    dim.withColumn("is_inferred", lit(false))
+      .unionByName(inferred.withColumn("is_inferred", lit(true)))
+      .orderBy("custkey")
+  }
+
+  val inferredDimMembersSql: String =
+    s"""WITH dim AS (
+       |  SELECT c_custkey AS custkey, c_name AS name,
+       |         c_nationkey AS nationkey
+       |  FROM customer WHERE c_custkey % $InferredGapMod <> 0
+       |), referenced AS (
+       |  SELECT DISTINCT o_custkey AS custkey FROM orders
+       |), inferred AS (
+       |  SELECT r.custkey, '(inferred)' AS name, CAST(-1 AS BIGINT) AS nationkey
+       |  FROM referenced r ANTI JOIN dim d USING (custkey)
+       |)
+       |SELECT custkey, name, nationkey, false AS is_inferred FROM dim
+       |UNION ALL
+       |SELECT custkey, name, nationkey, true AS is_inferred FROM inferred
+       |ORDER BY custkey""".stripMargin
 }

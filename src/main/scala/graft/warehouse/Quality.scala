@@ -136,4 +136,53 @@ object Quality {
       |SELECT pk + 1 AS gap_start, k - 1 AS gap_end, k - pk - 1 AS n_missing
       |FROM s WHERE pk IS NOT NULL AND k - pk > 1
       |ORDER BY gap_start""".stripMargin
+
+  /** Heaviest keys reported by [[keySkewReport]]. */
+  private val SkewTopK = 10
+
+  /** Join-key skew report over `lineitem.l_suppkey` — the diagnostic
+    * that justifies (or vetoes) a salted join: the [[SkewTopK]] heaviest
+    * keys with their row share and skew ratio (rows / mean-rows-per-key).
+    * A skew ratio near 1 means a plain hash join partitions evenly; a
+    * hot head is the exact input [[graft.operators.SkewJoin]] salts for.
+    *
+    * Shape at 100 TB: the fact stream collapses map-side to one counter
+    * per key (supplier-cardinality — the dimension the key references,
+    * orders of magnitude below the fact count); the corpus totals are a
+    * broadcast 1-row frame, and the top-K rank windows over the
+    * dimension-sized counter frame. */
+  def keySkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("n_rows").desc, col("suppkey"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= SkewTopK)
+      .select(col("rank"), col("suppkey"), col("n_rows"), col("n_keys"),
+        round(col("n_rows").cast("double") / col("total"), 6).as("share"),
+        round(col("n_rows").cast("double") * col("n_keys") / col("total"), 4)
+          .as("skew_ratio"))
+      .orderBy("rank")
+  }
+
+  val keySkewReportSql: String =
+    s"""WITH counts AS (
+       |  SELECT l_suppkey AS suppkey, count(*) AS n_rows
+       |  FROM lineitem GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys
+       |  FROM counts
+       |), r AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, suppkey)
+       |              AS BIGINT) AS rank,
+       |         suppkey, n_rows, n_keys,
+       |         round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       |         round(CAST(n_rows AS DOUBLE) * n_keys / total, 4) AS skew_ratio
+       |  FROM counts CROSS JOIN tot
+       |)
+       |SELECT rank, suppkey, n_rows, n_keys, share, skew_ratio
+       |FROM r WHERE rank <= $SkewTopK ORDER BY rank""".stripMargin
 }

@@ -425,4 +425,32 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("tfidf cosine: planted near-dup scores high, disjoint docs absent") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"),                       // near-dup of 1
+      (3L, "one two three four five six seven"),    // disjoint
+      (4L, "red green blue cyan magenta yellow")    // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.tfidfCosineFrom(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cosine"))).toMap
+    assert(out.contains((1L, 2L)), s"got ${out.keys}")
+    assert(out((1L, 2L)) > 0.8, s"cos=${out((1L, 2L))}")
+    // docs sharing no shingle can never pair (inverted-index candidates)
+    assert(!out.keys.exists(k => k._1 == 3L || k._2 == 3L || k._2 == 4L))
+  }
+
+  test("tfidf cosine: identical docs score exactly 1") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again"
+    val out = Dedup.tfidfCosineFrom(
+      Seq((7L, t), (8L, t), (9L, "unrelated words only here now totally"))
+        .toDF("doc_id", "text")).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 7L && out.head.getLong(1) == 8L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-4)
+  }
 }

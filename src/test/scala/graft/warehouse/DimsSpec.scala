@@ -58,4 +58,24 @@ class DimsSpec extends SparkSpec {
     // identical ids either way — the contract that makes the switch safe
     assert(small.except(large).isEmpty && large.except(small).isEmpty)
   }
+
+  test("inferred dim members: exactly the fact-referenced gap keys, flagged") {
+    val out = Dims.inferredDimMembers(spark, sfDir).cache()
+    val inferred = out.filter(col("is_inferred")).collect()
+    // the simulated gap: every ordered-by customer with custkey % 97 == 0
+    val want = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct()
+      .filter(col("o_custkey") % 97 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(inferred.map(_.getAs[Long]("custkey")).toSet == want)
+    assert(inferred.forall(r => r.getAs[String]("name") == "(inferred)" &&
+      r.getAs[Long]("nationkey") == -1L))
+    // loaded members pass through unflagged; no key appears twice
+    val n = out.count()
+    assert(out.select("custkey").distinct().count() == n)
+    val loaded = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 97 =!= 0).count()
+    assert(n == loaded + inferred.length)
+    out.unpersist()
+  }
 }

@@ -57,4 +57,23 @@ class QualitySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((6L, 8L, 3L), (10L, 999L, 990L), (1001L, 2049L, 1049L)))
   }
+
+  test("key skew report: top-10 heaviest suppkeys, internally consistent") {
+    val r = Quality.keySkewReport(spark, sfDir).collect()
+    assert(r.length == 10)
+    assert(r.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    // ranked by count desc; share and skew_ratio reconcile with totals
+    val counts = r.map(_.getAs[Long]("n_rows"))
+    assert(counts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val total = Tables.lineitem(spark, sfDir).count()
+    val nKeys = r.head.getAs[Long]("n_keys")
+    assert(nKeys == Tables.lineitem(spark, sfDir)
+      .select("l_suppkey").distinct().count())
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_rows")
+      assert(math.abs(row.getAs[Double]("share") - n.toDouble / total) < 1e-6)
+      assert(math.abs(row.getAs[Double]("skew_ratio") -
+        n.toDouble * nKeys / total) < 1e-3)
+    }
+  }
 }
