@@ -944,4 +944,89 @@ object Behavior {
        |JOIN per_part cb ON part_b = cb.partkey
        |CROSS JOIN tot
        |ORDER BY part_a, part_b""".stripMargin
+
+  /** Salt for [[abTestZscore]]'s deterministic arm assignment. */
+  private val AbSalt = "ab1"
+
+  /** Two-proportion A/B conversion test — users deterministically
+    * hash-split into control/treatment (the [[graft.llm.Sampling]]
+    * salted-md5 idiom: reproducible, growth-stable, no stored
+    * assignment table), conversion = at least one purchase event, and
+    * the pooled two-proportion z-score says whether the arms' rates
+    * differ beyond chance. The readout every experimentation platform
+    * computes; here the arms are a hash A/A split, so z should hover
+    * near 0 — which is itself the standard health check (an A/A test
+    * that "wins" means the assignment or logging is broken).
+    *
+    * Shape at 100 TB: one user-keyed collapse of the event stream
+    * (map-side combined conditional max), then a single 1-row
+    * conditional aggregate over the user frame — no window, no join.
+    * The z arithmetic is per-row scalar double math on exact counts,
+    * identical in both engines; se = 0 (all or no users converted)
+    * yields NULL by explicit guard rather than an ANSI abort. */
+  def abTestZscore(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        conv(substring(md5(concat_ws(":", lit(AbSalt),
+          col("user_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2)
+    val counts = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treatment"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+        .as("conv_control"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+        .as("conv_treatment"))
+    val rc = col("conv_control").cast("double") / col("n_control")
+    val rt = col("conv_treatment").cast("double") / col("n_treatment")
+    val p = (col("conv_control") + col("conv_treatment")).cast("double") /
+      (col("n_control") + col("n_treatment"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_control") + lit(1.0) / col("n_treatment")))
+    counts.select(col("n_control"), col("n_treatment"),
+      col("conv_control"), col("conv_treatment"),
+      round(rc, 6).as("rate_control"),
+      round(rt, 6).as("rate_treatment"),
+      when(p === 0.0 || p === 1.0, lit(null).cast("double"))
+        .otherwise(round((rt - rc) / se, 4)).as("z_score"))
+  }
+
+  val abTestZscoreSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |           AS converted,
+       |         ('0x' || substr(md5('$AbSalt:' || CAST(user_id AS VARCHAR)),
+       |                         1, 8))::BIGINT % 2 AS arm
+       |  FROM events GROUP BY user_id
+       |), c AS (
+       |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_control,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_treatment,
+       |         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+       |           AS conv_control,
+       |         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+       |           AS conv_treatment
+       |  FROM u
+       |), s AS (
+       |  SELECT *,
+       |         CAST(conv_control AS DOUBLE) / n_control AS rc,
+       |         CAST(conv_treatment AS DOUBLE) / n_treatment AS rt,
+       |         CAST(conv_control + conv_treatment AS DOUBLE)
+       |           / (n_control + n_treatment) AS p
+       |  FROM c
+       |)
+       |SELECT n_control, n_treatment, conv_control, conv_treatment,
+       |       round(rc, 6) AS rate_control,
+       |       round(rt, 6) AS rate_treatment,
+       |       CASE WHEN p = 0.0 OR p = 1.0 THEN NULL
+       |            ELSE round((rt - rc) /
+       |                 sqrt(p * (1.0 - p) *
+       |                      (1.0 / n_control + 1.0 / n_treatment)), 4)
+       |       END AS z_score
+       |FROM s""".stripMargin
 }

@@ -1547,4 +1547,112 @@ object TextAnalysis {
       |SELECT doc_id, count(*) AS n_bigrams,
       |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Reference split the held-out LM of [[referencePerplexityFilter]]
+    * trains on, and the keep threshold (bits/bigram) — sits just above
+    * this corpus's held-out median (~5.1), so the gate separates rather
+    * than rubber-stamps. */
+  private val RefPplSource = "src0"
+  private val RefPplMaxNll = 5.2
+
+  /** Reference-LM perplexity filter — the CCNet-style quality gate:
+    * train a bigram model on a CLEAN reference split ([[RefPplSource]]),
+    * score every OTHER document's text against it (add-one smoothing
+    * over the REFERENCE vocabulary; bigrams the reference never saw pay
+    * the full unseen cost and are counted as `n_unseen`), and flag for
+    * keeping the documents whose bits-per-bigram stay under
+    * [[RefPplMaxNll]]. Where [[bigramSurprisal]] scores each document
+    * against the corpus's OWN statistics (self-perplexity), this is the
+    * held-out form real pipelines run: a trusted corpus defines
+    * "normal", candidates that the reference LM finds incoherent get
+    * dropped.
+    *
+    * Shape at 100 TB: the LM tables are reference-split aggregates (a
+    * small fraction of the corpus by design) keyed on bigram/unigram —
+    * the scoring joins shuffle on those keys, never broadcast-assumed
+    * (reference vocab can be ~1e8 ngrams at scale); the vocabulary size
+    * is a broadcast 1-row frame. Per-term NLLs are 6dp-rounded then
+    * decimal-summed (combination-order-proof, the house float stance),
+    * and the per-doc collapse is map-side combined. */
+  def referencePerplexityFilter(spark: SparkSession, dir: String): DataFrame =
+    referencePerplexityFrom(Tables.spread(Tables.documents(spark, dir)),
+      RefPplSource)
+
+  /** The held-out scoring kernel over any (doc_id, source, text) frame —
+    * factored so specs can plant reference/candidate splits with
+    * closed-form scores (an all-unseen candidate scores exactly
+    * log2(|reference vocab|) bits per bigram). */
+  private[llm] def referencePerplexityFrom(docs: DataFrame,
+      refSource: String): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ref = pairs.filter(col("source") === refSource)
+    val lm2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lm1 = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.filter(col("source") === refSource)
+      .select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    pairs.filter(col("source") =!= refSource)
+      .join(lm2, Seq("w1", "w2"), "left")
+      .join(lm1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log2((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+          .cast("decimal(18,6)").as("nll"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("unseen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .withColumn("keep", col("avg_nll") <= RefPplMaxNll)
+      .orderBy("doc_id")
+  }
+
+  val referencePerplexityFilterSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_transform(range(1, len(t)),
+       |                i -> {'w1': t[i], 'w2': t[i + 1]})) AS bg
+       |  FROM d WHERE len(t) >= 2
+       |), pr AS (
+       |  SELECT doc_id, source, bg.w1 AS w1, bg.w2 AS w2 FROM p
+       |), lm2 AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM pr
+       |  WHERE source = '$RefPplSource' GROUP BY 1, 2
+       |), lm1 AS (
+       |  SELECT w1, count(*) AS c1 FROM pr
+       |  WHERE source = '$RefPplSource' GROUP BY 1
+       |), vv AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(t) AS w FROM d WHERE source = '$RefPplSource')
+       |), s AS (
+       |  SELECT doc_id,
+       |         CAST(round(-log2((coalesce(c12, 0) + 1.0)
+       |                          / (coalesce(c1, 0) + v)), 6)
+       |              AS DECIMAL(18,6)) AS nll,
+       |         CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS unseen
+       |  FROM pr
+       |  LEFT JOIN lm2 USING (w1, w2)
+       |  LEFT JOIN lm1 USING (w1)
+       |  CROSS JOIN vv
+       |  WHERE source <> '$RefPplSource'
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(unseen) AS BIGINT) AS n_unseen,
+       |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll,
+       |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) <= $RefPplMaxNll
+       |         AS keep
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -390,6 +390,28 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("lift") - 12.0 / 9.0) < 1e-6)
   }
 
+  test("ab test zscore: A/A arms partition users, z recomputes from counts") {
+    val r = Behavior.abTestZscore(spark, sfDir).head()
+    val (nc, nt) = (r.getAs[Long]("n_control"), r.getAs[Long]("n_treatment"))
+    val (cc, ct) = (r.getAs[Long]("conv_control"), r.getAs[Long]("conv_treatment"))
+    val users = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(nc + nt == users && nc > 0 && nt > 0)
+    assert(cc <= nc && ct <= nt)
+    val p = (cc + ct).toDouble / (nc + nt)
+    if (p == 0.0 || p == 1.0) {
+      // degenerate pooled rate (sf0.001: every user converts): the
+      // explicit guard must surface NULL, not an ANSI abort or a NaN
+      assert(r.isNullAt(r.fieldIndex("z_score")))
+    } else {
+      val se = math.sqrt(p * (1 - p) * (1.0 / nc + 1.0 / nt))
+      val z = (ct.toDouble / nt - cc.toDouble / nc) / se
+      assert(math.abs(r.getAs[Double]("z_score") - z) < 1e-3)
+      // hash A/A split: no real effect — anything past 5 sigma is a bug
+      assert(math.abs(z) < 5.0, s"z=$z")
+    }
+  }
+
   test("basket pairs: sf corpus pairs are symmetric-ordered and support-bounded") {
     val p = Behavior.basketPartPairs(spark, sfDir).cache()
     assert(p.filter(col("part_a") >= col("part_b")).isEmpty)

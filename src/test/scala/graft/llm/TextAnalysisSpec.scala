@@ -549,4 +549,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(card.getAs[Double]("mean_quality") > 0 && card.getAs[Double]("mean_quality") <= 1)
     docs.unpersist()
   }
+
+  test("reference perplexity: in-distribution scores low, all-unseen scores log2(V)") {
+    import spark.implicits._
+    // reference: 6 distinct words (V=6); candidate 20 repeats a reference
+    // pattern, candidate 21 shares no vocabulary at all
+    val docs = Seq(
+      (1L, "ref", "a b c a b c a b c a b c"),
+      (2L, "ref", "d e f d e f d e f"),
+      (20L, "cand", "a b c a b c"),
+      (21L, "cand", "x y z x y z")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.referencePerplexityFrom(docs, "ref").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(20L, 21L))
+    // every bigram of 21 is unseen: nll = log2((0+1)/(0+6)) = log2(6) each
+    val d21 = out(21L)
+    assert(d21.getAs[Long]("n_unseen") == d21.getAs[Long]("n_bigrams"))
+    assert(math.abs(d21.getAs[Double]("avg_nll") -
+      math.log(6.0) / math.log(2.0)) < 1e-4)
+    // 20 rides the dense reference statistics: strictly cheaper, no OOV
+    val d20 = out(20L)
+    assert(d20.getAs[Long]("n_unseen") == 0)
+    assert(d20.getAs[Double]("avg_nll") < d21.getAs[Double]("avg_nll"))
+  }
+
 }
