@@ -582,4 +582,115 @@ object Stats {
       |FROM sc
       |ORDER BY abs(s_t) DESC, d
       |LIMIT 1""".stripMargin
+
+  /** [[cusumAlerts]] parameters, shared with the streaming twin
+    * ([[graft.streaming.EventsStream.cusumDetect]]): the slack inflates
+    * the per-type target mean so in-control noise drifts the statistic
+    * DOWN (Page's k), and the decision interval h is the alert line. */
+  val CusumSlackFrac = 0.10
+  val CusumH = 500.0
+
+  /** Online CUSUM backtest over the event stream — Page's one-sided
+    * cumulative-sum detector, S_t = max(0, S_{t-1} + (x_t − μ·(1+k))),
+    * run per event type over the full history; every event where S_t
+    * exceeds [[CusumH]] is an alert row. The recursion has the classic
+    * prefix closed form S_t = P_t − min(0, min_{j≤t} P_j) with
+    * P = Σ d, which is what makes a BATCH backtest of an inherently
+    * sequential detector expressible as windows at all.
+    *
+    * Shape at 100 TB — the naive form is one giant per-type window (a
+    * fact-sized partition: events of ONE type ordered by time through a
+    * single task). This kernel two-phases it like `seq_gap_check`:
+    * rows bucket by month, the running sum/min windows run INSIDE each
+    * (type, month) partition (distributed, calendar-width tasks), and
+    * the cross-bucket carry — each month's starting offset and the
+    * running minimum of all earlier months — windows over the per-month
+    * SUMMARY frame (types × months rows, calendar-bounded). Identical
+    * output to the naive window (the oracle IS the naive window), any
+    * partition count. Deviations are 6dp-rounded then decimal-summed, so
+    * prefix sums are combination-order-exact in both engines; the
+    * streaming twin folds the SAME micro-unit integers and is
+    * pair-tested equal in EventsStreamSpec. */
+  def cusumAlerts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val mu = e.groupBy("event_type")
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("mu"))
+    val d = e.join(mu, "event_type")
+      .select(col("event_type"), col("event_id"), col("ts"),
+        round(col("value") - col("mu") * (1.0 + CusumSlackFrac), 6)
+          .cast("decimal(18,6)").as("d"),
+        date_trunc("month", col("ts")).cast("date").as("b"))
+    // phase 1: running sum + running min inside each (type, month)
+    val wIn = Window.partitionBy("event_type", "b")
+      .orderBy(col("ts"), col("event_id"))
+    val intra = d
+      .withColumn("sp", sum(col("d")).over(wIn))
+      .withColumn("mp", min(col("sp")).over(wIn))
+    // phase 2: per-(type, month) summary → starting offset of each month
+    // (exclusive prefix sum) and the running min of all EARLIER months'
+    // absolute prefix minima — a types × months frame
+    val wB = Window.partitionBy("event_type").orderBy("b")
+    val summary = d.groupBy("event_type", "b")
+      .agg(sum(col("d")).as("tot"))
+      .withColumn("off",
+        coalesce(sum(col("tot")).over(wB.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(28,6)")))
+    val bucketMin = intra.groupBy("event_type", "b")
+      .agg(min(col("sp")).as("bmin"))
+      .join(summary, Seq("event_type", "b"))
+      .withColumn("prev_min",
+        min(col("off") + col("bmin"))
+          .over(wB.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("event_type"), col("b"), col("off"), col("prev_min"))
+    val s = intra.join(bucketMin, Seq("event_type", "b"))
+      .withColumn("p", col("off") + col("sp"))
+      .withColumn("gmin",
+        least(lit(0).cast("decimal(28,6)"),
+          coalesce(col("prev_min"), col("off") + col("mp")),
+          col("off") + col("mp")))
+      .withColumn("cusum", (col("p") - col("gmin")).cast("double"))
+    s.filter(col("cusum") > CusumH)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        round(col("cusum"), 6).as("cusum"))
+      .orderBy("event_type", "ts", "event_id")
+  }
+
+  /** Oracle: the naive single-window global form — correct at any SF,
+    * fact-sized partitions at scale, which is exactly why the engine
+    * path two-phases it. */
+  val cusumAlertsSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type,
+       |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+       |           AS mu
+       |  FROM events GROUP BY 1
+       |), d AS (
+       |  SELECT e.event_type, event_id, ts,
+       |         CAST(round(value - mu * ${1.0 + CusumSlackFrac}, 6)
+       |              AS DECIMAL(18,6)) AS d
+       |  FROM events e JOIN m USING (event_type)
+       |), p AS (
+       |  SELECT event_type, event_id, ts,
+       |         sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS pp
+       |  FROM d
+       |), q AS (
+       |  SELECT event_type, event_id, ts, pp,
+       |         min(pp) OVER (PARTITION BY event_type ORDER BY ts, event_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS mp
+       |  FROM p
+       |), s AS (
+       |  SELECT event_type, event_id, ts,
+       |         CAST(pp - least(CAST(0 AS DECIMAL(28,6)), mp) AS DOUBLE)
+       |           AS cusum
+       |  FROM q
+       |)
+       |SELECT event_type, event_id, ts, round(cusum, 6) AS cusum
+       |FROM s WHERE cusum > $CusumH
+       |ORDER BY event_type, ts, event_id""".stripMargin
 }

@@ -11,6 +11,11 @@ import graft.Tables
   * encoder's generated code can construct it). */
 final case class SessionState(start: Long, last: Long, n: Int)
 
+/** Per-series CUSUM accumulator: the running prefix sum and running
+  * prefix minimum, both in exact integer micro-units — O(1) state per
+  * event type no matter how much history has streamed through. */
+final case class CusumState(p: Long, m: Long)
+
 /** Structured Streaming surface (SURVEY.md §2.10 notes the reference has
   * none — this is the beyond-reference streaming path for the events
   * table): a watermarked tumbling-window aggregation whose TRANSFORM is
@@ -635,6 +640,63 @@ object EventsStream {
               state.setTimeoutTimestamp(s.last + SessionGapMs))
             out
           }
+      }
+  }
+
+  final case class VEvent(event_id: Long, event_type: String,
+                          ts: java.sql.Timestamp, value: Double)
+  final case class CusumAlert(event_type: String, event_id: Long,
+                              ts: java.sql.Timestamp, cusum: Double)
+
+  private def epochMicros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Streaming CUSUM drift detector — the ONLINE form of
+    * [[graft.analytics.Stats.cusumAlerts]]: per event type, fold each
+    * micro-batch's events (time-ordered) into the running prefix
+    * sum/minimum and emit an alert row whenever
+    * S = P − min(0, min-prefix P) crosses `h`. Page's detector is
+    * inherently sequential, which is exactly what per-key streaming
+    * state is for: the batch twin needs a two-phase prefix-sum kernel
+    * to distribute the same recursion; here it is two longs per key.
+    *
+    * Arithmetic is EXACT integer micro-units: each deviation is rounded
+    * to 6dp with the same HALF_UP rule Spark's `round` applies, then
+    * scaled to a long — so the stream's alert set is bit-identical to
+    * the batch backtest's (pair-tested in EventsStreamSpec), not
+    * float-drift-close. `target` maps each series to its in-control
+    * mean μ (the batch entry derives it from history; a deployment
+    * would pin it from a reference window). */
+  def cusumDetect(events: Dataset[VEvent], target: Map[String, Double],
+      h: Double = graft.analytics.Stats.CusumH): Dataset[CusumAlert] = {
+    import events.sparkSession.implicits._
+    val slack = graft.analytics.Stats.CusumSlackFrac
+    val hMicro = java.math.BigDecimal.valueOf(h)
+      .movePointRight(6).longValueExact()
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[VEvent], state: GroupState[CusumState]) =>
+          val mu = target.getOrElse(tpe, 0.0)
+          var CusumState(p, m) = state.getOption.getOrElse(
+            CusumState(0L, Long.MaxValue))
+          val alerts = List.newBuilder[CusumAlert]
+          it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
+            val dMicro = java.math.BigDecimal
+              .valueOf(e.value - mu * (1.0 + slack))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            p += dMicro
+            m = math.min(m, p)
+            val s = p - math.min(0L, m)
+            if (s > hMicro)
+              alerts += CusumAlert(tpe, e.event_id, e.ts, s.toDouble / 1e6)
+          }
+          state.update(CusumState(p, m))
+          alerts.result().iterator
       }
   }
 }

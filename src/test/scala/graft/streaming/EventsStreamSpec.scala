@@ -355,4 +355,78 @@ class EventsStreamSpec extends SparkSpec {
         && s.start == ts("2024-01-01 10:00:00") && s.end == ts("2024-01-01 10:10:00"))
     } finally query.stop()
   }
+
+  test("streaming cusum: closed-form alerts fire exactly at the crossing") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[EventsStream.VEvent]
+    // target 10, slack 0.10 → effective target 11; h = 5: three +3
+    // deviations cross at the second (s = 3, 6, 9 → alerts at 6, 9)
+    val query = EventsStream
+      .cusumDetect(source.toDS(), Map("a" -> 10.0), h = 5.0)
+      .writeStream.format("memory").queryName("cusum_test")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        EventsStream.VEvent(1, "a", ts("2024-01-01 10:00:00"), 11.0),
+        EventsStream.VEvent(2, "a", ts("2024-01-01 10:01:00"), 11.0))
+      query.processAllAvailable()
+      assert(spark.table("cusum_test").isEmpty, "in-control values must not alert")
+      // state carries across micro-batches: the drift accumulates
+      source.addData(
+        EventsStream.VEvent(3, "a", ts("2024-01-01 10:02:00"), 14.0),
+        EventsStream.VEvent(4, "a", ts("2024-01-01 10:03:00"), 14.0),
+        EventsStream.VEvent(5, "a", ts("2024-01-01 10:04:00"), 14.0))
+      query.processAllAvailable()
+      val got = spark.table("cusum_test")
+        .select("event_id", "cusum").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq(4L, 5L), got.mkString(","))
+      assert(math.abs(got(0)._2 - 6.0) < 1e-9 && math.abs(got(1)._2 - 9.0) < 1e-9)
+    } finally query.stop()
+  }
+
+  test("streaming cusum equals the two-phase batch backtest on the corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the batch entry's per-type in-control means, derived the same way
+    val mu = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("mu"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .orderBy("ts", "event_id")
+      .as[EventsStream.VEvent].collect()
+    // feed in two time-ordered chunks so state must carry across batches;
+    // a lower h than the entry's 500 so sf0.001 actually alerts
+    val h = 100.0
+    val source = MemoryStream[EventsStream.VEvent]
+    val query = EventsStream.cusumDetect(source.toDS(), mu, h = h)
+      .writeStream.format("memory").queryName("cusum_pair_test")
+      .outputMode("append").start()
+    try {
+      val (a, b) = ev.splitAt(ev.length / 2)
+      source.addData(a.toIndexedSeq); query.processAllAvailable()
+      source.addData(b.toIndexedSeq); query.processAllAvailable()
+      val streamed = spark.table("cusum_pair_test")
+        .select("event_type", "event_id", "cusum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch twin at the same h: rebuild the naive prefix form in scala
+      val batch = ev.groupBy(_.event_type).toSeq.flatMap { case (tpe, es) =>
+        var p = 0L; var m = Long.MaxValue
+        es.sortBy(e => (e.ts.getTime, e.event_id)).toSeq.flatMap { e =>
+          val d = java.math.BigDecimal.valueOf(e.value - mu(tpe) * 1.10)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .movePointRight(6).longValueExact()
+          p += d; m = math.min(m, p)
+          val s = p - math.min(0L, m)
+          if (s > 100000000L) Some((tpe, e.event_id, s.toDouble / 1e6)) else None
+        }
+      }.toSet
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+      assert(streamed.nonEmpty, "h=100 must alert on sf0.001")
+    } finally query.stop()
+  }
 }
