@@ -1029,4 +1029,67 @@ object Behavior {
        |                      (1.0 / n_control + 1.0 / n_treatment)), 4)
        |       END AS z_score
        |FROM s""".stripMargin
+
+  /** [[topEventPaths]]: path prefix length and report size. */
+  private val PathLen = 5
+  private val PathTopK = 20
+
+  /** Top user journeys — each user's first [[PathLen]] events as an
+    * ordered type path, the [[PathTopK]] most common paths with their
+    * user share: the "how do people actually start" analysis every
+    * product team runs after the funnel says WHETHER they convert.
+    *
+    * Shape at 100 TB: the prefix trim happens FIRST — a per-user
+    * row_number window (maximal parallelism, user-keyed partitions)
+    * drops everything past event [[PathLen]] before any string is
+    * built, so the path assembly aggregates ≤ [[PathLen]] rows per
+    * user. Paths collapse map-side into (path, users) counters (path
+    * cardinality ≤ |types|^[[PathLen]], far below user count), and the
+    * top-K ranks over that bounded counter frame. Per-user event order
+    * is the total (ts, event_id) ordering — deterministic paths on both
+    * engines even with duplicate timestamps. */
+  def topEventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prefix = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+    val paths = prefix.groupBy("user_id")
+      .agg(concat_ws(">", array_sort(collect_list(
+        struct(col("rn"), col("event_type")))).getField("event_type"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+    val totals = paths.agg(sum(col("n_users")).as("total"))
+    val rk = Window.orderBy(col("n_users").desc, col("path"))
+    paths.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= PathTopK)
+      .select(col("rank"), col("path"), col("n_users"),
+        round(col("n_users").cast("double") / col("total"), 6)
+          .as("user_share"))
+      .orderBy("rank")
+  }
+
+  val topEventPathsSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), paths AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM p WHERE rn <= $PathLen GROUP BY user_id
+       |), c AS (
+       |  SELECT path, count(*) AS n_users FROM paths GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(sum(n_users) AS BIGINT) AS total FROM c
+       |), r AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path)
+       |              AS BIGINT) AS rank,
+       |         path, n_users,
+       |         round(CAST(n_users AS DOUBLE) / total, 6) AS user_share
+       |  FROM c CROSS JOIN t
+       |)
+       |SELECT rank, path, n_users, user_share
+       |FROM r WHERE rank <= $PathTopK ORDER BY rank""".stripMargin
 }

@@ -693,4 +693,77 @@ object Stats {
        |SELECT event_type, event_id, ts, round(cusum, 6) AS cusum
        |FROM s WHERE cusum > $CusumH
        |ORDER BY event_type, ts, event_id""".stripMargin
+
+  /** Fixed yearly-spend band edges for [[spendBandMigration]] — chosen
+    * near this corpus's per-customer-year quartiles so every band is
+    * populated. FIXED thresholds, not ntile: banding must be stable
+    * year over year for a migration matrix to mean anything (an ntile
+    * band would relabel everyone whenever the distribution moves —
+    * exactly the drift the matrix is supposed to SHOW). */
+  private val BandEdges = Seq(250000.0, 450000.0, 700000.0)
+  private val BandNames = Seq("low", "mid", "high", "top")
+
+  /** Customer spend-band migration matrix — each customer's yearly
+    * spend banded by [[BandEdges]], then the year-over-year transition
+    * counts between consecutive ACTIVE years: the upgrade/downgrade/
+    * churn-adjacent flow report every subscription and commerce
+    * warehouse publishes. Consecutive means consecutive OBSERVED years
+    * for the customer; a dormant year shows up as a gap (the matrix
+    * counts observed transitions, `year_gap` preserves the distinction
+    * rather than hiding it).
+    *
+    * Shape at 100 TB: the fact stream collapses map-side to (customer,
+    * year) cells first — everything after rides that dimension×calendar
+    * frame: the lag is a customer-keyed partitioned window over ≤
+    * years-per-customer rows, and the matrix is a bands² × gap counter
+    * aggregate. Spend sums are decimal; band edges compare against the
+    * exact decimal, so no float wobble can flip a band. */
+  def spendBandMigration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def band(c: Column): Column =
+      BandEdges.zip(BandNames.init).foldRight(lit(BandNames.last)) {
+        case ((hi, name), acc) => when(c < hi, lit(name)).otherwise(acc)
+      }
+    val yearly = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).cast("long").as("y"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .select(col("custkey"), col("y"), band(col("spend")).as("band"))
+    val w = Window.partitionBy("custkey").orderBy("y")
+    yearly
+      .withColumn("prev_band", lag(col("band"), 1).over(w))
+      .withColumn("prev_y", lag(col("y"), 1).over(w))
+      .filter(col("prev_band").isNotNull)
+      .groupBy(col("prev_band").as("from_band"),
+        col("band").as("to_band"),
+        (col("y") - col("prev_y")).as("year_gap"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("from_band", "to_band", "year_gap")
+  }
+
+  val spendBandMigrationSql: String = {
+    val bandCase = BandEdges.zip(BandNames.init)
+      .map { case (hi, name) => s"WHEN spend < $hi THEN '$name'" }
+      .mkString(" ")
+    s"""WITH yearly AS (
+       |  SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+       |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+       |  FROM orders GROUP BY 1, 2
+       |), banded AS (
+       |  SELECT custkey, y,
+       |         CASE $bandCase ELSE '${BandNames.last}' END AS band
+       |  FROM yearly
+       |), lagged AS (
+       |  SELECT band, y,
+       |         lag(band) OVER w AS prev_band,
+       |         lag(y) OVER w AS prev_y
+       |  FROM banded
+       |  WINDOW w AS (PARTITION BY custkey ORDER BY y)
+       |)
+       |SELECT prev_band AS from_band, band AS to_band,
+       |       y - prev_y AS year_gap, count(*) AS n_customers
+       |FROM lagged WHERE prev_band IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY from_band, to_band, year_gap""".stripMargin
+  }
 }

@@ -412,6 +412,29 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("top event paths: prefixes match a driver-side replay, shares bounded") {
+    val got = Behavior.topEventPaths(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.map(_.getAs[Long]("rank")).toSeq == (1L to got.length))
+    // replay: first-5 prefix per user from the raw events, same tiebreak
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getLong(3)))
+    val want = ev.groupBy(_._1).map { case (_, xs) =>
+      xs.sortBy(e => (e._3, e._4)).take(5).map(_._2).mkString(">")
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    got.foreach { r =>
+      assert(want(r.getAs[String]("path")) == r.getAs[Long]("n_users"),
+        r.getAs[String]("path"))
+    }
+    // top-1 really is the modal path
+    assert(got.head.getAs[Long]("n_users") == want.values.max)
+    // each share is 6dp-rounded (±5e-7), so the sum can sit just above 1
+    val shares = got.map(_.getAs[Double]("user_share"))
+    assert(shares.sum <= 1.0 + got.length * 5e-7 + 1e-9 && shares.forall(_ > 0))
+  }
+
   test("basket pairs: sf corpus pairs are symmetric-ordered and support-bounded") {
     val p = Behavior.basketPartPairs(spark, sfDir).cache()
     assert(p.filter(col("part_a") >= col("part_b")).isEmpty)

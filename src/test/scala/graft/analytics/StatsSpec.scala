@@ -205,6 +205,23 @@ class StatsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("spend band migration: transitions reconcile to customer-year cells") {
+    val m = Stats.spendBandMigration(spark, sfDir).cache()
+    val bands = Set("low", "mid", "high", "top")
+    m.collect().foreach { r =>
+      assert(bands(r.getAs[String]("from_band")) && bands(r.getAs[String]("to_band")))
+      assert(r.getAs[Long]("year_gap") >= 1)
+      assert(r.getAs[Long]("n_customers") >= 1)
+    }
+    // total transitions = Σ per customer (active years − 1)
+    val cells = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("c"), year(col("o_orderdate")).as("y"))
+      .distinct().groupBy("c").count().collect()
+    val want = cells.map(_.getAs[Long]("count") - 1).sum
+    assert(m.agg(sum("n_customers")).head().getLong(0) == want)
+    m.unpersist()
+  }
+
   test("cusum changepoint: one row, segments reconcile to the corpus mean") {
     val r = Stats.revenueCusumChangepoint(spark, sfDir).collect()
     assert(r.length == 1)
