@@ -256,4 +256,45 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("WholeStageCodegen") || finalPlan.contains("*("),
       finalPlan.take(2000))
   }
+
+  test("cusum backtest: every row-level window is (type, month)-partitioned") {
+    val df = graft.analytics.Stats.cusumAlerts(spark, sfDir)
+    val initial = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(initial).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, initial.take(2000))
+    // no window may be unpartitioned (a fact-sized single-task sort): the
+    // row-level walks carry (event_type, month bucket), the summary carry
+    // windows partition on event_type — every spec names a partition key
+    specs.foreach { s =>
+      assert(s.contains("event_type"),
+        s"window lost its partition key: $s\n${specs.mkString("\n")}")
+    }
+    // the intra-bucket (row-level) windows exist and carry the bucket key
+    assert(specs.exists(s => s.contains("b#")),
+      s"no month-bucketed window found:\n${specs.mkString("\n")}")
+  }
+
+  test("brand skyline: bounded frontier broadcasts; windows stay brand-partitioned") {
+    val df = graft.analytics.Windows.brandSkyline(spark, sfDir)
+    val finalPlan = planString(df)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"frontier join-back did not broadcast:\n${finalPlan.take(3000)}")
+    val initial = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(initial).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("p_brand")),
+      s"sweep window lost its brand partition:\n${specs.mkString("\n")}")
+  }
+
+  test("basket pairs: pairs, part counts, and totals all read the cached baskets") {
+    val df = graft.analytics.Behavior.basketPartPairs(spark, sfDir)
+    val initial = df.queryExecution.executedPlan.toString
+    // every lineitem consumer goes through the cached basket frame (an
+    // InMemoryTableScan per consumer — its string embeds the original
+    // parquet scan, so raw "Scan parquet" counts don't prove anything;
+    // the cache reads do): pairs + two per-part count sides + totals
+    val cached = "InMemoryTableScan".r.findAllIn(initial).size
+    assert(cached >= 3, s"basket frame not reused via cache:\n${initial.take(2000)}")
+  }
 }
