@@ -692,4 +692,89 @@ object Quantiles {
       |       round(quantile_cont(CAST(delay AS DOUBLE), 0.5), 6) AS p50,
       |       round(quantile_cont(CAST(delay AS DOUBLE), 0.9), 6) AS p90
       |FROM j GROUP BY priority ORDER BY priority""".stripMargin
+
+  /** Quantile fractions reported by [[weightedLengthQuantiles]]. */
+  private val WQs: Seq[(String, Double)] =
+    Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)
+
+  /** WEIGHTED grouped quantiles — per language, the document length at
+    * which cumulative TOKEN mass reaches each fraction: "docs up to
+    * length L hold half this language's tokens", the question packing,
+    * truncation, and curriculum decisions actually need (the unweighted
+    * median answers about documents, not about the token budget).
+    * Definition: the smallest value v with W(≤ v) ≥ q·W_total.
+    *
+    * The kernel is the WEIGHTED analog of [[groupedQuantiles]]'s
+    * two-phase distributed selection: range-partition by (group, value),
+    * reduce each (partition, group) run to its WEIGHT SUM, find per
+    * target fraction the single run where the cumulative weight crosses
+    * q·W (a window over the config-bounded histogram frame), and sort
+    * ONLY those needle slices — the crossing row's value is the answer.
+    * No group ever funnels through one task; weights stay exact longs,
+    * and the crossing compare is long-vs-double (exact below 2⁵³), so
+    * both engines pick the identical row. */
+  def weightedLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"),
+        col("n_chars").cast("double").as("value"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = docs.repartitionByRange(nPart, col("lang"), col("value"))
+      .withColumn("_pid", spark_partition_id())
+    val hist = ranged.groupBy("_pid", "lang").agg(sum(col("w")).as("_wc"))
+    val offsets = hist
+      .withColumn("_woff", coalesce(
+        sum(col("_wc")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("wtot", sum(col("_wc")).over(Window.partitionBy(col("lang"))))
+    // per-fraction crossing thresholds; one needle (pid, lang, q) triple
+    // per fraction — the run where cumulative weight first reaches q·W
+    val qArr = array(WQs.map { case (name, q) =>
+      struct(lit(name).as("qn"), (lit(q) * col("wtot")).as("qw"))
+    }: _*)
+    val needles = offsets
+      .withColumn("t", explode(qArr))
+      .filter(col("t.qw") > col("_woff") &&
+        col("t.qw") <= col("_woff") + col("_wc"))
+      .select(col("_pid"), col("lang"), col("_woff"), col("wtot"),
+        col("t.qn").as("qn"), col("t.qw").as("qw"))
+    val localW = Window.partitionBy(col("_pid"), col("lang"), col("qn"))
+      .orderBy(col("value"))
+    val crossed = ranged
+      .join(broadcast(needles), Seq("_pid", "lang"))
+      .withColumn("_cw", sum(col("w")).over(localW))
+      .filter(col("_woff") + col("_cw") >= col("qw"))
+      .groupBy("lang", "qn")
+      .agg(min(col("value")).as("cut"), first(col("wtot")).as("total_tokens"))
+    crossed.select(col("lang"), col("qn").as("quantile"),
+      col("cut").as("length_cut"), col("total_tokens"))
+      .orderBy("lang", "quantile")
+  }
+
+  /** Oracle: the naive per-group window form — a full per-language sort
+    * with a running weight sum, correct at any SF and exactly the
+    * single-task shape the two-phase kernel avoids. */
+  val weightedLengthQuantilesSql: String = {
+    val qRows = WQs.map { case (name, q) => s"SELECT '$name' AS qn, $q AS q" }
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT lang, CAST(n_chars AS DOUBLE) AS value,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, value, w,
+       |         CAST(sum(w) OVER (PARTITION BY lang ORDER BY value
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS cw,
+       |         CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS wtot
+       |  FROM d
+       |), qs AS ($qRows)
+       |SELECT lang, qn AS quantile, min(value) AS length_cut,
+       |       CAST(min(wtot) AS BIGINT) AS total_tokens
+       |FROM c CROSS JOIN qs
+       |WHERE cw >= q * wtot
+       |GROUP BY lang, qn
+       |ORDER BY lang, quantile""".stripMargin
+  }
 }

@@ -766,4 +766,51 @@ object Stats {
        |GROUP BY 1, 2, 3
        |ORDER BY from_band, to_band, year_gap""".stripMargin
   }
+
+  /** Seasonal-naive revenue forecast backtest — forecast(month m) =
+    * actual(m − 12 months), evaluated with the absolute percentage
+    * error per month: the baseline every forecasting effort must beat
+    * before anything fancier earns its keep (and the standard
+    * denominator of MASE). Months without a year-ago observation emit
+    * no row; the lookup is a self-JOIN on the calendar month index, not
+    * a lag-12 — a lag would silently grab the 12th PRESENT month across
+    * any gap.
+    *
+    * Shape at 100 TB: the fact stream collapses map-side to one row per
+    * month; the self-join and error arithmetic ride that calendar-
+    * bounded frame. Revenue stays decimal into the APE division, done
+    * once per row at the edge. */
+  def seasonalNaiveForecast(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(((year(col("o_orderdate")) * 12) + month(col("o_orderdate")) - 1)
+        .cast("long").as("midx"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val lag12 = monthly.select((col("midx") + 12).as("midx"),
+      col("rev").as("forecast"))
+    monthly.join(lag12, "midx")
+      .select(
+        make_date((col("midx") / 12).cast("int"),
+          (col("midx") % 12).cast("int") + 1, lit(1)).as("month"),
+        round(col("rev"), 2).cast("double").as("actual"),
+        round(col("forecast"), 2).cast("double").as("forecast"),
+        round(abs(col("rev") - col("forecast")).cast("double") /
+          col("rev").cast("double"), 6).as("ape"))
+      .orderBy("month")
+  }
+
+  val seasonalNaiveForecastSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |           AS midx,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT make_date(CAST(a.midx // 12 AS INT),
+      |                 CAST(a.midx % 12 AS INT) + 1, 1) AS month,
+      |       CAST(round(a.rev, 2) AS DOUBLE) AS actual,
+      |       CAST(round(f.rev, 2) AS DOUBLE) AS forecast,
+      |       round(CAST(abs(a.rev - f.rev) AS DOUBLE)
+      |             / CAST(a.rev AS DOUBLE), 6) AS ape
+      |FROM monthly a JOIN monthly f ON a.midx = f.midx + 12
+      |ORDER BY month""".stripMargin
 }

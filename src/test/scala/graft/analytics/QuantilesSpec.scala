@@ -283,4 +283,27 @@ class QuantilesSpec extends SparkSpec {
       ds.map(_.toLong).sum.toDouble / ds.length) < 1e-6)
     joined.unpersist(); p.unpersist()
   }
+
+  test("weighted quantiles: cuts match a driver-side cumulative-weight replay") {
+    val got = Quantiles.weightedLengthQuantiles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("length_cut"), r.getAs[Long]("total_tokens"))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars").cast("double"),
+        size(split(trim(col("text")), "\\s+")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._1)
+    assert(got.keys.map(_._1).toSet == byLang.keySet)
+    for ((lang, xs) <- byLang; (qn, q) <- Seq("p25" -> 0.25, "p50" -> 0.5,
+        "p75" -> 0.75, "p90" -> 0.9)) {
+      val sorted = xs.sortBy(_._2)
+      val w = sorted.map(_._3).sum
+      // smallest value whose cumulative token weight reaches q·W
+      var cum = 0L
+      val cut = sorted.find { d => cum += d._3; cum >= q * w }.get._2
+      val (gotCut, gotTot) = got((lang, qn))
+      assert(gotTot == w, s"$lang $qn total")
+      assert(gotCut == cut, s"$lang $qn: got $gotCut want $cut")
+    }
+  }
 }

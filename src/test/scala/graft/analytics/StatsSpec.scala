@@ -222,6 +222,26 @@ class StatsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("seasonal naive: forecast is the year-ago actual, APE recomputes") {
+    val f = Stats.seasonalNaiveForecast(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    val monthly = graft.Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
+    // row count = months whose year-ago month exists
+    assert(f.length == monthly.keys.count { case (y, m) => monthly.contains((y - 1, m)) })
+    f.foreach { r =>
+      val d = r.getAs[java.sql.Date]("month").toLocalDate
+      val a = monthly((d.getYear, d.getMonthValue))
+      val fc = monthly((d.getYear - 1, d.getMonthValue))
+      assert(math.abs(r.getAs[Double]("actual") - a) < 0.01)
+      assert(math.abs(r.getAs[Double]("forecast") - fc) < 0.01)
+      assert(math.abs(r.getAs[Double]("ape") - math.abs(a - fc) / a) < 1e-4)
+    }
+  }
+
   test("cusum changepoint: one row, segments reconcile to the corpus mean") {
     val r = Stats.revenueCusumChangepoint(spark, sfDir).collect()
     assert(r.length == 1)
