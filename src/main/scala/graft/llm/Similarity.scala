@@ -971,4 +971,76 @@ object Similarity {
        |       CAST(sum(CASE WHEN abs(l2 - 1.0) <= $UnitTol THEN 1 ELSE 0 END) AS BIGINT) AS n_unit,
        |       round(min(l2), 6) AS min_norm, round(max(l2), 6) AS max_norm
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Max per-dimension |z| for a vector to be reported an outlier. */
+  private val OutlierZ = 3.0
+
+  /** Embedding outlier audit — vectors whose worst per-dimension z-score
+    * crosses [[OutlierZ]] against the corpus's dimension statistics: the
+    * vector-store ingest check that catches corrupted encodes, scale
+    * bugs, and genuine distributional strays BEFORE they poison an ANN
+    * index ([[embeddingNormAudit]] catches norm drift; this catches
+    * per-axis drift a correct norm can hide).
+    *
+    * Shape at 100 TB: dimension moments collapse map-side over the
+    * component stream into a DIMENSIONALITY-sized frame (the
+    * `embedding_dim_stats` decimal-moment discipline — 6dp-rounded
+    * components, decimal sums, so mean/std are engine-identical), which
+    * then broadcasts back to the component stream; the per-vector max/
+    * count collapse is one vec-keyed aggregate. Both stats are rounded
+    * to 6dp BEFORE the z division, so the z doubles — and the threshold
+    * boundary — are bit-identical cross-engine. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        round(col("v").cast("double"), 6).cast("decimal(18,6)").as("val"))
+    val stats = ex.groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sx"),
+        sum(col("val") * col("val")).as("sxx"))
+      .select(col("pos"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)), 6).as("std"))
+    val z = abs((col("val").cast("double") - col("mean")) / col("std"))
+    ex.join(broadcast(stats), "pos")
+      .groupBy("vec_id")
+      .agg(round(max(z), 4).as("max_absz"),
+        sum(when(z > OutlierZ, 1L).otherwise(0L)).as("n_extreme_dims"))
+      .filter(col("max_absz") >= OutlierZ)
+      .orderBy("vec_id")
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+       |         embedding AS emb
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, pos,
+       |         CAST(round(CAST(emb[CAST(pos AS INT) + 1] AS DOUBLE), 6)
+       |              AS DECIMAL(18,6)) AS val
+       |  FROM ex
+       |), a AS (
+       |  SELECT pos, count(*) AS n, sum(val) AS sx, sum(val * val) AS sxx
+       |  FROM v GROUP BY 1
+       |), s AS (
+       |  SELECT pos, round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+       |         round(sqrt((CAST(sxx AS DOUBLE)
+       |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+       |                    / (n - 1)), 6) AS std
+       |  FROM a
+       |), z AS (
+       |  SELECT vec_id,
+       |         round(max(abs((CAST(val AS DOUBLE) - mean) / std)), 4)
+       |           AS max_absz,
+       |         CAST(sum(CASE WHEN abs((CAST(val AS DOUBLE) - mean) / std)
+       |                            > $OutlierZ
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme_dims
+       |  FROM v JOIN s USING (pos) GROUP BY 1
+       |)
+       |SELECT vec_id, max_absz, n_extreme_dims
+       |FROM z WHERE max_absz >= $OutlierZ
+       |ORDER BY vec_id""".stripMargin
 }

@@ -401,4 +401,34 @@ class SimilaritySpec extends SparkSpec {
     assert(gotPred == wantPred)
     rep.unpersist()
   }
+
+  test("embedding outliers: flagged vectors match a driver-side z replay") {
+    val got = Similarity.embeddingOutliers(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("max_absz"), r.getAs[Long]("n_extreme_dims"))).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dims = vecs.head._2.length
+    // 6dp-rounded components, exact moments, 6dp-rounded mean/std — the
+    // kernel's declared arithmetic, replayed in BigDecimal
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val byDim = (0 until dims).map { p =>
+      val xs = vecs.map(v => r6(v._2(p).toDouble))
+      val n = xs.length
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val mean = r6(sx.toDouble / n).toDouble
+      val std = r6(math.sqrt((sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1))).toDouble
+      (mean, std)
+    }
+    val want = vecs.flatMap { case (id, emb) =>
+      val zs = (0 until dims).map { p =>
+        math.abs((r6(emb(p).toDouble).toDouble - byDim(p)._1) / byDim(p)._2)
+      }
+      val mz = BigDecimal(zs.max).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (mz >= 3.0) Some(id -> (mz, zs.count(_ > 3.0).toLong)) else None
+    }.toMap
+    assert(got == want,
+      s"got-only=${(got.keySet -- want.keySet).take(3)} want-only=${(want.keySet -- got.keySet).take(3)}")
+  }
 }

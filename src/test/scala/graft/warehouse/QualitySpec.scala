@@ -58,6 +58,20 @@ class QualitySpec extends SparkSpec {
     assert(got == Seq((6L, 8L, 3L), (10L, 999L, 990L), (1001L, 2049L, 1049L)))
   }
 
+  test("observed metrics: the piggybacked pass sees every row exactly once") {
+    val m = Quality.observedMetrics(spark, sfDir).head()
+    val ev = Tables.events(spark, sfDir)
+    assert(m.getAs[Long]("n_rows") == ev.count())
+    assert(m.getAs[Long]("n_null_value") ==
+      ev.filter(col("value").isNull).count())
+    val wantSum = ev.agg(sum(col("value").cast("decimal(18,2)"))).head()
+      .getDecimal(0).doubleValue()
+    assert(math.abs(m.getAs[Double]("value_sum") - wantSum) < 0.01)
+    val bounds = ev.agg(min("ts"), max("ts")).head()
+    assert(m.getAs[java.sql.Timestamp]("min_ts") == bounds.getTimestamp(0))
+    assert(m.getAs[java.sql.Timestamp]("max_ts") == bounds.getTimestamp(1))
+  }
+
   test("key skew report: top-10 heaviest suppkeys, internally consistent") {
     val r = Quality.keySkewReport(spark, sfDir).collect()
     assert(r.length == 10)
