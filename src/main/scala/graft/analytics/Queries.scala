@@ -563,4 +563,101 @@ object Queries {
       |       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
       |         AS priorities
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** TPC-H Q1, the pricing summary report — the canonical scan-heavy
+    * aggregate benchmark anchor (the driver corpus carries the full
+    * TPC-H pricing columns, so the classic is runnable verbatim):
+    * per (returnflag, linestatus), the quantity/price/discount/tax
+    * rollup over everything shipped by the cutoff date.
+    *
+    * Shape at 100 TB: this is THE map-side-combine showcase — one
+    * parquet scan with the shipdate predicate pushed, eight partial
+    * aggregates per task into a 4-6 group hash table, one tiny final
+    * exchange. Money math is decimal end-to-end (doubles would drift
+    * under reassociation at 6B rows); averages divide once at the edge.
+    * The cutoff is the standard DATE '1998-12-01' - 90 days. */
+  def tpchQ1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).as("sum_qty"),
+        sum(price).as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc)).as("sum_disc_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc) *
+          (lit(1).cast("decimal(18,2)") + tax)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_base_price").cast("double").as("sum_base_price"),
+        round(col("sum_disc_price").cast("double"), 2).as("sum_disc_price"),
+        round(col("sum_charge").cast("double"), 2).as("sum_charge"),
+        round(col("sum_qty").cast("double") / col("count_order"), 6).as("avg_qty"),
+        round(col("sum_base_price").cast("double") / col("count_order"), 6)
+          .as("avg_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val tpchQ1PricingSql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |         CAST(l_discount AS DECIMAL(18,2)) AS disc,
+      |         CAST(l_tax AS DECIMAL(18,2)) AS tax
+      |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |), a AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         sum(qty) AS sum_qty,
+      |         sum(price) AS sum_base_price,
+      |         sum(price * (CAST(1 AS DECIMAL(18,2)) - disc)) AS sum_disc_price,
+      |         sum(price * (CAST(1 AS DECIMAL(18,2)) - disc)
+      |             * (CAST(1 AS DECIMAL(18,2)) + tax)) AS sum_charge,
+      |         count(*) AS count_order
+      |  FROM l GROUP BY 1, 2
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(sum_qty AS DOUBLE) AS sum_qty,
+      |       CAST(sum_base_price AS DOUBLE) AS sum_base_price,
+      |       round(CAST(sum_disc_price AS DOUBLE), 2) AS sum_disc_price,
+      |       round(CAST(sum_charge AS DOUBLE), 2) AS sum_charge,
+      |       round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
+      |       round(CAST(sum_base_price AS DOUBLE) / count_order, 6) AS avg_price,
+      |       count_order
+      |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6, the forecast-revenue-change query — the canonical
+    * PREDICATE-PUSHDOWN anchor: three range predicates, no join, no
+    * group — revenue = Σ price·discount over a year of shipments in a
+    * discount/quantity band. The whole query is one pushed scan and a
+    * 1-row decimal reduce; its plan (PushedFilters on all three
+    * columns, no Exchange before the final 1-row aggregate) is pinned
+    * in PlanSpec. */
+  def tpchQ6Revenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("date") &&
+        col("l_shipdate") < lit("1995-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(18,2)")).cast("double"), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val tpchQ6RevenueSql: String =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |         AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
 }

@@ -287,6 +287,37 @@ class PlanSpec extends SparkSpec {
       s"sweep window lost its brand partition:\n${specs.mkString("\n")}")
   }
 
+  test("tpch q6: all three predicates pushed, 1-row reduce, no wide exchange") {
+    val df = graft.analytics.Queries.tpchQ6Revenue(spark, sfDir)
+    val initial = df.queryExecution.executedPlan.toString
+    // the scan must carry pushed filters on every predicate column
+    assert(initial.contains("PushedFilters"), initial.take(2000))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      val pushed = initial.linesIterator
+        .filter(_.contains("PushedFilters")).mkString
+      assert(pushed.contains(c), s"$c not pushed:\n$pushed")
+    }
+    // scan reads only the needed columns — no full-width projection
+    val readSchema = initial.linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"column pruning failed:\n$readSchema")
+    // the only exchange is the final partial→1-row merge
+    assert(!initial.contains("hashpartitioning"),
+      s"unexpected wide exchange:\n${initial.take(2000)}")
+  }
+
+  test("tpch q1: one scan, partial aggregation before the exchange") {
+    val df = graft.analytics.Queries.tpchQ1Pricing(spark, sfDir)
+    val initial = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(initial).size
+    assert(scans == 1, s"expected one lineitem scan, saw $scans")
+    assert(initial.contains("partial_sum"),
+      s"map-side combine missing:\n${initial.take(2000)}")
+    assert(initial.contains("PushedFilters") && initial.contains("l_shipdate"),
+      initial.take(2000))
+  }
+
   test("basket pairs: pairs, part counts, and totals all read the cached baskets") {
     val df = graft.analytics.Behavior.basketPartPairs(spark, sfDir)
     val initial = df.queryExecution.executedPlan.toString
