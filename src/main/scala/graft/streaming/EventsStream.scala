@@ -699,4 +699,23 @@ object EventsStream {
           alerts.result().iterator
       }
   }
+
+  /** Streaming heavy hitters — the native [[graft.functions.MisraGries]]
+    * TypedImperativeAggregate inside a watermarked tumbling-window
+    * streaming aggregation: per hour, the approximate top event types
+    * with guaranteed-error counts. The aggregate's mergeable fixed-k
+    * summaries are exactly what streaming state wants — each window
+    * holds ≤ k counters per key no matter the rate, micro-batch partials
+    * merge associatively, and the window finalizes when the watermark
+    * passes (Append mode). The same expression drives the batch entry
+    * (`heavy_hitters_check`), so stream and batch share one kernel. */
+  def streamingHeavyHitters(events: DataFrame, k: Int = 4): DataFrame = {
+    graft.functions.MisraGries.register(events.sparkSession)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr(s"misra_gries(event_type, $k)").as("sketch"))
+      .select(col("w.start").as("hour_start"), explode(col("sketch"))
+        .as(Seq("event_type", "min_count")))
+  }
 }

@@ -356,6 +356,40 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming heavy hitters: finalized windows match the batch sketch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val df = source.toDF().toDF("ts", "event_type", "value")
+    val query = EventsStream.streamingHeavyHitters(df, k = 2)
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode("append").start()
+    try {
+      // hour 10: a×3, b×2, c×1 — k=2 keeps the two real heavies; the
+      // 14h event advances the watermark (12h) past the 10h window
+      val rows = Seq(
+        (ts("2024-01-01 10:00:00"), "a", 0.0), (ts("2024-01-01 10:01:00"), "a", 0.0),
+        (ts("2024-01-01 10:02:00"), "b", 0.0), (ts("2024-01-01 10:03:00"), "c", 0.0),
+        (ts("2024-01-01 10:04:00"), "a", 0.0), (ts("2024-01-01 10:05:00"), "b", 0.0),
+        (ts("2024-01-01 14:00:00"), "z", 0.0))
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("hh_test")
+        .filter(col("hour_start") === ts("2024-01-01 10:00:00"))
+        .select("event_type", "min_count").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch twin: the same expression over the same rows
+      graft.functions.MisraGries.register(spark)
+      val want = rows.toDF("ts", "event_type", "value")
+        .filter(col("ts") < ts("2024-01-01 11:00:00"))
+        .agg(expr("misra_gries(event_type, 2)")).head()
+        .getMap[String, Long](0)
+      assert(got == want.toMap, s"got $got want $want")
+      // Misra-Gries guarantee at k=2 over 6 rows: true count − n/(k+1) ≤ est
+      assert(got("a") >= 3 - 2 && got.keySet.contains("a"))
+    } finally query.stop()
+  }
+
   test("streaming cusum: closed-form alerts fire exactly at the crossing") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
