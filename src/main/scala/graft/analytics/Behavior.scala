@@ -1092,4 +1092,86 @@ object Behavior {
        |)
        |SELECT rank, path, n_users, user_share
        |FROM r WHERE rank <= $PathTopK ORDER BY rank""".stripMargin
+
+  /** Within-session conversion — the funnel measured INSIDE session
+    * boundaries: of all sessions (the
+    * [[graft.streaming.EventsStream.SessionGapMs]] gap rule, same
+    * constant as the sessionizer family), how many contain a view, and
+    * of those, how many convert with a purchase strictly after the
+    * session's first view. Cross-session journeys deliberately don't
+    * count — that distinction (session conversion vs the user-lifetime
+    * `events_funnel`) is the point of the metric.
+    *
+    * Shape at 100 TB: session ids are the standard two-window pass over
+    * user-keyed partitions (boundary flag, running sum — both
+    * distributed); per-session flags collapse map-side; the output is
+    * one row. */
+  def sessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = graft.streaming.EventsStream.SessionGapMs * 1000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val s = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs)
+          .cast("long"))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+    val perSession = s.groupBy("user_id", "session_id")
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("first_view"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("last_purchase"))
+    perSession.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("first_view").isNotNull, 1L).otherwise(0L))
+        .as("n_with_view"),
+      sum(when(col("first_view").isNotNull &&
+        col("last_purchase") > col("first_view"), 1L).otherwise(0L))
+        .as("n_converted"))
+      .select(col("n_sessions"), col("n_with_view"), col("n_converted"),
+        when(col("n_with_view") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_converted").cast("double") /
+            col("n_with_view"), 6)).as("conversion_rate"))
+  }
+
+  val sessionConversionSql: String = {
+    val gapUs = graft.streaming.EventsStream.SessionGapMs * 1000L
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, event_type,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events
+       |), b AS (
+       |  SELECT user_id, event_id, event_type, tu,
+       |         CASE WHEN tu - LAG(tu, 1) OVER w IS NULL
+       |                OR tu - LAG(tu, 1) OVER w > $gapUs
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM t
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+       |), s AS (
+       |  SELECT user_id, event_type, tu,
+       |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tu, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS session_id
+       |  FROM b
+       |), per_session AS (
+       |  SELECT user_id, session_id,
+       |         min(CASE WHEN event_type = 'view' THEN tu END) AS first_view,
+       |         max(CASE WHEN event_type = 'purchase' THEN tu END) AS last_purchase
+       |  FROM s GROUP BY 1, 2
+       |), a AS (
+       |  SELECT count(*) AS n_sessions,
+       |         CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_with_view,
+       |         CAST(sum(CASE WHEN first_view IS NOT NULL
+       |                        AND last_purchase > first_view
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+       |  FROM per_session
+       |)
+       |SELECT n_sessions, n_with_view, n_converted,
+       |       CASE WHEN n_with_view = 0 THEN NULL
+       |            ELSE round(CAST(n_converted AS DOUBLE) / n_with_view, 6)
+       |       END AS conversion_rate
+       |FROM a""".stripMargin
+  }
 }

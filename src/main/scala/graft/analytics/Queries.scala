@@ -660,4 +660,57 @@ object Queries {
       |  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3 (shipping priority), adapted to the corpus's columns
+    * (orders has no o_shippriority; the segment/date structure is
+    * verbatim): the 10 highest-revenue unshipped BUILDING-segment
+    * orders — customer-filtered orders joined to future-shipped lines,
+    * revenue-ranked. The canonical join + aggregate + top-k anchor.
+    *
+    * Shape at 100 TB: the segment filter reduces customer BEFORE the
+    * join (Catalyst pushes it; the reduced dim broadcasts under AQE),
+    * orders⋈lineitem shuffles on orderkey with both date predicates
+    * pushed to their scans, revenue collapses map-side per orderkey,
+    * and the top-10 is TakeOrderedAndProject — never a global sort of
+    * the aggregate. */
+  def tpchQ3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("date")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum(col("rev")).as("revenue"))
+      .select(col("o_orderkey"),
+        round(col("revenue"), 2).cast("double").as("revenue"),
+        col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val tpchQ3ShippingSql: String =
+    """SELECT o_orderkey,
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                      * (CAST(1 AS DECIMAL(18,2))
+      |                         - CAST(l_discount AS DECIMAL(18,2)))), 2)
+      |            AS DOUBLE) AS revenue,
+      |       CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
 }

@@ -390,6 +390,37 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("lift") - 12.0 / 9.0) < 1e-6)
   }
 
+  test("session conversion: flags reconcile against a driver-side sessionizer") {
+    val r = Behavior.sessionConversion(spark, sfDir).head()
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map { x =>
+        val i = x.getTimestamp(2).toInstant
+        (x.getLong(0), x.getLong(1),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L, x.getString(3))
+      }
+    val gapUs = graft.streaming.EventsStream.SessionGapMs * 1000L
+    val sessions = ev.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(e => (e._3, e._2))
+      val buf = scala.collection.mutable.ListBuffer(scala.collection.mutable.ListBuffer(sorted.head))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b._3 - a._3 > gapUs) buf += scala.collection.mutable.ListBuffer(b)
+          else buf.last += b
+        case _ =>
+      }
+      buf.map(_.toSeq)
+    }.toSeq
+    assert(r.getAs[Long]("n_sessions") == sessions.length)
+    val withView = sessions.filter(_.exists(_._4 == "view"))
+    assert(r.getAs[Long]("n_with_view") == withView.length)
+    val converted = withView.count { s =>
+      val fv = s.filter(_._4 == "view").map(_._3).min
+      s.exists(e => e._4 == "purchase" && e._3 > fv)
+    }
+    assert(r.getAs[Long]("n_converted") == converted)
+  }
+
   test("ab test zscore: A/A arms partition users, z recomputes from counts") {
     val r = Behavior.abTestZscore(spark, sfDir).head()
     val (nc, nt) = (r.getAs[Long]("n_control"), r.getAs[Long]("n_treatment"))
