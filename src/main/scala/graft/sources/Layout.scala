@@ -300,4 +300,96 @@ object Layout {
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(loc).count(s => s.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Simulated deletion-request list for [[forgetUsers]]: every 137th
+    * user. In production the list arrives from the privacy system; the
+    * modulus stands in deterministically. */
+  private val ForgetMod = 137
+
+  /** Right-to-be-forgotten rewrite — the GDPR/CCPA delete on immutable
+    * columnar storage: drop every event of the requested users by
+    * rewriting ONLY the partitions that contain them. The three-step
+    * pattern every lakehouse delete implements under the hood:
+    *   1. locate — join the forget list (broadcast; deletion batches
+    *      are tiny) against the table to find the AFFECTED partitions;
+    *   2. rewrite — anti-join just those partitions' rows and
+    *      dynamic-partition-overwrite them in place; untouched
+    *      partitions keep their original files byte-for-byte;
+    *   3. audit — report the partition/row/user accounting the privacy
+    *      team files.
+    * At 100 TB the pruning is the entire ballgame: a user's events
+    * cluster in a handful of date partitions, so the rewrite touches
+    * GBs, not the full table (a naive overwrite-everything delete IS
+    * the full table). Output is the 1-row audit.
+    *
+    * Edge case the audit exists to catch: dynamic overwrite only
+    * replaces partitions PRESENT in the written batch, so a partition
+    * whose every row belonged to forgotten users would keep its stale
+    * files (a production delete issues explicit per-partition drops for
+    * those). `forgotten_rows_remaining` would then be nonzero and the
+    * oracle compare fails loudly — the audit is the safety net, not
+    * decoration. */
+  def forgetUsers(spark: SparkSession, dir: String): DataFrame = {
+    recreate(spark, "graft_events_rtbf")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast("date").as("m"))
+    ev.write.partitionBy("m").mode("overwrite")
+      .saveAsTable("graft_events_rtbf")
+    // materialize the locate step BEFORE the rewrite mutates the table —
+    // lazy frames re-reading the overwritten table would audit the wrong
+    // state (and report zero affected partitions)
+    val forget = ev.select("user_id").distinct()
+      .filter(col("user_id") % ForgetMod === 0)
+      .localCheckpoint()
+    val t = spark.table("graft_events_rtbf")
+    val affected = t.join(broadcast(forget), "user_id")
+      .select("m").distinct()
+      .localCheckpoint()
+    val rewritten = t.join(broadcast(affected), "m")
+      .join(broadcast(forget), Seq("user_id"), "left_anti")
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    // insertInto resolves by position: match the table's column order
+    // (partition column last)
+    try rewritten.select("event_id", "user_id", "value", "m")
+      .write.mode("overwrite").insertInto("graft_events_rtbf")
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    val after = spark.table("graft_events_rtbf")
+    after.agg(
+      countDistinct(col("m")).as("n_partitions"),
+      count(lit(1)).as("rows_after"),
+      sum(when(col("user_id") % ForgetMod === 0, 1L).otherwise(0L))
+        .as("forgotten_rows_remaining"))
+      .crossJoin(broadcast(affected.agg(
+        count(lit(1)).as("n_partitions_rewritten"))))
+      .crossJoin(broadcast(forget.agg(
+        count(lit(1)).as("n_users_forgotten"))))
+      .select(col("n_partitions"), col("n_partitions_rewritten"),
+        col("rows_after"), col("forgotten_rows_remaining"),
+        col("n_users_forgotten"))
+  }
+
+  /** Oracle: the post-delete state computed directly — every partition
+    * present, affected-partition accounting from the forget list, zero
+    * surviving rows for forgotten users. */
+  val forgetUsersSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, CAST(ts AS DATE) AS m
+       |  FROM events
+       |), forget AS (
+       |  SELECT DISTINCT user_id FROM ev WHERE user_id % $ForgetMod = 0
+       |), affected AS (
+       |  SELECT DISTINCT m FROM ev JOIN forget USING (user_id)
+       |)
+       |SELECT (SELECT count(DISTINCT m) FROM ev) AS n_partitions,
+       |       (SELECT count(*) FROM affected) AS n_partitions_rewritten,
+       |       (SELECT count(*) FROM ev WHERE user_id % $ForgetMod <> 0)
+       |         AS rows_after,
+       |       CAST(0 AS BIGINT) AS forgotten_rows_remaining,
+       |       (SELECT count(*) FROM forget) AS n_users_forgotten""".stripMargin
 }

@@ -66,4 +66,18 @@ class LayoutSpec extends SparkSpec {
     assert(rep.count() ==
       ev.filter(col("event_type") === "purchase" && col("value").isNotNull).count())
   }
+
+  test("forget users: audit reconciles and no forgotten row survives the rewrite") {
+    val r = Layout.forgetUsers(spark, sfDir).head()
+    assert(r.getAs[Long]("forgotten_rows_remaining") == 0L)
+    assert(r.getAs[Long]("n_partitions_rewritten") <= r.getAs[Long]("n_partitions"))
+    // the physical table truly no longer carries the forgotten users
+    val after = spark.table("graft_events_rtbf")
+    assert(after.filter(col("user_id") % 137 === 0).isEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+    val wantRows = ev.filter(col("user_id") % 137 =!= 0).count()
+    assert(r.getAs[Long]("rows_after") == wantRows)
+    assert(r.getAs[Long]("n_users_forgotten") ==
+      ev.select("user_id").distinct().filter(col("user_id") % 137 === 0).count())
+  }
 }
