@@ -109,4 +109,64 @@ object Csv {
       |       CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price_sum
       |FROM part WHERE p_retailprice > 905
       |GROUP BY 1 ORDER BY brand""".stripMargin
+
+  /** Every [[CorruptEveryNth]]-th JSONL line is corrupted by the stage
+    * writer — the deterministic stand-in for the malformed records any
+    * real feed carries. */
+  private val CorruptEveryNth = 10
+
+  /** Malformed-input quarantine — PERMISSIVE JSONL ingestion with a
+    * `_corrupt_record` column: the ingest robustness pattern a feed
+    * pipeline runs so one bad line quarantines ONE ROW instead of
+    * failing the job (FAILFAST) or silently vanishing (DROPMALFORMED).
+    * The entry stages the documents table as JSONL, deterministically
+    * truncating every [[CorruptEveryNth]]-th line mid-record, reads it
+    * back in PERMISSIVE mode, and reports the audit: clean rows,
+    * quarantined rows, and the surviving id/char accounting. The oracle
+    * re-derives the same counts from the source table and the
+    * corruption rule — an ingest that dropped or double-counted a
+    * quarantined line hash-mismatches.
+    *
+    * Shape at 100 TB: corruption handling is per-line map work inside
+    * the scan (no shuffle); the audit is one aggregate. The text stage
+    * is written via the DataFrame text sink (distributed), one line per
+    * row, corruption applied as a codegen'd projection. */
+  def jsonlCorruptAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = "target/jsonl_stage/documents_corrupt"
+    val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), line.as("line"))
+      .select(when(col("doc_id") % CorruptEveryNth === 0,
+        // cut mid-record: unparseable, but still one line
+        substring(col("line"), 1, 11)).otherwise(col("line")).as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    read.agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+        .as("n_quarantined"),
+      sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("chars_clean"),
+      max(when(col("_corrupt_record").isNull, col("doc_id"))).as("max_clean_id"))
+  }
+
+  val jsonlCorruptAuditSql: String =
+    s"""SELECT count(*) AS n_lines,
+       |       CAST(sum(CASE WHEN doc_id % $CorruptEveryNth <> 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_clean,
+       |       CAST(sum(CASE WHEN doc_id % $CorruptEveryNth = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_quarantined,
+       |       CAST(sum(CASE WHEN doc_id % $CorruptEveryNth <> 0 THEN n_chars END)
+       |            AS BIGINT) AS chars_clean,
+       |       max(CASE WHEN doc_id % $CorruptEveryNth <> 0 THEN doc_id END)
+       |         AS max_clean_id
+       |FROM documents""".stripMargin
 }

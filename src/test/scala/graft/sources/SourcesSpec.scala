@@ -28,4 +28,19 @@ class SourcesSpec extends SparkSpec {
     assert(scanLine.contains("p_retailprice") || plan.contains("PushedFilters: [IsNotNull(p_retailprice), GreaterThan(p_retailprice"),
       plan.take(3000))
   }
+
+  test("jsonl corrupt audit: exactly the corrupted lines quarantine, none vanish") {
+    val r = Csv.jsonlCorruptAudit(spark, sfDir).head()
+    val docs = graft.Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val bad = docs.filter(col("doc_id") % 10 === 0).count()
+    // PERMISSIVE must keep every line as a row: quarantined + clean = total
+    assert(r.getAs[Long]("n_lines") == total)
+    assert(r.getAs[Long]("n_quarantined") == bad)
+    assert(r.getAs[Long]("n_clean") == total - bad)
+    // a quarantined row contributes no typed fields
+    val chars = docs.filter(col("doc_id") % 10 =!= 0)
+      .agg(sum("n_chars")).head().getLong(0)
+    assert(r.getAs[Long]("chars_clean") == chars)
+  }
 }
