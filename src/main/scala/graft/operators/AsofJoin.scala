@@ -217,4 +217,87 @@ object AsofJoin {
       |    ON r.user_id = l.user_id AND r.ts < l.ts AND r.event_type = 'error'
       |) WHERE rn = 1
       |ORDER BY event_id""".stripMargin
+
+  /** Tolerance for [[asofJoinNearest]] (±1 hour in µs). */
+  private val NearestTolUs = 3600L * 1000000
+
+  /** Nearest as-of — pandas `merge_asof(direction='nearest')`, the third
+    * direction completing the family: for every event, the same user's
+    * CLOSEST 'error' event within ±1 hour, whichever side of the
+    * timestamp it falls on (the sensor-fusion / log-correlation lookup).
+    * Composed from the two directional kernels — one backward pass, one
+    * forward pass over its output (each the one-shuffle union+window
+    * kernel; no non-equi join anywhere) — then a per-row pick of the
+    * smaller |Δt|. Ties (equidistant candidates) resolve BACKWARD
+    * (the earlier error), matching the oracle's
+    * (|Δt|, r.ts, direction-specific id) total order. Strict on both
+    * sides: an error AT the event's own timestamp (including itself)
+    * never matches. */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
+    val payload = struct(col("ts").as("r_ts"), col("err_id"))
+    val b = asOf(left, errors, key = "user_id", ts = "ts",
+      tie = col("err_id"), payload = payload, strict = true)
+      .withColumnRenamed("_asof", "_b")
+    val bf = asOfForward(b, errors, key = "user_id", ts = "ts",
+      tie = col("err_id"), payload = payload, strict = true,
+      within = (l, r) => unix_micros(r) - unix_micros(l) <= NearestTolUs)
+      .withColumnRenamed("_asof", "_f")
+    val dtB = unix_micros(col("ts")) - unix_micros(col("_b.r_ts"))
+    val dtF = unix_micros(col("_f.r_ts")) - unix_micros(col("ts"))
+    val bOk = col("_b").isNotNull && dtB <= NearestTolUs
+    val fOk = col("_f").isNotNull
+    bf.select(col("event_id"), col("user_id"), col("ts"),
+      when(bOk && (!fOk || dtB <= dtF), col("_b.err_id"))
+        .when(fOk, col("_f.err_id")).as("nearest_error_id"),
+      when(bOk && (!fOk || dtB <= dtF), -dtB)
+        .when(fOk, dtF).as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle: both directional top-1s as naive non-equi joins with the
+    * kernels' exact tie-breaks, then the same smaller-|Δt| pick. */
+  val asofJoinNearestSql: String =
+    s"""WITH l AS (
+       |  SELECT event_id, user_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+       |  FROM events
+       |), err AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+       |         event_id AS eid
+       |  FROM events WHERE event_type = 'error'
+       |), b AS (
+       |  SELECT event_id, beid, btu FROM (
+       |    SELECT l.event_id, r.eid AS beid, r.tu AS btu,
+       |           row_number() OVER (PARTITION BY l.event_id
+       |             ORDER BY r.tu DESC, r.eid DESC) AS rn
+       |    FROM l LEFT JOIN err r
+       |      ON r.user_id = l.user_id AND r.tu < l.tu
+       |     AND l.tu - r.tu <= $NearestTolUs
+       |  ) WHERE rn = 1
+       |), f AS (
+       |  SELECT event_id, feid, ftu FROM (
+       |    SELECT l.event_id, r.eid AS feid, r.tu AS ftu,
+       |           row_number() OVER (PARTITION BY l.event_id
+       |             ORDER BY r.tu ASC, r.eid ASC) AS rn
+       |    FROM l LEFT JOIN err r
+       |      ON r.user_id = l.user_id AND r.tu > l.tu
+       |     AND r.tu - l.tu <= $NearestTolUs
+       |  ) WHERE rn = 1
+       |)
+       |SELECT l.event_id, l.user_id, l.ts,
+       |       CASE WHEN beid IS NOT NULL
+       |                  AND (feid IS NULL OR l.tu - btu <= ftu - l.tu)
+       |            THEN beid ELSE feid END AS nearest_error_id,
+       |       CASE WHEN beid IS NOT NULL
+       |                  AND (feid IS NULL OR l.tu - btu <= ftu - l.tu)
+       |            THEN -(l.tu - btu)
+       |            WHEN feid IS NOT NULL THEN ftu - l.tu
+       |       END AS delta_us
+       |FROM l
+       |JOIN b USING (event_id)
+       |JOIN f USING (event_id)
+       |ORDER BY event_id""".stripMargin
 }

@@ -149,4 +149,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"as-of kernel must hash-shuffle exactly once on the key, saw $hashExchanges:\n${plan.take(3000)}")
   }
+
+  test("nearest as-of: smaller |Δt| wins, equidistant resolves backward") {
+    val got = graft.operators.AsofJoin.asofJoinNearest(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4))))).toMap
+    // independent replay over the raw events
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map { r =>
+        val i = r.getTimestamp(2).toInstant
+        (r.getLong(0), r.getLong(1),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L, r.getString(3))
+      }
+    val errsByUser = ev.filter(_._4 == "error").groupBy(_._2)
+    val tol = 3600L * 1000000
+    ev.foreach { case (id, user, tu, _) =>
+      val cands = errsByUser.getOrElse(user, Array.empty)
+        .filter(e => e._3 != tu && math.abs(e._3 - tu) <= tol)
+      val want =
+        if (cands.isEmpty) None
+        else {
+          // order: |Δt| asc, then earlier-side preference via ts asc,
+          // with the directional id tie-breaks (desc before, asc after)
+          val best = cands.minBy(e => (math.abs(e._3 - tu), e._3,
+            if (e._3 < tu) -e._1 else e._1))
+          Some((best._1, best._3 - tu))
+        }
+      assert(got(id) == want, s"event $id: got ${got(id)} want $want")
+    }
+  }
 }
