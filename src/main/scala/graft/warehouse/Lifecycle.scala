@@ -173,4 +173,38 @@ object Lifecycle {
       |       count(CASE WHEN value IS NULL THEN 1 END) AS n_missing,
       |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS value_sum
       |FROM evolved GROUP BY 1 ORDER BY user_mod""".stripMargin
+
+  /** The ONE SQL text both engines run verbatim for [[sqlDirectQuery]] —
+    * written in the ANSI intersection of Spark SQL and DuckDB (no
+    * dialect casts, no engine-specific functions), which is exactly the
+    * migration surface a reference user cares about: their SQL runs
+    * unchanged. */
+  val SharedSql: String =
+    """SELECT n_name AS nation, o_orderpriority AS priority,
+      |       count(*) AS n_orders,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |         AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY n_name, o_orderpriority
+      |HAVING count(*) > 10
+      |ORDER BY nation, priority""".stripMargin
+
+  /** SQL entry point — the reference is driven by SQL scripts, so the
+    * switch-over story needs the TEXT interface, not just the DataFrame
+    * one: register the corpus as temp views and execute [[SharedSql]]
+    * with `spark.sql`. The oracle is the IDENTICAL string (the registry's
+    * only entry where both engines parse the same characters), so any
+    * dialect divergence in parsing, name resolution, decimal division or
+    * HAVING semantics fails the hash compare. Plan-wise this is the same
+    * Catalyst pipeline as the DataFrame API — views are lazy scans,
+    * pushdown and broadcast decisions unchanged. */
+  def sqlDirectQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(SharedSql)
+  }
 }

@@ -23,4 +23,19 @@ class LifecycleSpec extends SparkSpec {
       .filter(col("event_id") % 2 === 1 && col("value").isNotNull).count()
     assert(merged.filter(col("value").isNotNull).count() == sourceOddNonNull)
   }
+
+  test("sql direct query: the shared text equals the DataFrame formulation") {
+    val viaSql = Lifecycle.sqlDirectQuery(spark, sfDir)
+    val viaDf = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("n_name").as("nation"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
+      .filter(col("n_orders") > 10)
+    assert(viaSql.count() > 0)
+    assert(viaSql.except(viaDf).isEmpty && viaDf.except(viaSql).isEmpty)
+  }
 }
