@@ -777,4 +777,69 @@ object Quantiles {
        |GROUP BY lang, qn
        |ORDER BY lang, quantile""".stripMargin
   }
+
+  /** Columns profiled by [[numericCorrMatrix]], in pair order. */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson correlation matrix over lineitem's numeric
+    * columns — the profiling pass a feature-engineering or data-contract
+    * check runs to catch collinear or accidentally-copied columns. All
+    * C(4,2) coefficients come from ONE aggregate pass: per-column sums
+    * and squares plus the six cross-products collapse map-side (15
+    * partial aggregates in one hash table), the matrix rows expand
+    * in-row from the single result row (the `table_profile` idiom — no
+    * second scan, no join), and r derives from the decimal-exact
+    * moments in per-row double arithmetic, so both engines emit
+    * bit-identical coefficients. */
+  def numericCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def d(c: String) = col(c).cast("decimal(12,2)")
+    val pairs = CorrCols.combinations(2).map(p => (p(0), p(1))).toSeq
+    val aggs = count(lit(1)).as("n") +:
+      (CorrCols.flatMap(c => Seq(
+        sum(d(c)).as(s"s_$c"), sum(d(c) * d(c)).as(s"ss_$c"))) ++
+        pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"sp_${a}_$b") })
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    def corr(a: String, b: String): Column = {
+      val n = col("n").cast("double")
+      val (sa, sb) = (col(s"s_$a").cast("double"), col(s"s_$b").cast("double"))
+      val cov = n * col(s"sp_${a}_$b").cast("double") - sa * sb
+      val va = n * col(s"ss_$a").cast("double") - sa * sa
+      val vb = n * col(s"ss_$b").cast("double") - sb * sb
+      round(cov / sqrt(va * vb), 6)
+    }
+    m.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n"), corr(a, b).as("pearson_r"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("col_a", "col_b")
+  }
+
+  val numericCorrMatrixSql: String = {
+    val pairs = CorrCols.combinations(2).map(p => (p(0), p(1))).toSeq
+    val aggSql = (CorrCols.flatMap(c => Seq(
+      s"sum(CAST($c AS DECIMAL(12,2))) AS s_$c",
+      s"sum(CAST($c AS DECIMAL(12,2)) * CAST($c AS DECIMAL(12,2))) AS ss_$c")) ++
+      pairs.map { case (a, b) =>
+        s"sum(CAST($a AS DECIMAL(12,2)) * CAST($b AS DECIMAL(12,2))) AS sp_${a}_$b"
+      }).mkString(",\n       |         ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |       round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+         |              - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |             / sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+         |                     - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |                    * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+         |                       - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))),
+         |             6) AS pearson_r FROM a""".stripMargin
+    }.mkString("\n|UNION ALL\n|").stripMargin
+    s"""WITH a AS (
+       |  SELECT count(*) AS n,
+       |         $aggSql
+       |  FROM lineitem
+       |)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 }

@@ -306,4 +306,15 @@ class QuantilesSpec extends SparkSpec {
       assert(gotCut == cut, s"$lang $qn: got $gotCut want $cut")
     }
   }
+
+  test("corr matrix: six pairs, |r| bounded, price-quantity matches Spark's corr") {
+    val m = Quantiles.numericCorrMatrix(spark, sfDir).collect()
+    assert(m.length == 6)
+    assert(m.forall(r => math.abs(r.getAs[Double]("pearson_r")) <= 1.0 + 1e-9))
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .agg(corr(col("l_quantity"), col("l_extendedprice"))).head().getDouble(0)
+    val got = m.find(r => r.getString(0) == "l_quantity" &&
+      r.getString(1) == "l_extendedprice").get.getAs[Double]("pearson_r")
+    assert(math.abs(got - want) < 1e-4, s"got $got want $want")
+  }
 }
