@@ -813,4 +813,58 @@ object Stats {
       |             / CAST(a.rev AS DOUBLE), 6) AS ape
       |FROM monthly a JOIN monthly f ON a.midx = f.midx + 12
       |ORDER BY month""".stripMargin
+
+  /** Daily revenue volatility — the sample standard deviation of daily
+    * percentage returns r_t = rev_t / rev_{t-1} − 1, the risk metric
+    * finance dashboards track beside the level series. Returns are
+    * computed between consecutive OBSERVED days (the `monthly_revenue_mom`
+    * lag stance), 6dp-rounded before the moment sums so both engines
+    * aggregate identical decimals; the stddev derives from decimal-exact
+    * moments in per-row double arithmetic (the `embedding_dim_stats`
+    * discipline — never a float stddev aggregate, whose combination
+    * order differs across engines).
+    *
+    * Shape at 100 TB: the fact stream collapses to one row per date
+    * map-side; the lag and the 1-row moment reduce ride the
+    * calendar-bounded frame. */
+  def revenueVolatility(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy("d")
+    val ret = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(round(col("rev").cast("double") / col("prev").cast("double") - 1.0, 6)
+        .cast("decimal(18,6)").as("r"))
+    ret.agg(count(lit(1)).as("n_returns"),
+      sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"))
+      .select(col("n_returns"),
+        round(col("sr").cast("double") / col("n_returns"), 6).as("mean_return"),
+        round(sqrt((col("srr").cast("double") -
+          col("sr").cast("double") * col("sr").cast("double") / col("n_returns")) /
+          (col("n_returns") - 1)), 6).as("volatility"))
+  }
+
+  val revenueVolatilitySql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |), ret AS (
+      |  SELECT CAST(round(CAST(rev AS DOUBLE)
+      |                    / CAST(lag(rev) OVER (ORDER BY d) AS DOUBLE)
+      |                    - 1.0, 6) AS DECIMAL(18,6)) AS r
+      |  FROM daily
+      |  QUALIFY lag(rev) OVER (ORDER BY d) IS NOT NULL
+      |), a AS (
+      |  SELECT count(*) AS n_returns, sum(r) AS sr, sum(r * r) AS srr FROM ret
+      |)
+      |SELECT n_returns,
+      |       round(CAST(sr AS DOUBLE) / n_returns, 6) AS mean_return,
+      |       round(sqrt((CAST(srr AS DOUBLE)
+      |                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n_returns)
+      |                  / (n_returns - 1)), 6) AS volatility
+      |FROM a""".stripMargin
 }

@@ -392,4 +392,64 @@ object Windows {
       |      AND p.p_size = f.msize
       |WHERE prev_max IS NULL OR msize > prev_max
       |ORDER BY brand, price, p.p_partkey""".stripMargin
+
+  /** Time-weighted average of `value` per user — each observation holds
+    * until the user's NEXT event (step interpolation), so the weight is
+    * the interval to the successor, and TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ. The
+    * correct mean for irregularly sampled state (billing meters, sensor
+    * readings, feature freshness): the plain average over-weights bursts,
+    * exactly what this metric exists to fix. The user's last event has
+    * no successor and carries no weight (a half-open observation
+    * window); single-event users report NULL — no interval exists, and
+    * the guard keeps Spark's ANSI division from aborting where DuckDB
+    * would NULL.
+    *
+    * Shape at 100 TB: one user-keyed window (lead), then a per-user
+    * map-side-combined collapse. Weights are exact microsecond longs;
+    * the weighted sum accumulates v·Δt as 6dp-rounded decimals, so both
+    * engines divide identical numbers. */
+  def timeWeightedValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("dt_us",
+        unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dt_us")).as("span_us"),
+        sum(round(col("value") * col("dt_us"), 6).cast("decimal(28,6)"))
+          .as("vw"))
+      .select(col("user_id"), col("n_events"),
+        col("span_us"),
+        when(col("span_us").isNull || col("span_us") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("vw").cast("double") / col("span_us"), 6))
+          .as("twa_value"))
+      .orderBy("user_id")
+  }
+
+  val timeWeightedValueSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+      |         value
+      |  FROM events WHERE value IS NOT NULL
+      |), d AS (
+      |  SELECT user_id, value,
+      |         lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+      |           - tu AS dt_us
+      |  FROM t
+      |), a AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         CAST(sum(dt_us) AS BIGINT) AS span_us,
+      |         sum(CAST(round(value * dt_us, 6) AS DECIMAL(28,6))) AS vw
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT user_id, n_events, span_us,
+      |       CASE WHEN span_us IS NULL OR span_us = 0 THEN NULL
+      |            ELSE round(CAST(vw AS DOUBLE) / span_us, 6)
+      |       END AS twa_value
+      |FROM a ORDER BY user_id""".stripMargin
 }

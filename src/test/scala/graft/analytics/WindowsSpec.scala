@@ -159,6 +159,36 @@ class WindowsSpec extends SparkSpec {
     assert(rows.map(_._5).toSet == Set("core", "tail"))
   }
 
+  test("time-weighted average: replay matches, bursts don't over-weight") {
+    val got = Windows.timeWeightedValue(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getAs[Double]("twa_value")))).toMap
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map { r =>
+        val i = r.getTimestamp(2).toInstant
+        (r.getLong(0), r.getLong(1),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L, r.getDouble(3))
+      }
+    ev.groupBy(_._1).foreach { case (user, xs) =>
+      val sorted = xs.sortBy(e => (e._3, e._2))
+      val want =
+        if (sorted.length < 2) None
+        else {
+          val terms = sorted.sliding(2).collect { case Array(a, b) =>
+            val dt = b._3 - a._3
+            (BigDecimal(a._4 * dt).setScale(6, BigDecimal.RoundingMode.HALF_UP), dt)
+          }.toSeq
+          val span = terms.map(_._2).sum
+          if (span == 0) None
+          else Some(BigDecimal(terms.map(_._1).sum.toDouble / span)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      assert(got(user) == want, s"user $user: got ${got(user)} want $want")
+    }
+  }
+
   test("brand skyline: exact non-dominated set vs brute-force oracle") {
     val sky = Windows.brandSkyline(spark, sfDir)
       .select("brand", "p_partkey").collect()
