@@ -452,4 +452,62 @@ object Windows {
       |            ELSE round(CAST(vw AS DOUBLE) / span_us, 6)
       |       END AS twa_value
       |FROM a ORDER BY user_id""".stripMargin
+
+  /** Rows kept by name in [[topkWithOthers]]; the rest fold into OTHERS. */
+  private val OthersTopK = 5
+
+  /** Top-K with an OTHERS bucket — the BI presentation rollup every
+    * dashboard pie/bar needs: the [[OthersTopK]] highest-revenue
+    * nations by name, and everything else folded into one 'OTHERS' row
+    * so the total is preserved (a bare top-K silently drops the tail;
+    * the OTHERS row is what keeps the chart honest).
+    *
+    * Shape at 100 TB: revenue collapses to nation cells map-side
+    * (dimension-bounded), the rank windows over that bounded frame, and
+    * the fold is a second tiny aggregate. Ties at the K boundary break
+    * by name — deterministic on both engines. */
+  def topkWithOthers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNation = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val rk = Window.orderBy(col("rev").desc, col("nation"))
+    byNation
+      .withColumn("bucket",
+        when(row_number().over(rk) <= OthersTopK, col("nation"))
+          .otherwise(lit("OTHERS")))
+      .groupBy("bucket")
+      .agg(sum(col("rev")).as("rev"),
+        sum(col("n_orders")).as("n_orders"),
+        count(lit(1)).as("n_nations"))
+      .select(col("bucket"), round(col("rev"), 2).cast("double").as("revenue"),
+        col("n_orders"), col("n_nations"))
+      .orderBy(col("revenue").desc, col("bucket"))
+  }
+
+  val topkWithOthersSql: String =
+    s"""WITH by_nation AS (
+       |  SELECT n_name AS nation,
+       |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+       |         count(*) AS n_orders
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1
+       |), b AS (
+       |  SELECT CASE WHEN row_number() OVER (ORDER BY rev DESC, nation)
+       |                   <= $OthersTopK
+       |              THEN nation ELSE 'OTHERS' END AS bucket,
+       |         rev, n_orders
+       |  FROM by_nation
+       |)
+       |SELECT bucket, CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+       |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       |       count(*) AS n_nations
+       |FROM b GROUP BY bucket
+       |ORDER BY revenue DESC, bucket""".stripMargin
 }

@@ -254,6 +254,95 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Total sample budget allocated by [[neymanAllocation]]. */
+  private val NeymanBudget = 1000L
+
+  /** Neyman (optimal) stratified-sampling allocation — for a fixed
+    * budget of [[NeymanBudget]] draws over the event-type strata,
+    * allocate nₕ ∝ Nₕ·σₕ (stratum size × stratum stddev): the design
+    * that minimizes the variance of the stratified mean, versus the
+    * naive proportional nₕ ∝ Nₕ a first pass would use. The planning
+    * step every serious survey/eval-sampling pipeline runs before
+    * drawing (the draw itself is the deterministic [[weightedSample]] /
+    * [[hashSplit]] machinery).
+    *
+    * Shape at 100 TB: one map-side-combined moment aggregate per
+    * stratum (decimal-exact sums, the `embedding_dim_stats` discipline),
+    * then all arithmetic on the strata-bounded frame. Allocations are
+    * floored; the leftover draws go to the largest fractional parts
+    * (largest-remainder rounding, ties by stratum name) so the
+    * allocation always sums exactly to the budget. */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,6)")).as("sx"),
+        sum(col("value").cast("decimal(18,6)") *
+          col("value").cast("decimal(18,6)")).as("sxx"))
+      .select(col("event_type"), col("n_rows"),
+        round(sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n_rows")) /
+          (col("n_rows") - 1)), 6).as("sigma"))
+    // w stays DECIMAL so the cross-strata total is combination-order
+    // exact; share/exact then derive per-row in double from identical
+    // numerator/denominator pairs on both engines
+    val weighted = m
+      .withColumn("w", col("n_rows") * col("sigma").cast("decimal(18,6)"))
+      .withColumn("share", col("w").cast("double") /
+        sum(col("w")).over(Window.partitionBy()).cast("double"))
+      .withColumn("exact", col("share") * NeymanBudget)
+      .withColumn("floor_n", floor(col("exact")).cast("long"))
+    val leftover = weighted
+      .withColumn("rem_rank", row_number().over(
+        Window.orderBy((col("exact") - col("floor_n")).desc, col("event_type"))))
+      .withColumn("short",
+        lit(NeymanBudget) - sum(col("floor_n")).over(Window.partitionBy()))
+    leftover
+      .select(col("event_type"), col("n_rows"), col("sigma"),
+        round(col("share"), 6).as("share"),
+        (col("floor_n") +
+          when(col("rem_rank") <= col("short"), 1L).otherwise(0L))
+          .as("n_alloc"))
+      .orderBy("event_type")
+  }
+
+  val neymanAllocationSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, count(*) AS n_rows,
+       |         sum(CAST(value AS DECIMAL(18,6))) AS sx,
+       |         sum(CAST(value AS DECIMAL(18,6))
+       |             * CAST(value AS DECIMAL(18,6))) AS sxx
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1
+       |), s AS (
+       |  SELECT event_type, n_rows,
+       |         round(sqrt((CAST(sxx AS DOUBLE)
+       |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_rows)
+       |                    / (n_rows - 1)), 6) AS sigma
+       |  FROM m
+       |), w AS (
+       |  SELECT event_type, n_rows, sigma,
+       |         CAST(n_rows * CAST(sigma AS DECIMAL(18,6)) AS DOUBLE)
+       |         / CAST(sum(n_rows * CAST(sigma AS DECIMAL(18,6))) OVER ()
+       |                AS DOUBLE) AS share
+       |  FROM s
+       |), f AS (
+       |  SELECT *, share * $NeymanBudget AS exact,
+       |         CAST(floor(share * $NeymanBudget) AS BIGINT) AS floor_n
+       |  FROM w
+       |), r AS (
+       |  SELECT *,
+       |         row_number() OVER (ORDER BY exact - floor_n DESC, event_type)
+       |           AS rem_rank,
+       |         $NeymanBudget - sum(floor_n) OVER () AS short
+       |  FROM f
+       |)
+       |SELECT event_type, n_rows, sigma, round(share, 6) AS share,
+       |       floor_n + CASE WHEN rem_rank <= short THEN 1 ELSE 0 END
+       |         AS n_alloc
+       |FROM r ORDER BY event_type""".stripMargin
+
   /** Salt + sample size for [[weightedSample]]. */
   private val WsSalt = "ws1"
   private val WsK = 50

@@ -270,4 +270,18 @@ class SamplingSpec extends SparkSpec {
     assert(spans.length >= 5)
     cur.unpersist()
   }
+
+  test("neyman allocation: sums to budget, tracks N·sigma ordering") {
+    val a = Sampling.neymanAllocation(spark, sfDir).collect()
+    assert(a.map(_.getAs[Long]("n_alloc")).sum == 1000L)
+    assert(math.abs(a.map(_.getAs[Double]("share")).sum - 1.0) <
+      a.length * 5e-7 + 1e-9)
+    // every allocation is within 1 draw of its exact (unrounded) share
+    val tot = a.map(r => r.getAs[Long]("n_rows") * r.getAs[Double]("sigma")).sum
+    a.foreach { r =>
+      val exact = r.getAs[Long]("n_rows") * r.getAs[Double]("sigma") / tot * 1000
+      assert(math.abs(r.getAs[Long]("n_alloc") - exact) <= 1.0 + 1e-6,
+        s"${r.getString(0)}: alloc ${r.getAs[Long]("n_alloc")} exact $exact")
+    }
+  }
 }
