@@ -421,6 +421,42 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getAs[Long]("n_converted") == converted)
   }
 
+  test("funnel step lags: strict chaining, medians replay from first-touches") {
+    val got = Behavior.funnelStepLags(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("p50"))).toMap
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toInstant))
+      .map(e => (e._1, e._2, e._3.getEpochSecond * 1000000L + e._3.getNano / 1000L))
+    val byUser = ev.groupBy(_._1)
+    def p50(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val p = (s.length - 1) * 0.5
+      val (lo, hi) = (s(p.toInt), s(math.ceil(p).toInt))
+      BigDecimal(lo + (p - math.floor(p)) * (hi - lo))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vc = byUser.flatMap { case (_, xs) =>
+      val tv = xs.filter(_._2 == "view").map(_._3).sorted.headOption
+      tv.flatMap(v => xs.filter(e => e._2 == "click" && e._3 > v).map(_._3)
+        .sorted.headOption.map(c => (v, c)))
+    }.toSeq
+    val cp = byUser.flatMap { case (_, xs) =>
+      val tv = xs.filter(_._2 == "view").map(_._3).sorted.headOption
+      val tc = tv.flatMap(v => xs.filter(e => e._2 == "click" && e._3 > v)
+        .map(_._3).sorted.headOption)
+      tc.flatMap(c => xs.filter(e => e._2 == "purchase" && e._3 > c).map(_._3)
+        .sorted.headOption.map(p => (c, p)))
+    }.toSeq
+    def lags(ps: Seq[(Long, Long)]) = ps.map { case (a, b) =>
+      BigDecimal((b - a).toDouble / 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("1_view_to_click")._1 == vc.length)
+    assert(got("2_click_to_purchase")._1 == cp.length)
+    assert(math.abs(got("1_view_to_click")._2 - p50(lags(vc))) < 1e-4)
+    assert(math.abs(got("2_click_to_purchase")._2 - p50(lags(cp))) < 1e-4)
+  }
+
   test("ab test zscore: A/A arms partition users, z recomputes from counts") {
     val r = Behavior.abTestZscore(spark, sfDir).head()
     val (nc, nt) = (r.getAs[Long]("n_control"), r.getAs[Long]("n_treatment"))
