@@ -867,4 +867,54 @@ object Stats {
       |                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n_returns)
       |                  / (n_returns - 1)), 6) AS volatility
       |FROM a""".stripMargin
+
+  /** Year-over-year growth decomposition — revenue growth split into
+    * its two drivers, order-count growth and average-order-value
+    * growth: growth factors multiply (rev₁/rev₀ = (n₁/n₀)·(aov₁/aov₀)),
+    * so the report answers "did we grow because more orders came in, or
+    * because orders got bigger" — the first question any revenue review
+    * asks of a growth number.
+    *
+    * Shape at 100 TB: one map-side year collapse; the self-join and all
+    * ratios ride the years-bounded frame. Revenue stays decimal to the
+    * division edge; the multiplicative identity is pinned in the spec. */
+  def growthDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val prev = yearly.select((col("y") + 1).as("y"),
+      col("n_orders").as("n0"), col("rev").as("rev0"))
+    yearly.join(prev, "y")
+      .select(col("y").as("year"),
+        col("n_orders"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("rev0").cast("double") - 1.0, 6)
+          .as("revenue_growth"),
+        round(col("n_orders").cast("double") / col("n0") - 1.0, 6)
+          .as("volume_growth"),
+        round((col("rev").cast("double") / col("n_orders")) /
+          (col("rev0").cast("double") / col("n0")) - 1.0, 6)
+          .as("aov_growth"))
+      .orderBy("year")
+  }
+
+  val growthDecompositionSql: String =
+    """WITH yearly AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |         count(*) AS n_orders,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT a.y AS year, a.n_orders,
+      |       CAST(round(a.rev, 2) AS DOUBLE) AS revenue,
+      |       round(CAST(a.rev AS DOUBLE) / CAST(p.rev AS DOUBLE) - 1.0, 6)
+      |         AS revenue_growth,
+      |       round(CAST(a.n_orders AS DOUBLE) / p.n_orders - 1.0, 6)
+      |         AS volume_growth,
+      |       round((CAST(a.rev AS DOUBLE) / a.n_orders)
+      |             / (CAST(p.rev AS DOUBLE) / p.n_orders) - 1.0, 6)
+      |         AS aov_growth
+      |FROM yearly a JOIN yearly p ON a.y = p.y + 1
+      |ORDER BY year""".stripMargin
 }

@@ -242,6 +242,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("growth decomposition: factors multiply back to revenue growth") {
+    val g = Stats.growthDecomposition(spark, sfDir).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      val rg = r.getAs[Double]("revenue_growth")
+      val vg = r.getAs[Double]("volume_growth")
+      val ag = r.getAs[Double]("aov_growth")
+      // (1+rg) = (1+vg)·(1+ag) up to the 6dp output rounding
+      assert(math.abs((1 + rg) - (1 + vg) * (1 + ag)) < 5e-5,
+        s"year ${r.getAs[Long]("year")}: $rg vs ${(1 + vg) * (1 + ag) - 1}")
+    }
+    // years are consecutive-with-predecessor only
+    val years = g.map(_.getAs[Long]("year")).toSet
+    val all = graft.Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(years == all.filter(y => all.contains(y - 1)))
+  }
+
   test("cusum changepoint: one row, segments reconcile to the corpus mean") {
     val r = Stats.revenueCusumChangepoint(spark, sfDir).collect()
     assert(r.length == 1)

@@ -356,6 +356,34 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpoint recovery: restart resumes exactly-once from the offset log") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_ckpt_").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    Files.createDirectories(Paths.get(in))
+    val schema = "event_id LONG, event_type STRING, value DOUBLE"
+    def startQuery() = spark.readStream.schema(schema).json(in)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // batch 1 through the first incarnation
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("event_id", "event_type", "value")
+      .coalesce(1).write.mode("append").json(in)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 lands while no query is running; the RESTARTED query must
+    // pick it up from the offset log without re-emitting batch 1
+    Seq((3L, "c", 3.0), (4L, "d", 4.0)).toDF("event_id", "event_type", "value")
+      .coalesce(1).write.mode("append").json(in)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // exactly-once across the restart: every input row once, none twice
+    assert(got == Seq(1L, 2L, 3L, 4L), got.mkString(","))
+  }
+
   test("streaming heavy hitters: finalized windows match the batch sketch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
