@@ -1235,4 +1235,79 @@ object Behavior {
       |       round(quantile_cont(lag_sec, 0.5), 6) AS p50,
       |       round(quantile_cont(lag_sec, 0.9), 6) AS p90
       |FROM lags GROUP BY step ORDER BY step""".stripMargin
+
+  /** Customer repurchase-interval profile — days between consecutive
+    * orders of the same customer, as interval quantiles: the
+    * replenishment-cycle statistic behind churn-risk windows ("no order
+    * for > p90 of their peers' gap → at risk") and campaign timing. The
+    * commerce twin of `interarrival_quantiles` (events).
+    *
+    * Shape at 100 TB: one customer-keyed lag window over (date,
+    * orderkey)-ordered orders (distributed, per-customer partitions),
+    * integer day gaps, then the two-phase quantile kernel over the
+    * gap rows — never a global sort. */
+  def repurchaseIntervalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_d", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev_d"))
+        .cast("double").as("gap_days"))
+    graft.analytics.Quantiles.groupedQuantiles(
+        gaps.select(lit("all").as("g"), col("gap_days")), "g", "gap_days",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+      .drop("g")
+  }
+
+  val repurchaseIntervalProfileSql: String =
+    """WITH g AS (
+      |  SELECT CAST(datediff('day',
+      |           lag(CAST(o_orderdate AS DATE))
+      |             OVER (PARTITION BY o_custkey
+      |                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |           CAST(o_orderdate AS DATE)) AS DOUBLE) AS gap_days
+      |  FROM orders
+      |  QUALIFY gap_days IS NOT NULL
+      |)
+      |SELECT count(*) AS n,
+      |       round(quantile_cont(gap_days, 0.25), 6) AS p25,
+      |       round(quantile_cont(gap_days, 0.5), 6) AS p50,
+      |       round(quantile_cont(gap_days, 0.75), 6) AS p75,
+      |       round(quantile_cont(gap_days, 0.9), 6) AS p90
+      |FROM g""".stripMargin
+
+  /** Activity heatmap — event counts per (day-of-week, hour) cell with
+    * the share of corpus activity: the 7×24 usage matrix behind every
+    * "when are users active" dashboard tile and the input to off-peak
+    * maintenance scheduling. ISO day numbering (Monday = 1), the
+    * `dow_seasonality` convention.
+    *
+    * Shape at 100 TB: one map-side-combined aggregate into ≤ 168 cells;
+    * the share divides by a broadcast 1-row total. */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy((weekday(col("ts")) + 1).cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.agg(sum(col("n_events")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"),
+        round(col("n_events").cast("double") / col("total"), 6).as("share"))
+      .orderBy("dow", "hour")
+  }
+
+  val activityHeatmapSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+      |         CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), t AS (
+      |  SELECT CAST(sum(n_events) AS BIGINT) AS total FROM cells
+      |)
+      |SELECT dow, hour, n_events,
+      |       round(CAST(n_events AS DOUBLE) / total, 6) AS share
+      |FROM cells CROSS JOIN t
+      |ORDER BY dow, hour""".stripMargin
 }

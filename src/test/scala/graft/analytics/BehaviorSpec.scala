@@ -421,6 +421,28 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getAs[Long]("n_converted") == converted)
   }
 
+  test("repurchase intervals: gap count reconciles, quantiles ordered") {
+    val r = Behavior.repurchaseIntervalProfile(spark, sfDir).head()
+    // gaps = orders - customers-with-orders (one lag row lost per customer)
+    val o = graft.Tables.orders(spark, sfDir)
+    val want = o.count() - o.select("o_custkey").distinct().count()
+    assert(r.getAs[Long]("n") == want)
+    val qs = Seq("p25", "p50", "p75", "p90").map(r.getAs[Double])
+    assert(qs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(qs.head >= 0.0)
+  }
+
+  test("activity heatmap: cells partition the corpus, iso dow convention") {
+    val h = Behavior.activityHeatmap(spark, sfDir).collect()
+    assert(h.length <= 168)
+    assert(h.map(_.getAs[Long]("n_events")).sum ==
+      graft.Tables.events(spark, sfDir).count())
+    assert(h.forall(r => r.getAs[Int]("dow") >= 1 && r.getAs[Int]("dow") <= 7
+      && r.getAs[Int]("hour") >= 0 && r.getAs[Int]("hour") <= 23))
+    val shares = h.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < h.length * 5e-7 + 1e-9)
+  }
+
   test("funnel step lags: strict chaining, medians replay from first-touches") {
     val got = Behavior.funnelStepLags(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("p50"))).toMap
