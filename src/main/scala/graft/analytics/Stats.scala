@@ -553,6 +553,120 @@ object Stats {
             (col("n") - col("t")), 4)).as("mean_after"))
   }
 
+  /** Welch's two-sample t across the CUSUM changepoint — the TEST step
+    * of the detect-then-test workflow: [[revenueCusumChangepoint]] finds
+    * WHERE the daily-revenue level most plausibly shifted; this entry
+    * splits the series there and asks whether the two segments' means
+    * differ beyond their pooled noise (unequal-variance t, the honest
+    * default). One row: segment sizes/means/stddevs, t, and the
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * Shape at 100 TB: everything after the map-side date collapse rides
+    * the calendar-bounded frame — the changepoint derivation is the
+    * same two-window walk, the segment moments are decimal-exact
+    * conditional sums in ONE aggregate, and the t arithmetic is per-row
+    * double math. Degenerate segments (n < 2 on either side) yield NULL
+    * t/df by explicit guard. */
+  def changepointTtest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val totals = daily.agg(sum(col("rev")).as("tot"), count(lit(1)).as("n"))
+    val wd = Window.orderBy(col("d"))
+    val mean = col("tot").cast("double") / col("n")
+    val s = daily.crossJoin(broadcast(totals))
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("cum", sum(col("rev")).over(wd))
+      .withColumn("s_t", col("cum").cast("double") - col("t") * mean)
+    val change = s
+      .withColumn("rk", row_number().over(Window.orderBy(abs(col("s_t")).desc, col("d"))))
+      .filter(col("rk") === 1).select(col("d").as("cd"))
+    val sides = daily.crossJoin(broadcast(change))
+      .withColumn("seg", when(col("d") <= col("cd"), lit("before")).otherwise(lit("after")))
+      .withColumn("r6", col("rev").cast("decimal(14,2)"))
+    val m = sides.groupBy(lit(1).as("k")).agg(
+      first(col("cd")).as("change_date"),
+      sum(when(col("seg") === "before", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("seg") === "after", 1L).otherwise(0L)).as("n2"),
+      sum(when(col("seg") === "before", col("r6"))).as("s1"),
+      sum(when(col("seg") === "after", col("r6"))).as("s2"),
+      sum(when(col("seg") === "before", col("r6") * col("r6"))).as("ss1"),
+      sum(when(col("seg") === "after", col("r6") * col("r6"))).as("ss2"))
+    val (m1, m2) = (col("s1").cast("double") / col("n1"),
+      col("s2").cast("double") / col("n2"))
+    val v1 = (col("ss1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("ss2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double") / col("n2")) / (col("n2") - 1)
+    val se2 = v1 / col("n1") + v2 / col("n2")
+    val tStat = (m2 - m1) / sqrt(se2)
+    val df = se2 * se2 /
+      (v1 * v1 / (col("n1") * col("n1") * (col("n1") - 1)) +
+        v2 * v2 / (col("n2") * col("n2") * (col("n2") - 1)))
+    val degenerate = col("n1") < 2 || col("n2") < 2
+    m.select(col("change_date"), col("n1"), col("n2"),
+      round(m1, 4).as("mean_before"), round(m2, 4).as("mean_after"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(tStat, 4)).as("t_stat"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(df, 2)).as("welch_df"))
+  }
+
+  val changepointTtestSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(rev) AS tot, count(*) AS n FROM daily
+      |), s AS (
+      |  SELECT d,
+      |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+      |         sum(rev) OVER (ORDER BY d
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING
+      |                        AND CURRENT ROW) AS cum,
+      |         n, tot
+      |  FROM daily CROSS JOIN tot
+      |), sc AS (
+      |  SELECT d, CAST(cum AS DOUBLE) - t * (CAST(tot AS DOUBLE) / n) AS s_t
+      |  FROM s
+      |), change AS (
+      |  SELECT d AS cd FROM sc ORDER BY abs(s_t) DESC, d LIMIT 1
+      |), sides AS (
+      |  SELECT CASE WHEN d <= cd THEN 'before' ELSE 'after' END AS seg,
+      |         CAST(rev AS DECIMAL(14,2)) AS r6, cd
+      |  FROM daily CROSS JOIN change
+      |), m AS (
+      |  SELECT min(cd) AS change_date,
+      |         CAST(sum(CASE WHEN seg = 'before' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN seg = 'after' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |         sum(CASE WHEN seg = 'before' THEN r6 END) AS s1,
+      |         sum(CASE WHEN seg = 'after' THEN r6 END) AS s2,
+      |         sum(CASE WHEN seg = 'before' THEN r6 * r6 END) AS ss1,
+      |         sum(CASE WHEN seg = 'after' THEN r6 * r6 END) AS ss2
+      |  FROM sides
+      |), x AS (
+      |  SELECT change_date, n1, n2,
+      |         CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+      |         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+      |           / (n1 - 1) AS v1,
+      |         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+      |           / (n2 - 1) AS v2
+      |  FROM m
+      |)
+      |SELECT change_date, n1, n2,
+      |       round(m1, 4) AS mean_before, round(m2, 4) AS mean_after,
+      |       CASE WHEN n1 < 2 OR n2 < 2 THEN NULL
+      |            ELSE round((m2 - m1) / sqrt(v1 / n1 + v2 / n2), 4)
+      |       END AS t_stat,
+      |       CASE WHEN n1 < 2 OR n2 < 2 THEN NULL
+      |            ELSE round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+      |                 / (v1 * v1 / (n1 * n1 * (n1 - 1))
+      |                    + v2 * v2 / (n2 * n2 * (n2 - 1))), 2)
+      |       END AS welch_df
+      |FROM x""".stripMargin
+
   /** Oracle: same decimal cumulative walk and double edge arithmetic. */
   val revenueCusumChangepointSql: String =
     """WITH daily AS (

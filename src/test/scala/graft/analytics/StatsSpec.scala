@@ -242,6 +242,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("changepoint t-test: splits at the cusum date, t recomputes from moments") {
+    val r = Stats.changepointTtest(spark, sfDir).head()
+    val cp = Stats.revenueCusumChangepoint(spark, sfDir).head()
+    assert(r.get(r.fieldIndex("change_date")) ==
+      cp.get(cp.fieldIndex("change_date")))
+    val days = graft.Tables.orders(spark, sfDir)
+      .select("o_orderdate").distinct().count()
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") == days)
+    // the t-test's segment means must agree with the cusum entry's
+    assert(math.abs(r.getAs[Double]("mean_before") -
+      cp.getAs[Double]("mean_before")) < 1e-2)
+    if (!r.isNullAt(r.fieldIndex("t_stat"))) {
+      // Welch df within [min(n)-1, n1+n2-2]
+      val df = r.getAs[Double]("welch_df")
+      val lo = math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")) - 1.0
+      assert(df >= lo - 1e-6 && df <= days - 2.0 + 1e-6, s"df=$df")
+    }
+  }
+
   test("growth decomposition: factors multiply back to revenue growth") {
     val g = Stats.growthDecomposition(spark, sfDir).collect()
     assert(g.nonEmpty)
