@@ -667,6 +667,110 @@ object Stats {
       |       END AS welch_df
       |FROM x""".stripMargin
 
+  /** The two samples [[mannWhitneyValue]] contrasts. */
+  private val MwGroupA = "purchase"
+  private val MwGroupB = "click"
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between purchase and click
+    * event values — the NONPARAMETRIC two-sample location test: no
+    * normality assumption, which for heavy-tailed value distributions
+    * is the honest choice where the t-test's mean contrast misleads.
+    * Midranks handle ties exactly, and the normal approximation carries
+    * the standard tie-correction term.
+    *
+    * Shape at 100 TB: ranking never sorts the sample rows — values
+    * collapse map-side to a DISTINCT-VALUE frame (bounded by the value
+    * DOMAIN, here 2-decimal currency, not by sample size), midranks
+    * come from a prefix sum over that frame, and the rank sums come
+    * from joining the per-(value, group) counts back — integer/decimal
+    * arithmetic end to end until the final z. */
+  def mannWhitneyValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin(MwGroupA, MwGroupB) &&
+        col("value").isNotNull)
+      .select(col("event_type").as("g"), col("value").as("v"))
+    val cells = e.groupBy("v", "g").agg(count(lit(1)).as("c"))
+    val byValue = cells.groupBy("v").agg(sum(col("c")).as("cv"))
+    val wv = Window.orderBy("v")
+    // midrank of every row at value v: rows-before + (cv + 1)/2
+    val ranked = byValue
+      .withColumn("before",
+        coalesce(sum(col("cv")).over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("midrank",
+        col("before").cast("decimal(28,1)") +
+          (col("cv").cast("decimal(28,1)") + 1) / 2)
+    // tie correction Σ (cv³ − cv) counted ONCE per distinct value — its
+    // own 1-row aggregate (folding it into the per-cell aggregate would
+    // need a c/cv division, whose decimal scale rules differ per engine)
+    val ties1 = byValue.agg(
+      sum(col("cv") * col("cv") * col("cv") - col("cv")).as("ties"))
+    val m = cells.join(ranked, "v")
+      .groupBy(lit(1).as("k"))
+      .agg(
+        sum(when(col("g") === MwGroupA, col("c")).otherwise(0L)).as("n1"),
+        sum(when(col("g") === MwGroupB, col("c")).otherwise(0L)).as("n2"),
+        sum(when(col("g") === MwGroupA,
+          col("midrank") * col("c"))).as("r1"))
+      .crossJoin(broadcast(ties1))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val n = n1d + n2d
+    val u1 = col("r1").cast("double") - n1d * (n1d + 1) / 2
+    val mu = n1d * n2d / 2
+    val sigma = sqrt(n1d * n2d / 12 *
+      ((n + 1) - col("ties").cast("double") / (n * (n - 1))))
+    m.select(col("n1"), col("n2"),
+      round(u1, 1).as("u_stat"),
+      when(col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
+        .otherwise(round((u1 - mu) / sigma, 4)).as("z_score"))
+  }
+
+  val mannWhitneyValueSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS g, value AS v FROM events
+       |  WHERE event_type IN ('$MwGroupA', '$MwGroupB') AND value IS NOT NULL
+       |), cells AS (
+       |  SELECT v, g, count(*) AS c FROM e GROUP BY 1, 2
+       |), by_value AS (
+       |  SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1
+       |), ranked AS (
+       |  SELECT v, cv,
+       |         CAST(coalesce(sum(cv) OVER (ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS before,
+       |         CAST(coalesce(sum(cv) OVER (ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS DECIMAL(28,1))
+       |           + (CAST(cv AS DECIMAL(28,1)) + 1) / 2 AS midrank
+       |  FROM by_value
+       |), t1 AS (
+       |  SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS ties FROM by_value
+       |), m AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN g = '$MwGroupA' THEN c ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN g = '$MwGroupB' THEN c ELSE 0 END) AS BIGINT) AS n2,
+       |    sum(CASE WHEN g = '$MwGroupA' THEN midrank * c END) AS r1,
+       |    (SELECT ties FROM t1) AS ties
+       |  FROM cells JOIN ranked USING (v)
+       |), x AS (
+       |  SELECT n1, n2,
+       |         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+       |         CAST(r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1,
+       |         CAST(ties AS DOUBLE) AS tie_term
+       |  FROM m
+       |)
+       |SELECT n1, n2, round(u1, 1) AS u_stat,
+       |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+       |            ELSE round((u1 - n1d * n2d / 2)
+       |                 / sqrt(n1d * n2d / 12 *
+       |                        ((n1d + n2d + 1)
+       |                         - tie_term / ((n1d + n2d) * (n1d + n2d - 1)))),
+       |                 4)
+       |       END AS z_score
+       |FROM x""".stripMargin
+
   /** Oracle: same decimal cumulative walk and double edge arithmetic. */
   val revenueCusumChangepointSql: String =
     """WITH daily AS (

@@ -242,6 +242,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("mann-whitney: U and z replay from a driver-side midrank walk") {
+    val r = Stats.mannWhitneyValue(spark, sfDir).head()
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val n1 = ev.count(_._1 == "purchase")
+    val n2 = ev.count(_._1 == "click")
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    // midranks over the pooled sorted sample
+    val sorted = ev.sortBy(_._2)
+    val rankOf = sorted.map(_._2).zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1.0).sum / xs.length }
+    val r1 = ev.filter(_._1 == "purchase").map(e => rankOf(e._2)).sum
+    val u1 = r1 - n1.toDouble * (n1 + 1) / 2
+    assert(math.abs(r.getAs[Double]("u_stat") - u1) < 0.51, s"u=$u1")
+    val ties = sorted.map(_._2).groupBy(identity)
+      .map { case (_, xs) => math.pow(xs.length, 3) - xs.length }.sum
+    val n = (n1 + n2).toDouble
+    val sigma = math.sqrt(n1.toDouble * n2 / 12 * ((n + 1) - ties / (n * (n - 1))))
+    val z = (u1 - n1.toDouble * n2 / 2) / sigma
+    assert(math.abs(r.getAs[Double]("z_score") - z) < 1e-3, s"z=$z")
+  }
+
   test("changepoint t-test: splits at the cusum date, t recomputes from moments") {
     val r = Stats.changepointTtest(spark, sfDir).head()
     val cp = Stats.revenueCusumChangepoint(spark, sfDir).head()
