@@ -771,6 +771,87 @@ object Stats {
        |       END AS z_score
        |FROM x""".stripMargin
 
+  /** Spearman rank correlation between event value and hour-of-day —
+    * the robust twin of `value_hour_corr`'s Pearson: monotone
+    * association on midranks, immune to the heavy value tail that can
+    * swamp a raw-moment correlation. Midranks per variable come from
+    * the [[mannWhitneyValue]] machinery — prefix sums over each
+    * variable's DISTINCT-value frame (domain-bounded: 2-decimal
+    * currency and 24 hours), broadcast back to the event stream; the
+    * rank moments then accumulate as exact decimals in one pass, and
+    * rho derives from them in per-row double math.
+    *
+    * Shape at 100 TB: two bounded rank frames + one map-side-combined
+    * moment aggregate over the events — the sample itself is never
+    * sorted. */
+  def spearmanValueHour(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("value").as("x"), hour(col("ts")).cast("long").as("y"))
+    def midranks(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(c)
+      df.groupBy(c).agg(count(lit(1)).as("cv"))
+        .withColumn("before", coalesce(
+          sum(col("cv")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col(c),
+          (col("before").cast("decimal(18,1)") +
+            (col("cv").cast("decimal(18,1)") + 1) / 2).as(s"r_$c"))
+    }
+    val ranked = e
+      .join(broadcast(midranks(e, "x")), "x")
+      .join(broadcast(midranks(e, "y")), "y")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r_x")).as("sx"), sum(col("r_y")).as("sy"),
+      sum(col("r_x") * col("r_x")).as("sxx"),
+      sum(col("r_y") * col("r_y")).as("syy"),
+      sum(col("r_x") * col("r_y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n"), round(cov / sqrt(vx * vy), 6).as("spearman_rho"))
+  }
+
+  val spearmanValueHourSql: String =
+    """WITH e AS (
+      |  SELECT value AS x, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL
+      |), rx AS (
+      |  SELECT x,
+      |         CAST(coalesce(sum(cv) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |              AS DECIMAL(18,1))
+      |           + (CAST(cv AS DECIMAL(18,1)) + 1) / 2 AS r_x
+      |  FROM (SELECT x, count(*) AS cv FROM e GROUP BY 1)
+      |), ry AS (
+      |  SELECT y,
+      |         CAST(coalesce(sum(cv) OVER (ORDER BY y
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |              AS DECIMAL(18,1))
+      |           + (CAST(cv AS DECIMAL(18,1)) + 1) / 2 AS r_y
+      |  FROM (SELECT y, count(*) AS cv FROM e GROUP BY 1)
+      |), m AS (
+      |  SELECT count(*) AS n,
+      |         sum(r_x) AS sx, sum(r_y) AS sy,
+      |         sum(r_x * r_x) AS sxx, sum(r_y * r_y) AS syy,
+      |         sum(r_x * r_y) AS sxy
+      |  FROM e JOIN rx USING (x) JOIN ry USING (y)
+      |)
+      |SELECT n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+      |             6) AS spearman_rho
+      |FROM m""".stripMargin
+
   /** Oracle: same decimal cumulative walk and double edge arithmetic. */
   val revenueCusumChangepointSql: String =
     """WITH daily AS (

@@ -242,6 +242,33 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("spearman: rho replays from driver-side midranks, bounded by 1") {
+    val r = Stats.spearmanValueHour(spark, sfDir).head()
+    val rho = r.getAs[Double]("spearman_rho")
+    assert(math.abs(rho) <= 1.0 + 1e-9)
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("value"), hour(col("ts"))).collect()
+      .map(x => (x.getDouble(0), x.getInt(1)))
+    assert(r.getAs[Long]("n") == ev.length)
+    def ranks[T](xs: Seq[T])(implicit o: Ordering[T]): Map[T, Double] = {
+      val sorted = xs.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> g.map(_._2 + 1.0).sum / g.length }
+    }
+    val rx = ranks(ev.map(_._1).toSeq)
+    val ry = ranks(ev.map(_._2).toSeq)
+    val pairs = ev.map(e => (rx(e._1), ry(e._2)))
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(rho - want) < 1e-4, s"got $rho want $want")
+  }
+
   test("mann-whitney: U and z replay from a driver-side midrank walk") {
     val r = Stats.mannWhitneyValue(spark, sfDir).head()
     val ev = graft.Tables.events(spark, sfDir)
