@@ -220,6 +220,79 @@ object Quality {
         col("min_ts"), col("max_ts"))
   }
 
+  /** Join-fanout profile — the distribution of lineitems per order: the
+    * companion diagnostic to [[keySkewReport]] (that one profiles the
+    * DIMENSION key's skew; this profiles the FACT-side fanout a
+    * fact⋈fact join or per-order expansion multiplies by). Bounded
+    * output: one row per distinct fanout value.
+    *
+    * Shape at 100 TB: one map-side order collapse, then a counter
+    * aggregate over the fanout-bounded frame. */
+  def orderFanoutProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("fanout"))
+    val cells = perOrder.groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+    val tot = cells.agg(sum(col("n_orders")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("fanout"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("total"), 6).as("share"))
+      .orderBy("fanout")
+  }
+
+  val orderFanoutProfileSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey, count(*) AS fanout FROM lineitem GROUP BY 1
+      |), cells AS (
+      |  SELECT fanout, count(*) AS n_orders FROM per_order GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM cells
+      |)
+      |SELECT fanout, n_orders,
+      |       round(CAST(n_orders AS DOUBLE) / total, 6) AS share
+      |FROM cells CROSS JOIN t
+      |ORDER BY fanout""".stripMargin
+
+  /** Per-user activity histogram on power-of-two buckets — the "how
+    * heavy are our heavy users" distribution that sizes per-user state
+    * (session stores, rate limits, GroupState) before deployment.
+    * Log2 bucketing keeps the output bounded at any corpus size where
+    * a raw per-count histogram would grow with the heaviest user. */
+  def userActivityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    // exact integer log2 via bit length (string bin, engine-identical) —
+    // floor(log2(double)) can land a hair under the true value at exact
+    // powers of two and flip the bucket on one engine only
+    val bucket = (length(bin(col("n"))) - 1).cast("long")
+    val cells = perUser.groupBy(bucket.as("log2_bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+    val tot = cells.agg(sum(col("n_users")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("log2_bucket"),
+        expr("CAST(shiftleft(1L, CAST(log2_bucket AS INT)) AS BIGINT)")
+          .as("bucket_min"),
+        col("n_users"), col("n_events"),
+        round(col("n_users").cast("double") / col("total"), 6).as("user_share"))
+      .orderBy("log2_bucket")
+  }
+
+  val userActivityHistogramSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+      |), cells AS (
+      |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+      |         count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+      |  FROM per_user GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(n_users) AS BIGINT) AS total FROM cells
+      |)
+      |SELECT log2_bucket,
+      |       CAST(1 << CAST(log2_bucket AS INT) AS BIGINT) AS bucket_min,
+      |       n_users, n_events,
+      |       round(CAST(n_users AS DOUBLE) / total, 6) AS user_share
+      |FROM cells CROSS JOIN t
+      |ORDER BY log2_bucket""".stripMargin
+
   val observedMetricsSql: String =
     """SELECT count(*) AS n_rows,
       |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)

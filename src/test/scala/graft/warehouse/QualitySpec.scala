@@ -72,6 +72,25 @@ class QualitySpec extends SparkSpec {
     assert(m.getAs[java.sql.Timestamp]("max_ts") == bounds.getTimestamp(1))
   }
 
+  test("fanout profile and activity histogram: cells partition their bases") {
+    val f = Quality.orderFanoutProfile(spark, sfDir).collect()
+    val orders = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").distinct().count()
+    assert(f.map(_.getAs[Long]("n_orders")).sum == orders)
+    assert(f.forall(_.getAs[Long]("fanout") >= 1))
+    val h = Quality.userActivityHistogram(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(h.map(_.getAs[Long]("n_users")).sum == users)
+    assert(h.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    // bucket_min = 2^bucket exactly (the bit-length bucketing contract)
+    h.foreach { r =>
+      assert(r.getAs[Long]("bucket_min") ==
+        (1L << r.getAs[Long]("log2_bucket").toInt))
+    }
+  }
+
   test("key skew report: top-10 heaviest suppkeys, internally consistent") {
     val r = Quality.keySkewReport(spark, sfDir).collect()
     assert(r.length == 10)
