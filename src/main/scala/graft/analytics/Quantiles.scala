@@ -713,11 +713,20 @@ object Quantiles {
     * No group ever funnels through one task; weights stay exact longs,
     * and the crossing compare is long-vs-double (exact below 2⁵³), so
     * both engines pick the identical row. */
-  def weightedLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select(col("lang"),
-        col("n_chars").cast("double").as("value"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
+  def weightedLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    weightedQuantilesFrom(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("lang"),
+          col("n_chars").cast("double").as("value"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("w")),
+      WQs)
+
+  /** The weighted two-phase selection kernel over any (lang, value, w)
+    * frame — factored so properties can drive it with random weighted
+    * corpora whose crossing values replay in closed form. */
+  private[analytics] def weightedQuantilesFrom(
+      docs: DataFrame, qs: Seq[(String, Double)]): DataFrame = {
+    val spark = docs.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     val ranged = docs.repartitionByRange(nPart, col("lang"), col("value"))
       .withColumn("_pid", spark_partition_id())
@@ -730,7 +739,7 @@ object Quantiles {
       .withColumn("wtot", sum(col("_wc")).over(Window.partitionBy(col("lang"))))
     // per-fraction crossing thresholds; one needle (pid, lang, q) triple
     // per fraction — the run where cumulative weight first reaches q·W
-    val qArr = array(WQs.map { case (name, q) =>
+    val qArr = array(qs.map { case (name, q) =>
       struct(lit(name).as("qn"), (lit(q) * col("wtot")).as("qw"))
     }: _*)
     val needles = offsets
