@@ -152,15 +152,38 @@ object Bench {
     val noise =
       if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"worst":[]}"""
       else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"worst":$worst}"""
-    println(stdoutLine(med, total, sfDir, reps, noise, degraded))
+    val quietPath = sys.env.getOrElse("BENCH_QUIET", "bench_quiet.json")
+    println(stdoutLine(med, total, sfDir, reps, noise, degraded,
+      quiet = if (degraded) readQuiet(quietPath) else None))
     val dg = if (degraded) ""","degraded":true""" else ""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med, _.toString)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$dg,"spread_sec":${jmap(spreads, _.toString)},"spread_rel":${jmap(relByName, r3)},"noise":$noise}"""
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case _: Throwable => () }
+    // Self-maintained quiet-canonical record: a NON-degraded full-suite
+    // pass (no SPARK_GRAFT_BENCH_ONLY subset) is the reference a later
+    // contended run's stdout surfaces as quiet_total — so a reader of a
+    // degraded BENCH_rN.json alone cannot mistake contention for a
+    // regression. Subset runs never overwrite it (their total is partial).
+    if (!degraded && sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
+      try Files.writeString(Paths.get(quietPath), full + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
+
+  /** Reads (total, n_queries) from the last non-degraded full pass's
+    * artifact, if one exists. Regex-minimal on purpose: the file is our
+    * own single-line JSON, and a parse failure must degrade to "no
+    * context", never crash the bench. */
+  private[graft] def readQuiet(path: String): Option[(Double, Int)] =
+    try {
+      val s = Files.readString(Paths.get(path))
+      for {
+        v <- """"value":([0-9.Ee+-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+        n <- """"n_queries":([0-9]+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      } yield (v, n)
+    } catch { case _: Throwable => None }
 
   // Locale.ROOT: the f-interpolator delegates to the DEFAULT locale, so
   // under e.g. de_DE the decimal separator becomes ',' and the stdout
@@ -224,14 +247,23 @@ object Bench {
     * oversized registries. */
   private[graft] def stdoutLine(
       med: Seq[(String, Double)], total: Double, sfDir: String,
-      reps: Int, noise: String, degraded: Boolean = false): String = {
+      reps: Int, noise: String, degraded: Boolean = false,
+      quiet: Option[(Double, Int)] = None): String = {
     // failed queries carry median -1.0; exclude them from omitted_sec (they
     // would subtract a phantom second each and break the documented
     // sum(queries)+omitted_sec ≈ value reconciliation) and surface them as
     // an explicit q_failed count instead
     val failed = med.count(_._2 < 0)
     val fl = if (failed == 0) "" else s""","q_failed":$failed"""
-    val dg = if (degraded) ""","degraded":true""" else ""
+    // a degraded artifact must be readable STANDALONE: point at the full
+    // per-query map (always complete in BENCH_OUT) and carry the last
+    // non-degraded full pass's total so the contended number is never the
+    // only number on the page
+    val dg =
+      if (!degraded) ""
+      else ""","degraded":true,"full_map":"bench_out.json"""" +
+        quiet.map { case (v, n) =>
+          s""","quiet_total":${r1(v)},"quiet_n":$n""" }.getOrElse("")
     def mk(qjson: String, omitted: Seq[Double]): String = {
       val om =
         if (omitted.isEmpty) ""

@@ -975,17 +975,40 @@ object Dedup {
 
   /** Incremental cluster maintenance over a prepared
     * (doc_id, shingles, is_new) frame — the kernel under
-    * [[dedupIncremental]], factored for the equivalence property test. */
-  private[llm] def dedupIncrementalFrom(sh: DataFrame, maxDf: Int): DataFrame = {
-    // prior state: the base corpus's clusters, as (member → label) edges.
-    // In a real pipeline this table is READ from the warehouse (it is the
-    // persisted output of the last run); building it inline here keeps
-    // the entry self-contained the same way ivf_index_search builds its
-    // index per execution.
-    val prior = connectedComponents(
+    * [[dedupIncremental]], factored for the equivalence property test.
+    * This overload derives the prior state inline from the base rows;
+    * the registered entry passes [[priorClusterArtifact]] instead so
+    * repeated executions measure only the delta path. */
+  private[llm] def dedupIncrementalFrom(sh: DataFrame, maxDf: Int): DataFrame =
+    dedupIncrementalFrom(sh, maxDf, priorLabelEdges(sh, maxDf))
+
+  /** Prior (member → label) star edges for the base (non-new) rows of a
+    * shingled frame — the same pair kernel + CC the full rebuild runs. */
+  private def priorLabelEdges(sh: DataFrame, maxDf: Int): DataFrame =
+    connectedComponents(
       ngramJaccardPairsFrom(sh.filter(!col("is_new")).drop("is_new"), maxDf)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
       .select(col("node").as("u"), col("component").as("v"))
+
+  /** Session-scoped PRIOR-cluster artifact for the corpus incremental
+    * entry: the base corpus's (member → label) edges — exactly the table
+    * the previous run persisted in a real pipeline — built once per
+    * (applicationId, dir) and pinned with an eager `localCheckpoint`,
+    * the [[clusterArtifact]] lifecycle. Note this is NOT the full-corpus
+    * [[clusterArtifact]]: the prior state must exclude the arriving
+    * batch, or the "incremental" run would read its own answer. With
+    * the prior an artifact read, the entry's warm cost is the true
+    * delta path: the `exists(ds, is_new)` posting cut, new-touching
+    * pair scoring, and CC over label stars ∪ delta edges. */
+  private[llm] def priorClusterArtifact(spark: SparkSession, dir: String): DataFrame =
+    artifactCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "|prior|" + dir,
+      _ => priorLabelEdges(
+        withShingles(spark, dir).withColumn("is_new", col("doc_id") % 10 === 7),
+        DefaultMaxShingleDf).localCheckpoint())
+
+  private[llm] def dedupIncrementalFrom(
+      sh: DataFrame, maxDf: Int, prior: DataFrame): DataFrame = {
     // delta edges: only pairs touching the new batch
     val delta = ngramJaccardPairsTouchingNew(sh, maxDf)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -1007,7 +1030,10 @@ object Dedup {
     * re-clustered; the new batch (here `doc_id % 10 = 7`, ~10% of the
     * corpus) candidate-joins against the full shingle index, only
     * new-touching pairs are scored, and the prior cluster labels enter
-    * the component resolution as pre-collapsed label stars.
+    * the component resolution as pre-collapsed label stars. The prior
+    * labels are READ from the session-scoped [[priorClusterArtifact]]
+    * (built once per (app, dir), the persisted-output-of-the-last-run
+    * role), so what this entry measures is the true delta path.
     *
     * Correctness contract: the result is IDENTICAL to re-clustering the
     * union from scratch — the oracle for this entry IS the full
@@ -1019,7 +1045,8 @@ object Dedup {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(spark, dir)
       .withColumn("is_new", col("doc_id") % 10 === 7)
-    dedupIncrementalFrom(sh, DefaultMaxShingleDf).orderBy("doc_id")
+    dedupIncrementalFrom(sh, DefaultMaxShingleDf,
+      priorClusterArtifact(spark, dir)).orderBy("doc_id")
   }
 
   /** Cross-source overlap matrix — pairwise shingle-set Jaccard between

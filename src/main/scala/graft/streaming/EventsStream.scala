@@ -14,7 +14,9 @@ final case class SessionState(start: Long, last: Long, n: Int)
 /** Per-series CUSUM accumulator: the running prefix sum and running
   * prefix minimum, both in exact integer micro-units — O(1) state per
   * event type no matter how much history has streamed through. */
-final case class CusumState(p: Long, m: Long)
+final case class CusumState(p: Long, m: Long,
+                            hwMicros: Long = Long.MinValue,
+                            hwId: Long = Long.MinValue)
 
 /** Structured Streaming surface (SURVEY.md §2.10 notes the reference has
   * none — this is the beyond-reference streaming path for the events
@@ -648,7 +650,7 @@ object EventsStream {
   final case class CusumAlert(event_type: String, event_id: Long,
                               ts: java.sql.Timestamp, cusum: Double)
 
-  private def epochMicros(ts: java.sql.Timestamp): Long = {
+  private[graft] def epochMicros(ts: java.sql.Timestamp): Long = {
     val i = ts.toInstant
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
@@ -668,7 +670,17 @@ object EventsStream {
     * the batch backtest's (pair-tested in EventsStreamSpec), not
     * float-drift-close. `target` maps each series to its in-control
     * mean μ (the batch entry derives it from history; a deployment
-    * would pin it from a reference window). */
+    * would pin it from a reference window).
+    *
+    * Late data: Page's recursion is order-dependent, so folding an
+    * event that arrives in a LATER micro-batch with an EARLIER
+    * timestamp would silently diverge from the batch backtest. The
+    * state therefore carries a per-key high-watermark — the (micros,
+    * event_id) key of the last event folded — and any event at or
+    * below it is DROPPED, never folded out of order. Within a
+    * micro-batch events are sorted by that same key, so the detector
+    * is exactly the batch fold over the in-order subsequence it
+    * actually admitted. */
   def cusumDetect(events: Dataset[VEvent], target: Map[String, Double],
       h: Double = graft.analytics.Stats.CusumH): Dataset[CusumAlert] = {
     import events.sparkSession.implicits._
@@ -681,21 +693,27 @@ object EventsStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, it: Iterator[VEvent], state: GroupState[CusumState]) =>
           val mu = target.getOrElse(tpe, 0.0)
-          var CusumState(p, m) = state.getOption.getOrElse(
+          var CusumState(p, m, hwMicros, hwId) = state.getOption.getOrElse(
             CusumState(0L, Long.MaxValue))
           val alerts = List.newBuilder[CusumAlert]
           it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
-            val dMicro = java.math.BigDecimal
-              .valueOf(e.value - mu * (1.0 + slack))
-              .setScale(6, java.math.RoundingMode.HALF_UP)
-              .movePointRight(6).longValueExact()
-            p += dMicro
-            m = math.min(m, p)
-            val s = p - math.min(0L, m)
-            if (s > hMicro)
-              alerts += CusumAlert(tpe, e.event_id, e.ts, s.toDouble / 1e6)
+            val micros = epochMicros(e.ts)
+            val late = micros < hwMicros ||
+              (micros == hwMicros && e.event_id <= hwId)
+            if (!late) {
+              hwMicros = micros; hwId = e.event_id
+              val dMicro = java.math.BigDecimal
+                .valueOf(e.value - mu * (1.0 + slack))
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .movePointRight(6).longValueExact()
+              p += dMicro
+              m = math.min(m, p)
+              val s = p - math.min(0L, m)
+              if (s > hMicro)
+                alerts += CusumAlert(tpe, e.event_id, e.ts, s.toDouble / 1e6)
+            }
           }
-          state.update(CusumState(p, m))
+          state.update(CusumState(p, m, hwMicros, hwId))
           alerts.result().iterator
       }
   }

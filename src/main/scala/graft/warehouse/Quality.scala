@@ -203,7 +203,7 @@ object Quality {
       .observe(obs,
         count(lit(1)).as("n_rows"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
-        sum(col("value").cast("decimal(18,2)")).as("value_sum"),
+        sum(col("value").cast("decimal(18,6)")).as("value_sum"),
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"))
     ev.write.format("noop").mode("overwrite").save()
@@ -297,7 +297,7 @@ object Quality {
     """SELECT count(*) AS n_rows,
       |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_null_value,
-      |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
       |         AS value_sum,
       |       min(CAST(ts AS TIMESTAMP)) AS min_ts,
       |       max(CAST(ts AS TIMESTAMP)) AS max_ts

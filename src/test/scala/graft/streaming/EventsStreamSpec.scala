@@ -448,6 +448,37 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming cusum drops late cross-batch events instead of folding them out of order") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[EventsStream.VEvent]
+    val query = EventsStream
+      .cusumDetect(source.toDS(), Map("a" -> 10.0), h = 5.0)
+      .writeStream.format("memory").queryName("cusum_late_test")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the key's high-watermark to 10:03
+      source.addData(
+        EventsStream.VEvent(1, "a", ts("2024-01-01 10:02:00"), 14.0),
+        EventsStream.VEvent(2, "a", ts("2024-01-01 10:03:00"), 14.0))
+      query.processAllAvailable()
+      // batch 2: a late event (10:01 < watermark) plus an in-order one.
+      // If the late event were folded, its +3 deviation would push the
+      // in-order event's cusum from 9.0 to 12.0 — assert it stays 9.0
+      // and the late event itself never alerts.
+      source.addData(
+        EventsStream.VEvent(3, "a", ts("2024-01-01 10:01:00"), 14.0),
+        EventsStream.VEvent(4, "a", ts("2024-01-01 10:04:00"), 14.0))
+      query.processAllAvailable()
+      val got = spark.table("cusum_late_test")
+        .select("event_id", "cusum").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq(2L, 4L), got.mkString(","))
+      assert(math.abs(got(1)._2 - 9.0) < 1e-9,
+        s"late event must be dropped, not folded: ${got.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming cusum equals the two-phase batch backtest on the corpus") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -477,7 +508,7 @@ class EventsStreamSpec extends SparkSpec {
       // batch twin at the same h: rebuild the naive prefix form in scala
       val batch = ev.groupBy(_.event_type).toSeq.flatMap { case (tpe, es) =>
         var p = 0L; var m = Long.MaxValue
-        es.sortBy(e => (e.ts.getTime, e.event_id)).toSeq.flatMap { e =>
+        es.sortBy(e => (EventsStream.epochMicros(e.ts), e.event_id)).toSeq.flatMap { e =>
           val d = java.math.BigDecimal.valueOf(e.value - mu(tpe) * 1.10)
             .setScale(6, java.math.RoundingMode.HALF_UP)
             .movePointRight(6).longValueExact()
