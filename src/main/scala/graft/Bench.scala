@@ -153,12 +153,13 @@ object Bench {
       if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"worst":[]}"""
       else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"worst":$worst}"""
     val quietPath = sys.env.getOrElse("BENCH_QUIET", "bench_quiet.json")
+    val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     println(stdoutLine(med, total, sfDir, reps, noise, degraded,
-      quiet = if (degraded) readQuiet(quietPath) else None))
+      quiet = if (degraded) readQuiet(quietPath, sfDir) else None,
+      fullMap = out))
     val dg = if (degraded) ""","degraded":true""" else ""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med, _.toString)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$dg,"spread_sec":${jmap(spreads, _.toString)},"spread_rel":${jmap(relByName, r3)},"noise":$noise}"""
-    val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case _: Throwable => () }
     // Self-maintained quiet-canonical record: a NON-degraded full-suite
@@ -173,13 +174,18 @@ object Bench {
   }
 
   /** Reads (total, n_queries) from the last non-degraded full pass's
-    * artifact, if one exists. Regex-minimal on purpose: the file is our
-    * own single-line JSON, and a parse failure must degrade to "no
-    * context", never crash the bench. */
-  private[graft] def readQuiet(path: String): Option[(Double, Int)] =
+    * artifact, if one exists AND it was measured at the same scale factor
+    * as the current run — a quiet record from a different sf would surface
+    * a baseline total that is not comparable to this run's numbers
+    * (quiet_n catches registry-size drift but not sf drift). Regex-minimal
+    * on purpose: the file is our own single-line JSON, and a parse failure
+    * must degrade to "no context", never crash the bench. */
+  private[graft] def readQuiet(path: String, sfDir: String): Option[(Double, Int)] =
     try {
       val s = Files.readString(Paths.get(path))
       for {
+        sf <- """"sf":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+        if sf == sfDir
         v <- """"value":([0-9.Ee+-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
         n <- """"n_queries":([0-9]+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
       } yield (v, n)
@@ -248,7 +254,8 @@ object Bench {
   private[graft] def stdoutLine(
       med: Seq[(String, Double)], total: Double, sfDir: String,
       reps: Int, noise: String, degraded: Boolean = false,
-      quiet: Option[(Double, Int)] = None): String = {
+      quiet: Option[(Double, Int)] = None,
+      fullMap: String = "bench_out.json"): String = {
     // failed queries carry median -1.0; exclude them from omitted_sec (they
     // would subtract a phantom second each and break the documented
     // sum(queries)+omitted_sec ≈ value reconciliation) and surface them as
@@ -259,9 +266,12 @@ object Bench {
     // per-query map (always complete in BENCH_OUT) and carry the last
     // non-degraded full pass's total so the contended number is never the
     // only number on the page
+    // full_map names the RESOLVED artifact path (BENCH_OUT may be
+    // overridden), never the literal default — a pointer to a file that
+    // was not written is worse than no pointer
     val dg =
       if (!degraded) ""
-      else ""","degraded":true,"full_map":"bench_out.json"""" +
+      else s""","degraded":true,"full_map":"$fullMap"""" +
         quiet.map { case (v, n) =>
           s""","quiet_total":${r1(v)},"quiet_n":$n""" }.getOrElse("")
     def mk(qjson: String, omitted: Seq[Double]): String = {

@@ -13,7 +13,18 @@ final case class SessionState(start: Long, last: Long, n: Int)
 
 /** Per-series CUSUM accumulator: the running prefix sum and running
   * prefix minimum, both in exact integer micro-units — O(1) state per
-  * event type no matter how much history has streamed through. */
+  * event type no matter how much history has streamed through.
+  *
+  * STATE-SCHEMA VERSION 2 (was 2 fields, now 4): the late-event
+  * high-watermark fields (hwMicros, hwId) were added after the original
+  * (p, m) shape shipped. Structured Streaming's state-store schema check
+  * REJECTS a restart from a checkpoint written with the 2-field shape
+  * (there is no migration path for flatMapGroupsWithState state), so a
+  * long-lived deployment upgrading across that change must start from a
+  * fresh checkpoint directory — [[EventsStream.CusumStateVersion]] is
+  * provided so callers can suffix their checkpoint path / queryName with
+  * it and make the break explicit instead of discovering it as an
+  * opaque StateSchemaNotCompatible at restart. */
 final case class CusumState(p: Long, m: Long,
                             hwMicros: Long = Long.MinValue,
                             hwId: Long = Long.MinValue)
@@ -32,6 +43,14 @@ final case class CusumState(p: Long, m: Long,
   * input rates.
   */
 object EventsStream {
+
+  /** Version of [[CusumState]]'s state-store schema. Bump on any field
+    * change and suffix checkpoint locations for [[cusumDetect]] queries
+    * with it (e.g. `.../cusum-v$CusumStateVersion`): Spark cannot migrate
+    * flatMapGroupsWithState state across schema changes, so a versioned
+    * path turns a restart-time StateSchemaNotCompatible crash into an
+    * intentional fresh start. */
+  val CusumStateVersion = 2
 
   /** The shared transform: tumbling 1-hour windows per event_type. Epoch-
     * aligned window boundaries ≡ date_trunc('hour'), which is the oracle
