@@ -151,6 +151,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF recall vs brute-force top-3 on the probed query set") {
+    // the registered entry probes only 5 queries (15 truth pairs — too
+    // small to resolve recall above chance); sanity-pin it, then measure
+    // on a 50-query set via the shared search kernel below
     val ivf = Similarity.embeddingAnnIvf(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bf = Similarity.embeddingKnnNative(spark, sfDir)
@@ -158,13 +161,76 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bf.size == 15)
     val recall = (ivf & bf).size.toDouble / bf.size
-    info(f"ivf recall@3=$recall%.3f over ${bf.size} truth pairs")
-    // This corpus is near-uniform random — the hardest case for ANN (true
-    // neighbors are barely closer than random points), so absolute recall
-    // is structurally low. The floor asserts the trained quantizer beats
-    // the probed-mass chance baseline (nprobe/K = 2/8 = 0.25): probing 25%
-    // of a structureless corpus at random would recover ~25% of neighbors.
+    info(f"entry ivf recall@3=$recall%.3f over ${bf.size} truth pairs")
     assert(recall > 0.25, s"recall $recall (ivf=${ivf.size}, bf=${bf.size})")
+  }
+
+  test("IVF trained probes beat matched random probes on the natural corpus") {
+    // This corpus is near-uniform random — the hardest case for ANN (true
+    // neighbors are barely closer than random points), so ABSOLUTE recall
+    // is structurally low and a floor near nprobe/K = 2/8 = 0.25 asserts
+    // nothing ("probing 25% of a structureless corpus finds ~25% of
+    // neighbors"). The meaningful statement is RELATIVE: with the SAME
+    // probe budget (2 of 8 cells), the trained quantizer's
+    // nearest-centroid probes must recover strictly more true neighbors
+    // than deterministic arbitrary cells — i.e. centroid ranking carries
+    // signal above probed mass. Everything here is deterministic (fixed
+    // corpus, seeded k-means, hash-free probe choice), so the comparison
+    // is exact, not flaky. 50 queries × 3 = 150 truth pairs.
+    CosineSimilarity.register(spark)
+    val (qLo, qHi) = (100L, 150L)
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed").cache()
+    val cents = spark.createDataFrame(
+      Similarity.centroidArtifact(spark, sfDir, e)).toDF("cent_id", "ced")
+    // brute-force truth for the 50 queries
+    val q = e.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      .select(col("vec_id").as("q_id"), col("ed").as("qed"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(expr("cosine_similarity(qed, ed)"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size == 3 * (qHi - qLo))
+    // trained probes: the production search kernel
+    val trained = Similarity.ivfSearchFrom(e, cents, qLo, qHi).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random probes: same budget (2 distinct cells), chosen by the query
+    // id alone — blind to the centroids, so exactly "probed mass"
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("cent_id"),
+        round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
+      .groupBy("vec_id")
+      .agg(first(col("ed")).as("ed"),
+        max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc")))
+          .as("cell"))
+    val randProbes = q
+      .withColumn("cell", explode(array(col("q_id") % 8, (col("q_id") + 3) % 8)))
+    val rand = randProbes
+      .join(assign, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(expr("cosine_similarity(qed, ed)"), 6).as("sim"))
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trainedRecall = (trained & truth).size.toDouble / truth.size
+    val randRecall = (rand & truth).size.toDouble / truth.size
+    info(f"trained recall@3=$trainedRecall%.3f vs random-probe $randRecall%.3f over ${truth.size} pairs")
+    assert(trainedRecall > randRecall,
+      f"trained probes ($trainedRecall%.3f) do not beat random probes ($randRecall%.3f)")
+    // and the trained floor must clear probed-mass chance with a real
+    // margin: measured 0.473 vs 0.273 random on this corpus — pinned at
+    // 0.40 (well above the chance band, se ≈ 0.037 at 150 pairs, yet
+    // under the measured value) so a quantizer regression to chance
+    // fails loudly while testdata-regeneration drift does not
+    assert(trainedRecall > 0.40, f"trained recall $trainedRecall%.3f at/below chance band")
   }
 
   test("IVF recall >= 0.8 at k=3 on a planted-neighbor fixture") {
