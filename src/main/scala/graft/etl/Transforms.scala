@@ -226,6 +226,94 @@ object Transforms {
       |       max(json_extract(props, '$.k')::INT) AS k_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** COMPOSITE ETL entry — the full python.py stage ORDER in one
+    * oracle-paired chain (extract → clean → aggregate → pivot → melt →
+    * group-median impute → load, python.py:66-185). The pieces are
+    * verified separately (`etl_clean_events`, `etl_melt_pivot`,
+    * `etl_group_impute`, `etl_json_flatten`); this entry pins their
+    * COMPOSITION — the reference runs them as one pipeline
+    * (eda_complaints then eda_demo's melt→pivot_table→groupwise-median
+    * fill before load, python.py:110/185), and a refactor that reorders
+    * or drops a stage must fail an entry, not just a unit test.
+    *
+    * Null policy: imputation holes are injected deterministically after
+    * the melt ((grp + len(type)) ≡ 0 mod 9 — the `etl_group_impute`
+    * idiom), so the impute stage always has work at every SF, then
+    * filled with the per-event_type 6dp-rounded median of surviving
+    * totals (python.py:170-175's groupby-median fillna).
+    *
+    * Scale shape: one shuffle for the (grp, type) aggregate (map-side
+    * partials), a domain-enumerated pivot (no collect-distinct pass),
+    * unpivot is map-side, and the median table is type-cardinality rows
+    * broadcast back — the whole pipeline is one pass over the fact scan
+    * (with the ts filter pushed) plus bounded-size joins. */
+  def etlFullPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // stage 1-2: extract + clean (P2 drop, P4 pushed range filter, F11 cast)
+    val cleaned = Tables.events(spark, dir)
+      .drop("props")
+      .filter(col("ts").between("2024-01-05", "2024-01-25"))
+      .select((col("user_id") % 50).as("grp"), col("event_type"),
+        col("value").cast("int").as("value_int"))
+    // stage 3: aggregate long → pivot wide (explicit domain)
+    val wide = cleaned
+      .groupBy("grp")
+      .pivot("event_type", EventTypes)
+      .agg(sum(col("value_int")))
+    // stage 4: melt back to long + deterministic imputation holes
+    val long = wide.unpivot(
+        Array(col("grp")),
+        EventTypes.map(col).toArray,
+        "event_type", "total")
+      .withColumn("total_n",
+        when((col("grp") + length(col("event_type"))) % 9 === 0, lit(null))
+          .otherwise(col("total").cast("double")))
+    // stage 5: impute with the per-type median of surviving totals
+    val med = long.filter(col("total_n").isNotNull)
+      .groupBy("event_type")
+      .agg(round(median(col("total_n")), 6).as("type_median"))
+    // stage 6: load-shaped final projection
+    long.join(broadcast(med), Seq("event_type"))
+      .select(col("grp"), col("event_type"),
+        round(coalesce(col("total_n"), col("type_median")), 6).as("total_filled"),
+        col("total_n").isNull.as("was_imputed"))
+      .orderBy("grp", "event_type")
+  }
+
+  val etlFullPipelineSql: String =
+    """WITH cleaned AS (
+      |  SELECT user_id % 50 AS grp, event_type, trunc(value)::INT AS value_int
+      |  FROM events WHERE ts BETWEEN '2024-01-05' AND '2024-01-25'
+      |), agged AS (
+      |  SELECT grp, event_type, sum(value_int) AS total FROM cleaned GROUP BY 1, 2
+      |), wide AS (
+      |  SELECT grp,
+      |         first(total) FILTER (WHERE event_type = 'click')    AS click,
+      |         first(total) FILTER (WHERE event_type = 'error')    AS error,
+      |         first(total) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |         first(total) FILTER (WHERE event_type = 'signup')   AS signup,
+      |         first(total) FILTER (WHERE event_type = 'view')     AS view
+      |  FROM agged GROUP BY grp
+      |), long AS (
+      |  SELECT grp, 'click' AS event_type, click AS total FROM wide
+      |  UNION ALL SELECT grp, 'error', error FROM wide
+      |  UNION ALL SELECT grp, 'purchase', purchase FROM wide
+      |  UNION ALL SELECT grp, 'signup', signup FROM wide
+      |  UNION ALL SELECT grp, 'view', view FROM wide
+      |), holed AS (
+      |  SELECT grp, event_type,
+      |         CASE WHEN (grp + length(event_type)) % 9 = 0 THEN NULL
+      |              ELSE total::DOUBLE END AS total_n
+      |  FROM long
+      |), med AS (
+      |  SELECT event_type, round(median(total_n), 6) AS type_median
+      |  FROM holed WHERE total_n IS NOT NULL GROUP BY event_type
+      |)
+      |SELECT h.grp, h.event_type,
+      |       round(coalesce(h.total_n, m.type_median), 6) AS total_filled,
+      |       h.total_n IS NULL AS was_imputed
+      |FROM holed h JOIN med m USING (event_type)
+      |ORDER BY grp, event_type""".stripMargin
+
   /** Schema-drift union — the ingest step that reconciles two crawl
     * snapshots whose schemas evolved between runs: the older extract
     * lacks a column the newer one added (`lang`), the newer one dropped

@@ -19,6 +19,27 @@ class TransformsSpec extends SparkSpec {
     assert(long.except(direct).isEmpty && direct.except(long).isEmpty)
   }
 
+  test("full pipeline: every (grp, type) cell present, imputed cells carry the type median") {
+    val out = Transforms.etlFullPipeline(spark, sfDir).cache()
+    // stage composition invariant: the load sees the COMPLETE pivot grid —
+    // one row per (grp ∈ observed grps, type ∈ 5-value domain), none null
+    val grps = out.select("grp").distinct().count()
+    assert(out.count() == grps * 5, s"grid incomplete: ${out.count()} rows for $grps grps")
+    assert(out.filter(col("total_filled").isNull).isEmpty)
+    // the deterministic holes exist ((grp + len(type)) % 9 == 0 hits ~1/9
+    // of cells) and every imputed cell equals its type's median of the
+    // SURVIVING cells — i.e. the impute stage ran after melt, on the
+    // holed frame, exactly the python.py:170-175 order
+    val imputed = out.filter(col("was_imputed"))
+    assert(imputed.count() > 0, "no imputation holes — the impute stage had no work")
+    val med = out.filter(!col("was_imputed"))
+      .groupBy("event_type")
+      .agg(round(expr("median(total_filled)"), 6).as("m"))
+    assert(imputed.join(med, Seq("event_type"))
+      .filter(col("total_filled") =!= col("m")).isEmpty,
+      "an imputed cell does not carry its type median")
+  }
+
   test("group imputation leaves no nulls and only fills the masked rows") {
     val out = Transforms.groupImpute(spark, sfDir).cache()
     assert(out.filter(
