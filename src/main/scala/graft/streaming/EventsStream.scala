@@ -462,6 +462,64 @@ object EventsStream {
       clicks.withWatermark("c_ts", "1 hour"),
       purchases.withWatermark("p_ts", "1 hour"))
 
+  /** Unattributed clicks — the LEFT-OUTER companion of the attribution
+    * join: clicks followed by NO same-user purchase within the
+    * [[AttributionMinutes]] lookahead, i.e. the abandonment feed a
+    * remarketing pipeline consumes. The transform is a left-outer
+    * interval join filtered to the null-extended side, shared verbatim
+    * by the batch entry and the streaming twin.
+    *
+    * The streaming semantics are the interesting half (and the one
+    * outer-join family the registry lacked): an INNER stream-stream join
+    * can emit a match the moment both rows exist, but "no purchase
+    * followed" is only decidable once the watermark passes the end of
+    * the click's window — Structured Streaming buffers the click and
+    * emits the null-extended row exactly then, which the MemoryStream
+    * spec pins (nothing emits while the window is open; the unmatched
+    * click emits exactly once after expiry; matched clicks never).
+    *
+    * Scale shape: identical to [[clickAttributionTransform]] — shuffle
+    * on user_id, state retention derived from watermark + time bound;
+    * the null-side filter is free. */
+  def unattributedTransform(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttributionMinutes MINUTES"),
+      "left_outer")
+      .filter(col("p_id").isNull)
+      .select(col("c_id"), col("c_user").as("user_id"))
+
+  /** Batch entry (registered, oracle-gated as NOT EXISTS). */
+  def unattributedClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    unattributedTransform(clicks, purchases).orderBy("c_id")
+  }
+
+  val unattributedClicksSql: String =
+    s"""SELECT c.event_id AS c_id, c.user_id
+       |FROM events c
+       |WHERE c.event_type = 'click' AND NOT EXISTS (
+       |  SELECT 1 FROM events p
+       |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+       |    AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+       |    AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL $AttributionMinutes MINUTE)
+       |ORDER BY c_id""".stripMargin
+
+  /** The streaming twin: left-outer stream-stream interval join, both
+    * sides watermarked (mandatory for outer emission — the watermark is
+    * what proves a click's window closed empty). */
+  def streamingUnattributedClicks(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    unattributedTransform(
+      clicks.withWatermark("c_ts", "1 hour"),
+      purchases.withWatermark("p_ts", "1 hour"))
+
   /** Stream-static enrichment — the streaming twin of fact building:
     * each event picks up its customer's market segment and nation. The
     * shared transform keeps the static sides un-hinted: `customer` is a

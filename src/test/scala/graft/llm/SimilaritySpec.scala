@@ -272,6 +272,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"planted recall $recall under 0.8 (ivf=${ivf.size})")
   }
 
+  test("PQ: codes in range, all subspaces coded, training reduces total distortion") {
+    import spark.implicits._
+    val out = Similarity.embeddingPq(spark, sfDir).cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.count() == n)
+    // every vector carries all 4 codes, each within the codebook domain
+    for (c <- Seq("c0", "c1", "c2", "c3"))
+      assert(out.filter(col(c).isNull || col(c) < 0 || col(c) >= 4).isEmpty, c)
+    assert(out.filter(col("recon").isNull || col("recon") < 0).isEmpty)
+    // Lloyd training must beat the untrained seed codebooks (first-K
+    // subvectors) on total distortion — the assignment step alone gives
+    // parity, the mean step is what must buy improvement
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+    val seedRecon = Similarity.pqEncodeWith(e,
+        Similarity.seedPqCodebooks(e))
+      .agg(sum(col("recon"))).head.getDouble(0)
+    val trainedRecon = out.agg(sum(col("recon"))).head.getDouble(0)
+    info(f"pq distortion: trained=$trainedRecon%.1f seed=$seedRecon%.1f")
+    assert(trainedRecon < seedRecon,
+      f"training did not reduce distortion ($trainedRecon%.1f >= $seedRecon%.1f)")
+  }
+
+  test("ADC search recovers planted-cluster neighbors from codes alone") {
+    // the IVF planted fixture (8 disjoint-support clusters, 10 members
+    // each): ADC reads ONLY the 4 codes per candidate, so this pins that
+    // the quantized representation retains the cluster geometry — every
+    // top-3 ADC neighbor of a cluster's query should be a member of the
+    // same cluster
+    import spark.implicits._
+    val vecs = for (c <- 0 until 8; i <- 0 until 10) yield {
+      val id = i.toLong * 8 + c
+      val ed = (0 until 64).map { d =>
+        val block = if (d >= c * 8 && d < (c + 1) * 8) 1.0 else 0.0
+        block + 0.02 * math.cos(1.7 * id + 0.31 * d)
+      }
+      (id, ed)
+    }
+    val e = vecs.toDF("vec_id", "ed").cache()
+    val cents = Similarity.trainPqCodebooks(e)
+    val adc = Similarity.adcSearchFrom(e, cents, 0L, 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(adc.length == 24) // 8 queries × top-3
+    val sameCluster = adc.count { case (q, c) => c % 8 == q % 8 }
+    val precision = sameCluster.toDouble / adc.length
+    info(f"adc planted-cluster precision@3=$precision%.3f")
+    assert(precision >= 0.8, f"adc precision $precision%.3f under 0.8")
+  }
+
   test("int8 quantization: reconstruction error under one step, top-k preserved") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)

@@ -155,6 +155,39 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer attribution: unmatched clicks emit only after their window expires") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clickSrc = MemoryStream[(Long, Long, Timestamp)]
+    val purchSrc = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clickSrc.toDF().toDF("c_id", "c_user", "c_ts")
+    val purchases = purchSrc.toDF().toDF("p_id", "p_user", "p_ts")
+    val query = EventsStream.streamingUnattributedClicks(clicks, purchases)
+      .writeStream.format("memory").queryName("unattributed_test")
+      .outputMode("append").start()
+    try {
+      // click 10 will be matched; click 11 will not (other user's purchase)
+      clickSrc.addData((10L, 1L, ts("2024-01-01 10:00:00")),
+        (11L, 2L, ts("2024-01-01 10:00:00")))
+      purchSrc.addData((100L, 1L, ts("2024-01-01 10:10:00")))
+      query.processAllAvailable()
+      // the window for click 11 ([10:00, 10:30]) is still open — nothing
+      // may emit yet, even for the matched click (matches are INNER rows;
+      // this feed is the null-extended side only)
+      assert(spark.table("unattributed_test").isEmpty)
+      // advance both watermarks past 10:30 + 1h delay: late-data horizon
+      // 12:00 - 1h = 11:00 > 10:30, so click 11's window provably closed
+      clickSrc.addData((12L, 9L, ts("2024-01-01 12:00:00")))
+      purchSrc.addData((101L, 9L, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      val emitted = spark.table("unattributed_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exactly the unmatched click — once, and never the matched one;
+      // clicks 12's window is still open, so it stays buffered
+      assert(emitted == Set((11L, 2L)), emitted.toString)
+    } finally query.stop()
+  }
+
   test("stream-static enrichment over a MemoryStream matches the batch transform") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
