@@ -223,8 +223,9 @@ object Behavior {
       |       s.event_type AS last_type, s.value AS last_value, n_events
       |FROM m ORDER BY user_id""".stripMargin
 
-  /** Per-key-per-window cap for [[rateLimitEvents]]. */
-  private val RateLimitN = 3
+  /** Per-key-per-window cap for [[rateLimitEvents]] — shared with its
+    * streaming twin ([[graft.streaming.EventsStream.streamingRateLimit]]). */
+  private[graft] val RateLimitN = 3
 
   /** Ingestion rate limiting — keep only the FIRST [[RateLimitN]] events
     * per (user, day) and drop the rest: the bot/spam throttle every

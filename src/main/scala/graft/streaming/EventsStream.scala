@@ -11,6 +11,13 @@ import graft.Tables
   * encoder's generated code can construct it). */
 final case class SessionState(start: Long, last: Long, n: Int)
 
+/** Per-(user, day) rate-limiter state: admitted count plus the CUSUM-style
+  * (micros, event_id) high-watermark that keeps cross-batch admission
+  * order-exact (see [[EventsStream.streamingRateLimit]]). */
+final case class RateLimitState(n: Int,
+                                hwMicros: Long = Long.MinValue,
+                                hwId: Long = Long.MinValue)
+
 /** Per-series CUSUM accumulator: the running prefix sum and running
   * prefix minimum, both in exact integer micro-units — O(1) state per
   * event type no matter how much history has streamed through.
@@ -718,6 +725,58 @@ object EventsStream {
             state.getOption.foreach(s =>
               state.setTimeoutTimestamp(s.last + SessionGapMs))
             out
+          }
+      }
+  }
+
+  final case class UEvent(event_id: Long, user_id: Long,
+                          ts: java.sql.Timestamp)
+
+  private val DayMicros = 86400000000L
+
+  /** Streaming twin of [[graft.analytics.Behavior.rateLimitEvents]] — the
+    * token-bucket ingest throttle as per-key state: at most `n` events
+    * admitted per (user, UTC day); everything past the cap drops at the
+    * edge, which is the point of a rate limiter (the batch twin ranks and
+    * filters AFTER landing the whole stream).
+    *
+    * Order discipline (the [[cusumDetect]] contract): within a
+    * micro-batch events fold in (ts, event_id) order, and the state
+    * carries that key's high-watermark so a LATE cross-batch event is
+    * dropped rather than admitted out of order — the admitted set is
+    * exactly the batch kernel's first-n over the in-order subsequence the
+    * stream actually admitted (pair-tested in EventsStreamSpec).
+    *
+    * State lifecycle: one 3-field struct per ACTIVE (user, day) — the
+    * event-time timeout fires once the watermark passes the day's end
+    * plus an hour of slack and removes the bucket, so state is bounded by
+    * in-horizon traffic, never by history. Input must carry a watermark
+    * (the caller picks the lateness bound). */
+  def streamingRateLimit(events: Dataset[UEvent],
+      n: Int = graft.analytics.Behavior.RateLimitN): Dataset[UEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, epochMicros(e.ts) / DayMicros))
+      .flatMapGroupsWithState[RateLimitState, UEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((_, dayIdx), it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var RateLimitState(c, hwMicros, hwId) =
+              state.getOption.getOrElse(RateLimitState(0))
+            val kept = List.newBuilder[UEvent]
+            it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
+              val micros = epochMicros(e.ts)
+              val late = micros < hwMicros ||
+                (micros == hwMicros && e.event_id <= hwId)
+              if (!late) {
+                hwMicros = micros; hwId = e.event_id
+                if (c < n) { c += 1; kept += e }
+              }
+            }
+            state.update(RateLimitState(c, hwMicros, hwId))
+            state.setTimeoutTimestamp((dayIdx + 1) * 86400000L + 3600000L)
+            kept.result().iterator
           }
       }
   }

@@ -417,6 +417,79 @@ class EventsStreamSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L, 4L), got.mkString(","))
   }
 
+  test("streaming rate limit: first-n per (user, day) across batches, late events dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[EventsStream.UEvent]
+    val query = EventsStream.streamingRateLimit(
+        source.toDS().withWatermark("ts", "10 seconds"), n = 3)
+      .writeStream.format("memory").queryName("rate_limit_test")
+      .outputMode("append").start()
+    def emitted() = spark.table("rate_limit_test").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    try {
+      // batch 0: user 1 sends 2 (both admitted), user 2 sends 4 (3 kept,
+      // the in-batch sort picks them by (ts, event_id) not arrival)
+      source.addData(
+        EventsStream.UEvent(10L, 1L, ts("2024-01-01 10:00:00")),
+        EventsStream.UEvent(11L, 1L, ts("2024-01-01 10:05:00")),
+        EventsStream.UEvent(23L, 2L, ts("2024-01-01 10:03:00")),
+        EventsStream.UEvent(20L, 2L, ts("2024-01-01 10:00:00")),
+        EventsStream.UEvent(22L, 2L, ts("2024-01-01 10:02:00")),
+        EventsStream.UEvent(21L, 2L, ts("2024-01-01 10:01:00")))
+      query.processAllAvailable()
+      assert(emitted() == Seq(10L, 11L, 20L, 21L, 22L))
+      // batch 1: user 1's count (2) carries — one more admits, the next
+      // drops; a LATE user-1 event (ts before the high-watermark) is
+      // dropped even though it would rank ahead of the admitted ones
+      source.addData(
+        EventsStream.UEvent(12L, 1L, ts("2024-01-01 10:30:00")),
+        EventsStream.UEvent(13L, 1L, ts("2024-01-01 10:31:00")),
+        EventsStream.UEvent(9L, 1L, ts("2024-01-01 09:59:00"))) // late
+      query.processAllAvailable()
+      assert(emitted() == Seq(10L, 11L, 12L, 20L, 21L, 22L))
+      // next day: a fresh bucket admits user 1 again
+      source.addData(EventsStream.UEvent(14L, 1L, ts("2024-01-02 08:00:00")))
+      query.processAllAvailable()
+      assert(emitted() == Seq(10L, 11L, 12L, 14L, 20L, 21L, 22L))
+    } finally query.stop()
+  }
+
+  test("streaming rate limit equals the batch rank kernel on an in-order feed") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the first 300 events of the corpus in (ts, event_id) order, split
+    // into 3 in-order micro-batches: arrival order == event order, so the
+    // stream's admitted set must equal the batch window-rank filter
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .orderBy("ts", "event_id").limit(300)
+      .as[EventsStream.UEvent].collect().toSeq
+    val source = MemoryStream[EventsStream.UEvent]
+    val query = EventsStream.streamingRateLimit(
+        source.toDS().withWatermark("ts", "10 seconds"))
+      .writeStream.format("memory").queryName("rate_limit_pair_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(100).foreach { b =>
+        source.addData(b: _*); query.processAllAvailable()
+      }
+      val stream = spark.table("rate_limit_pair_test").collect()
+        .map(_.getLong(0)).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val batch = rows.toDF()
+        .withColumn("seq", row_number().over(w))
+        .filter(col("seq") <= graft.analytics.Behavior.RateLimitN)
+        .collect().map(_.getLong(0)).toSet
+      assert(stream == batch,
+        s"stream-only: ${(stream -- batch).toSeq.sorted.take(5)}; " +
+          s"batch-only: ${(batch -- stream).toSeq.sorted.take(5)}")
+    } finally query.stop()
+  }
+
   test("streaming heavy hitters: finalized windows match the batch sketch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
