@@ -1178,23 +1178,26 @@ object Similarity {
       s"list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2]))), " +
       s"(p, q) -> p + q), 6)"
 
-  /** The shared PQ oracle CTE chain: subvectors, the per-subspace k-means
-    * unrolled ([[kmeansCteSql]] pattern with the subspace id as an extra
-    * grouping column), and the long-form `codes` — identical L2 fold /
-    * rounding / tiebreaks to the Spark kernels. */
-  private val pqCteSql: String = {
+  /** The PQ oracle CTE chain WITHOUT the `emb` prefix: subvectors, the
+    * per-subspace k-means unrolled ([[kmeansCteSql]] pattern with the
+    * subspace id as an extra grouping column), and the long-form `codes`
+    * — identical L2 fold / rounding / tiebreaks to the Spark kernels.
+    * Chain names are pq-prefixed (passign$i, not assign$i) so the chain
+    * composes with [[kmeansCteSql]] in the IVF-ADC oracle without CTE
+    * collisions. */
+  private val pqChainSql: String = {
     val avgList = (0 until PqSubDim)
       .map(d => s"round(CAST(sum(CAST(sub[${d + 1}] AS DECIMAL(28,14))) AS DOUBLE)" +
         s" / count(*), $CentroidDp)").mkString("[", ", ", "]")
     val sb = new StringBuilder(
-      s"""$cosineCteSql, msubs AS (
+      s"""msubs AS (
          |  SELECT vec_id, m, list_slice(ed, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS sub
          |  FROM emb CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)
          |), pq0 AS (
          |  SELECT m, vec_id AS cent_id, sub AS ced FROM msubs WHERE vec_id < $PqK
          |)""".stripMargin)
     for (i <- 1 to PqIters) {
-      sb.append(s""", assign$i AS (
+      sb.append(s""", passign$i AS (
          |  SELECT m, cent_id, sub FROM (
          |    SELECT s.m, s.sub, c.cent_id,
          |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
@@ -1202,7 +1205,7 @@ object Similarity {
          |    FROM msubs s JOIN pq${i - 1} c USING (m))
          |  WHERE rk = 1
          |), pq$i AS (
-         |  SELECT m, cent_id, $avgList AS ced FROM assign$i GROUP BY m, cent_id
+         |  SELECT m, cent_id, $avgList AS ced FROM passign$i GROUP BY m, cent_id
          |)""".stripMargin)
     }
     sb.append(s""", codes AS (
@@ -1216,6 +1219,9 @@ object Similarity {
        |)""".stripMargin)
     sb.toString
   }
+
+  /** `emb` + the PQ chain — what the PQ-only oracles open with. */
+  private val pqCteSql: String = s"$cosineCteSql, $pqChainSql"
 
   /** Oracle: codes + decimal-summed reconstruction off the shared chain. */
   val embeddingPqSql: String =
@@ -1282,6 +1288,118 @@ object Similarity {
       .select("q_id", "c_id", "adist", "rank")
       .orderBy("q_id", "rank")
   }
+
+  /** IVF candidate generation against a trained coarse quantizer — the
+    * (q_id, c_id) pairs a probed search scores, WITHOUT scoring them:
+    * full-corpus argmax cell assignment, per-query top-nprobe probe
+    * ranking, cell-keyed candidate join, deduped (a candidate can sit in
+    * both probed cells). Shared by [[embeddingIvfAdcSearch]] and specs. */
+  private[llm] def ivfCandidatesFrom(e: DataFrame, cents: DataFrame,
+      qLo: Long, qHi: Long): DataFrame = {
+    val assign = argmaxCell(e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("cent_id"),
+        round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probes = e
+      .filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crank") <= IvfNprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    probes.join(assign, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"))
+      .dropDuplicates("q_id", "c_id")
+  }
+
+  /** IVF-ADC — the composed vector-serving pipeline (the FAISS IVFADC
+    * shape): the IVF coarse quantizer prunes candidates to the probed
+    * cells' members (~n·nprobe/K of the corpus), and each survivor is
+    * scored by ASYMMETRIC DISTANCE over its PQ codes — the raw candidate
+    * floats are touched by neither stage. This is the end-to-end path a
+    * 10⁹-vector deployment actually runs: both model artifacts
+    * (K-row IVF centroids, M×K PQ codebooks) are the session-scoped
+    * collected artifacts their standalone entries train, so the composed
+    * entry adds only the candidate join and the table-sum.
+    *
+    * Scale shape: candidate generation is the [[embeddingAnnIvf]] probe
+    * join (shuffles on `cell`; at scale the assignment side is the
+    * persisted bucketed table of [[ivfIndexSearch]], pre-paying that
+    * shuffle); scoring joins candidates to 4 code rows each against a
+    * broadcast |Q|·M·K lookup table — output-sized work, zero float I/O
+    * for candidates. */
+  def embeddingIvfAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .cache()
+    val ivfCents = spark.createDataFrame(centroidArtifact(spark, dir, e))
+      .toDF("cent_id", "ced")
+    val pqCents = spark.createDataFrame(pqArtifact(spark, dir, e))
+      .toDF("m", "cent_id", "ced")
+    val cand = ivfCandidatesFrom(e, ivfCents, AdcQLo, AdcQHi)
+    val codes = pqCodesLong(e, pqCents)
+      .select(col("vec_id").as("c_id"), col("m"), col("code"))
+    val dtab = pqSubvectors(e.filter(col("vec_id") >= AdcQLo && col("vec_id") < AdcQHi))
+      .join(broadcast(pqCents), Seq("m"))
+      .select(col("vec_id").as("dq_id"), col("m").as("dm"), col("cent_id"),
+        expr(l2Sql("sub", "ced")).as("dq"))
+    cand.join(codes, Seq("c_id"))
+      .join(broadcast(dtab),
+        col("q_id") === col("dq_id") && col("m") === col("dm") &&
+          col("code") === col("cent_id"))
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("dq").cast("decimal(18,6)")).as("adist_dec"))
+      .select(col("q_id"), col("c_id"),
+        col("adist_dec").cast("double").as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist"), col("c_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "c_id", "adist", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle: the IVF k-means chain and the PQ chain composed in one WITH
+    * (collision-free by the passign renaming), candidates from the probe
+    * join, distances from the code tables — same rounding/tiebreaks. */
+  val embeddingIvfAdcSearchSql: String =
+    s"""WITH $cosineCteSql, $kmeansCteSql, $pqChainSql, ranked AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
+       |  FROM emb e CROSS JOIN cents$IvfIters c
+       |), assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell FROM ranked
+       |  WHERE vec_id >= $AdcQLo AND vec_id < $AdcQHi AND crank <= $IvfNprobe
+       |), cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+       |  FROM probes p JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> p.q_id
+       |), qtab AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.cent_id,
+       |         ${l2DuckSql("s.sub", "c.ced")} AS dq
+       |  FROM msubs s JOIN pq$PqIters c USING (m)
+       |  WHERE s.vec_id >= $AdcQLo AND s.vec_id < $AdcQHi
+       |)
+       |SELECT q_id, c_id, adist, rank FROM (
+       |  SELECT q_id, c_id, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rank
+       |  FROM (
+       |    SELECT cand.q_id, cand.c_id,
+       |           CAST(sum(CAST(t.dq AS DECIMAL(18,6))) AS DOUBLE) AS adist
+       |    FROM cand
+       |    JOIN codes k ON k.vec_id = cand.c_id
+       |    JOIN qtab t ON t.q_id = cand.q_id AND t.m = k.m AND t.cent_id = k.code
+       |    GROUP BY 1, 2))
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Oracle: the query tables off the shared PQ chain, same decimal sum. */
   val embeddingAdcSearchSql: String =

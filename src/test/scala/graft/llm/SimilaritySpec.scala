@@ -322,6 +322,38 @@ class SimilaritySpec extends SparkSpec {
     assert(precision >= 0.8, f"adc precision $precision%.3f under 0.8")
   }
 
+  test("IVF-ADC recovers planted-cluster neighbors through both pruning and code scoring") {
+    // the composed pipeline has two places to lose a neighbor: the probe
+    // can miss its cell, or the code distance can misrank it — the
+    // fixture pins that NEITHER does on separable structure
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val vecs = for (c <- 0 until 8; i <- 0 until 10) yield {
+      val id = i.toLong * 8 + c
+      val ed = (0 until 64).map { d =>
+        val block = if (d >= c * 8 && d < (c + 1) * 8) 1.0 else 0.0
+        block + 0.02 * math.cos(1.7 * id + 0.31 * d)
+      }
+      (id, ed)
+    }
+    val e = vecs.toDF("vec_id", "ed").cache()
+    val ivfCents = Similarity.trainIvfCentroids(e)
+    val pqCents = Similarity.trainPqCodebooks(e)
+    val cand = Similarity.ivfCandidatesFrom(e, ivfCents, 0L, 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query's candidate set must contain its 9 cluster mates
+    for (q <- 0L until 8L) {
+      val mates = (1 to 9).map(i => i.toLong * 8 + q).toSet
+      assert(mates.subsetOf(cand.collect { case (`q`, c) => c }.toSet),
+        s"query $q's probes missed cluster mates")
+    }
+    // and the ADC ranking keeps the cluster on top
+    val adc = Similarity.adcSearchFrom(e, pqCents, 0L, 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val precision = adc.count { case (q, c) => c % 8 == q % 8 }.toDouble / adc.length
+    assert(precision >= 0.8, f"ivfadc fixture precision $precision%.3f")
+  }
+
   test("int8 quantization: reconstruction error under one step, top-k preserved") {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)
