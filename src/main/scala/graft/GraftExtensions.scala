@@ -70,5 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("misra_gries",
         "misra_gries(col, k) - mergeable Misra-Gries heavy-hitters sketch (term -> estimate map)"),
       MisraGries.builder))
+    // HOF dot-product / squared-norm shapes rewrite to the codegen'd
+    // DotProduct kernel (bit-identical semantics — see NativeVectorRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
   }
 }

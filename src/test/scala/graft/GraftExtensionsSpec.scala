@@ -52,6 +52,65 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rule rewrites HOF dot/norm shapes to the native kernel, leaves others alone") {
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", 4)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      // non-literal input (range) so constant folding cannot pre-collapse
+      // the HOF before the rewrite is observable; row id=0 gives vectors
+      // a=(1,2), b=(3,4)
+      s.range(1).createOrReplaceTempView("graft_nvr_rows")
+      val base = """FROM (SELECT array(CAST(id + 1 AS DOUBLE), CAST(id + 2 AS DOUBLE)) AS a,
+                   |             array(CAST(id + 3 AS DOUBLE), CAST(id + 4 AS DOUBLE)) AS b
+                   |      FROM graft_nvr_rows)""".stripMargin
+      // the HOF dot product and squared norm must plan as DotProduct
+      val hof = s.sql(
+        s"""SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (p, q) -> p + q) AS dp,
+           |       aggregate(transform(a, x -> x * x), 0D, (p, q) -> p + q) AS n2
+           |$base""".stripMargin)
+      val opt = hof.queryExecution.optimizedPlan.toString
+      assert(opt.contains("dot_product") || opt.contains("DotProduct"), opt)
+      assert(!opt.contains("aggregate(") && !opt.contains("zip_with"), opt)
+      val r = hof.head()
+      assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0, r.toString)
+      // commuted operands and float-element casts still match
+      val cast = s.sql(
+        s"""SELECT aggregate(zip_with(a, b, (x, y) -> CAST(y AS DOUBLE) * x),
+           |                 0D, (p, q) -> q + p) AS dp
+           |$base""".stripMargin)
+      assert(cast.queryExecution.optimizedPlan.toString.contains("dot_product"),
+        cast.queryExecution.optimizedPlan.toString)
+      assert(cast.head().getDouble(0) == 11.0)
+      // a near-miss shape (sum lambda, not product) must be LEFT ALONE
+      val miss = s.sql(
+        s"""SELECT aggregate(zip_with(a, b, (x, y) -> x + y), 0D, (p, q) -> p + q) AS sm
+           |$base""".stripMargin)
+      val missPlan = miss.queryExecution.optimizedPlan.toString
+      assert(!missPlan.contains("dot_product"), missPlan)
+      assert(miss.head().getDouble(0) == 10.0)
+      // a non-zero seed must be left alone too (the fold result differs)
+      val seeded = s.sql(
+        s"""SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 1D, (p, q) -> p + q) AS dp
+           |$base""".stripMargin)
+      assert(!seeded.queryExecution.optimizedPlan.toString.contains("dot_product"))
+      assert(seeded.head().getDouble(0) == 12.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("one-config-line deploy: a fresh JVM with spark.sql.extensions resolves the functions") {
     // The static-conf route CANNOT be proven in this JVM (the suite's
     // SparkContext already exists, so the conf is never read) — launch a
