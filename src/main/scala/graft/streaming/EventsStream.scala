@@ -18,6 +18,13 @@ final case class RateLimitState(n: Int,
                                 hwMicros: Long = Long.MinValue,
                                 hwId: Long = Long.MinValue)
 
+/** Per-user forward-fill state: the last observed value (with a
+  * has-observation flag — state encoders want flat primitives) plus the
+  * cross-batch (micros, event_id) high-watermark. */
+final case class FillState(lastObs: Double, hasObs: Boolean,
+                           hwMicros: Long = Long.MinValue,
+                           hwId: Long = Long.MinValue)
+
 /** Per-series CUSUM accumulator: the running prefix sum and running
   * prefix minimum, both in exact integer micro-units — O(1) state per
   * event type no matter how much history has streamed through.
@@ -778,6 +785,60 @@ object EventsStream {
             state.setTimeoutTimestamp((dayIdx + 1) * 86400000L + 3600000L)
             kept.result().iterator
           }
+      }
+  }
+
+  final case class FEvent(event_id: Long, user_id: Long,
+                          ts: java.sql.Timestamp, event_type: String,
+                          value: Double)
+  final case class FilledEvent(event_id: Long, user_id: Long,
+                               event_type: String,
+                               observed: Option[Double],
+                               filled: Option[Double])
+
+  /** Streaming twin of [[graft.analytics.Behavior.forwardFill]] — last
+    * observation carried forward as per-user keyed state: each event is
+    * emitted with the user's most recent purchase value (None before the
+    * first), the online form of the batch `last(_, ignoreNulls)` window.
+    * This is the feature-freshness shape a serving pipeline wants — the
+    * fill is available the micro-batch the event arrives, not at the
+    * next batch window pass.
+    *
+    * State is TWO fields per user (value + flag) plus the high-watermark
+    * pair — the [[cusumDetect]] order discipline again: in-batch
+    * (ts, event_id) sort, late cross-batch events dropped (folding one
+    * late observation would silently rewrite the fill history the batch
+    * twin would compute). The observed value is rounded to 6dp with the
+    * same HALF_UP rule as the batch entry, so on in-order feeds the
+    * stream's rows equal the batch window fill exactly (pair-tested). */
+  def streamingForwardFill(events: Dataset[FEvent]): Dataset[FilledEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FilledEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FEvent], state: GroupState[FillState]) =>
+          var FillState(last, has, hwMicros, hwId) =
+            state.getOption.getOrElse(FillState(0.0, hasObs = false))
+          val out = List.newBuilder[FilledEvent]
+          it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
+            val micros = epochMicros(e.ts)
+            val late = micros < hwMicros ||
+              (micros == hwMicros && e.event_id <= hwId)
+            if (!late) {
+              hwMicros = micros; hwId = e.event_id
+              val obs =
+                if (e.event_type == "purchase")
+                  Some(java.math.BigDecimal.valueOf(e.value)
+                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+                else None
+              obs.foreach { v => last = v; has = true }
+              out += FilledEvent(e.event_id, user, e.event_type, obs,
+                if (has) Some(last) else None)
+            }
+          }
+          state.update(FillState(last, has, hwMicros, hwId))
+          out.result().iterator
       }
   }
 

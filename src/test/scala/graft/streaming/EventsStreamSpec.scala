@@ -490,6 +490,78 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming forward fill carries state across batches and equals the batch window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[EventsStream.FEvent]
+    val query = EventsStream.streamingForwardFill(source.toDS())
+      .writeStream.format("memory").queryName("ffill_test")
+      .outputMode("append").start()
+    try {
+      // batch 0: user 1 views (no obs yet), purchases, views again
+      source.addData(
+        EventsStream.FEvent(1L, 1L, ts("2024-01-01 10:00:00"), "view", 5.0),
+        EventsStream.FEvent(2L, 1L, ts("2024-01-01 10:01:00"), "purchase", 7.25),
+        EventsStream.FEvent(3L, 1L, ts("2024-01-01 10:02:00"), "view", 9.0))
+      query.processAllAvailable()
+      // batch 1: the fill carries the 7.25 across the batch boundary, a
+      // second purchase replaces it, a LATE pre-purchase event is dropped
+      source.addData(
+        EventsStream.FEvent(4L, 1L, ts("2024-01-01 10:10:00"), "click", 1.0),
+        EventsStream.FEvent(5L, 1L, ts("2024-01-01 10:11:00"), "purchase", 2.5),
+        EventsStream.FEvent(6L, 1L, ts("2024-01-01 10:12:00"), "view", 3.0),
+        EventsStream.FEvent(0L, 1L, ts("2024-01-01 09:59:00"), "view", 0.0)) // late
+      query.processAllAvailable()
+      val got = spark.table("ffill_test").collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, None, None),
+        (2L, Some(7.25), Some(7.25)),
+        (3L, None, Some(7.25)),
+        (4L, None, Some(7.25)),
+        (5L, Some(2.5), Some(2.5)),
+        (6L, None, Some(2.5))), got.toString)
+    } finally query.stop()
+  }
+
+  test("streaming forward fill equals the batch window kernel on an in-order feed") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy("ts", "event_id").limit(300)
+      .as[EventsStream.FEvent].collect().toSeq
+    val source = MemoryStream[EventsStream.FEvent]
+    val query = EventsStream.streamingForwardFill(source.toDS())
+      .writeStream.format("memory").queryName("ffill_pair_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(100).foreach { b =>
+        source.addData(b: _*); query.processAllAvailable()
+      }
+      val stream = spark.table("ffill_pair_test").collect()
+        .map(r => (r.getLong(0), Option(r.get(4)).map(_.asInstanceOf[Double])))
+        .toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val batch = rows.toDF()
+        .withColumn("observed",
+          when(col("event_type") === "purchase", round(col("value"), 6)))
+        .withColumn("filled", last(col("observed"), ignoreNulls = true).over(w))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(6)).map(_.asInstanceOf[Double])))
+        .toMap
+      assert(stream == batch,
+        s"diff: ${(stream.toSet diff batch.toSet).take(5)} | ${(batch.toSet diff stream.toSet).take(5)}")
+    } finally query.stop()
+  }
+
   test("streaming heavy hitters: finalized windows match the batch sketch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
