@@ -686,7 +686,13 @@ object Similarity {
       .toDF("cent_id", "ced")
       .write.mode("overwrite")
       .saveAsTable("graft_ivf_centroids")
-    val cents = spark.table("graft_ivf_centroids")
+    // the table holds exactly ≤ IvfK rows by construction, but read back
+    // from parquet that bound is invisible to plan-level screens — the
+    // limit(IvfK) is a value-level no-op that makes the K-row cap
+    // STRUCTURAL (a GlobalLimit the registry lint's bounded-side check
+    // sees), so the broadcast cross joins below are provably not
+    // quadratic (VERDICT r15 #2)
+    val cents = spark.table("graft_ivf_centroids").limit(IvfK)
     argmaxCell(e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("ed"), col("cent_id"),
         round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))

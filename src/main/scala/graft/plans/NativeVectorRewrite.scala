@@ -27,12 +27,16 @@ import graft.functions.DotProduct
   * (SimilaritySpec "native CosineSimilarity equals the HOF formulation
   * bit-for-bit" pins the arithmetic), both yield NULL on mismatched
   * lengths (zip_with pads with null → null product → null sum; DotProduct
-  * returns null by contract) and on null elements, and element casts to
-  * double inside the lambda match DotProduct's internal double
-  * accumulation over float/double arrays. Matching is deliberately
-  * conservative: only the exact shapes above (modulo commuted operands
-  * and element casts), only over float/double arrays, only with a 0.0
-  * double seed and an identity finish — anything else is left alone.
+  * returns null by contract) and on null elements, and the rewrite only
+  * fires when the lambda's product is computed in DOUBLE — which matches
+  * DotProduct's internal widen-to-double-then-multiply exactly. Double
+  * arrays qualify by construction; float arrays qualify only when the
+  * lambda casts both elements to double (an uncast float multiply rounds
+  * each product to float before summing, so it is left alone). Matching
+  * is deliberately conservative: only the exact shapes above (modulo
+  * commuted operands and element casts), only with a 0.0 double seed and
+  * an identity finish, and the self-dot form only over a deterministic,
+  * cheap-to-duplicate child — anything else is left alone.
   *
   * Injected by [[graft.GraftExtensions]] via `injectOptimizerRule`, so a
   * cluster configured with `spark.sql.extensions=graft.GraftExtensions`
@@ -50,22 +54,30 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** (x, y) -> x * y, operands in either order, casts tolerated. */
+  /** (x, y) -> x * y, operands in either order, casts tolerated — but the
+    * product itself must be computed in DOUBLE ([[DotProduct]] widens each
+    * element to double and multiplies exactly; a float-typed Multiply over
+    * uncast float-array elements rounds the product to float first, so
+    * rewriting it would silently change low-order bits). Over double arrays
+    * the multiply is double-typed by construction; over float arrays it is
+    * double-typed only when both operands carry a cast to double. */
   private def isPairProduct(f: Expression): Boolean = f match {
     case LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
       stripCast(body) match {
-        case Multiply(l, r, _) =>
+        case m @ Multiply(l, r, _) if m.dataType == DoubleType =>
           (isVar(l, x) && isVar(r, y)) || (isVar(l, y) && isVar(r, x))
         case _ => false
       }
     case _ => false
   }
 
-  /** x -> x * x, casts tolerated. */
+  /** x -> x * x, casts tolerated; same double-product requirement as
+    * [[isPairProduct]]. */
   private def isSquare(f: Expression): Boolean = f match {
     case LambdaFunction(body, Seq(x: NamedLambdaVariable), _) =>
       stripCast(body) match {
-        case Multiply(l, r, _) => isVar(l, x) && isVar(r, x)
+        case m @ Multiply(l, r, _) if m.dataType == DoubleType =>
+          isVar(l, x) && isVar(r, x)
         case _ => false
       }
     case _ => false
@@ -98,6 +110,19 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Safe to evaluate twice: column references, constants, and shallow
+    * constructors/arithmetic over them (the shapes CollapseProject inlines
+    * into the aggregate). Anything with a nested HOF, UDF, or other
+    * potentially expensive node blocks the self-dot rewrite — evaluating
+    * it twice could cost more than the native kernel saves. */
+  private def isCheap(e: Expression): Boolean = e match {
+    case _: Attribute | _: Literal => true
+    case c: Cast => isCheap(c.child)
+    case CreateArray(children, _) => children.forall(isCheap)
+    case b: BinaryArithmetic => isCheap(b.left) && isCheap(b.right)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithPruning(
       _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.HIGH_ORDER_FUNCTION)) {
@@ -105,9 +130,14 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
           if isPairProduct(mul) && isZeroD(zero) && isSum(merge) &&
             isIdentity(finish) && isNumericArray(a) && isNumericArray(b) =>
         DotProduct(a, b)
+      // The self-dot rewrite duplicates `a` into both DotProduct slots, so
+      // it is only safe/profitable when `a` is deterministic (two
+      // evaluations must agree) and cheap to evaluate twice (an attribute
+      // or literal — not an arbitrary subexpression re-run per row).
       case ArrayAggregate(ArrayTransform(a, sq), zero, merge, finish)
           if isSquare(sq) && isZeroD(zero) && isSum(merge) &&
-            isIdentity(finish) && isNumericArray(a) =>
+            isIdentity(finish) && isNumericArray(a) &&
+            a.deterministic && isCheap(a) =>
         DotProduct(a, a)
     }
 }

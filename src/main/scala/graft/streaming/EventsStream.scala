@@ -810,35 +810,61 @@ object EventsStream {
     * late observation would silently rewrite the fill history the batch
     * twin would compute). The observed value is rounded to 6dp with the
     * same HALF_UP rule as the batch entry, so on in-order feeds the
-    * stream's rows equal the batch window fill exactly (pair-tested). */
-  def streamingForwardFill(events: Dataset[FEvent]): Dataset[FilledEvent] = {
+    * stream's rows equal the batch window fill exactly (pair-tested).
+    *
+    * State lifecycle: LOCF semantics make expiry a judgment call — the
+    * batch twin carries a fill forward forever, so the default
+    * (`fillTtl = None`) keeps state per EVER-SEEN user, bounded only by
+    * user cardinality (~tens of bytes/user; at 10⁹ users that is tens of
+    * GB across the cluster — viable but unbounded over time). Pass
+    * `fillTtl = Some(horizon)` to trade exactness-after-a-gap for
+    * bounded state: the event-time timeout drops a user's fill once the
+    * watermark passes their last event plus the horizon, so a
+    * re-appearing user fills from None again — the "don't serve a
+    * feature staler than X" contract a serving pipeline usually wants
+    * anyway. Input must carry a watermark when a TTL is set. */
+  def streamingForwardFill(events: Dataset[FEvent],
+      fillTtl: Option[java.time.Duration] = None): Dataset[FilledEvent] = {
     import events.sparkSession.implicits._
+    val ttlMillis = fillTtl.map(_.toMillis)
+    val timeoutConf =
+      if (ttlMillis.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FillState, FilledEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, it: Iterator[FEvent], state: GroupState[FillState]) =>
-          var FillState(last, has, hwMicros, hwId) =
-            state.getOption.getOrElse(FillState(0.0, hasObs = false))
-          val out = List.newBuilder[FilledEvent]
-          it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
-            val micros = epochMicros(e.ts)
-            val late = micros < hwMicros ||
-              (micros == hwMicros && e.event_id <= hwId)
-            if (!late) {
-              hwMicros = micros; hwId = e.event_id
-              val obs =
-                if (e.event_type == "purchase")
-                  Some(java.math.BigDecimal.valueOf(e.value)
-                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
-                else None
-              obs.foreach { v => last = v; has = true }
-              out += FilledEvent(e.event_id, user, e.event_type, obs,
-                if (has) Some(last) else None)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var FillState(last, has, hwMicros, hwId) =
+              state.getOption.getOrElse(FillState(0.0, hasObs = false))
+            val out = List.newBuilder[FilledEvent]
+            it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
+              val micros = epochMicros(e.ts)
+              val late = micros < hwMicros ||
+                (micros == hwMicros && e.event_id <= hwId)
+              if (!late) {
+                hwMicros = micros; hwId = e.event_id
+                val obs =
+                  if (e.event_type == "purchase")
+                    Some(java.math.BigDecimal.valueOf(e.value)
+                      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+                  else None
+                obs.foreach { v => last = v; has = true }
+                out += FilledEvent(e.event_id, user, e.event_type, obs,
+                  if (has) Some(last) else None)
+              }
             }
+            state.update(FillState(last, has, hwMicros, hwId))
+            // expire at last-event-time + horizon; clamp above the current
+            // watermark (Spark rejects a timeout at/behind it)
+            ttlMillis.foreach { t =>
+              state.setTimeoutTimestamp(
+                math.max(hwMicros / 1000L + t, state.getCurrentWatermarkMs + 1L))
+            }
+            out.result().iterator
           }
-          state.update(FillState(last, has, hwMicros, hwId))
-          out.result().iterator
       }
   }
 

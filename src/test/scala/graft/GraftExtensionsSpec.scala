@@ -103,6 +103,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
            |$base""".stripMargin)
       assert(!seeded.queryExecution.optimizedPlan.toString.contains("dot_product"))
       assert(seeded.head().getDouble(0) == 12.0)
+      // FLOAT arrays with an uncast multiply compute each product in
+      // float (rounded before the double sum) while DotProduct multiplies
+      // exact doubles — the rule must leave that shape alone...
+      val fbase = """FROM (SELECT array(CAST(id + 1 AS FLOAT), CAST(id + 2 AS FLOAT)) AS a,
+                    |             array(CAST(id + 3 AS FLOAT), CAST(id + 4 AS FLOAT)) AS b
+                    |      FROM graft_nvr_rows)""".stripMargin
+      val fraw = s.sql(
+        s"""SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (p, q) -> p + q) AS dp
+           |$fbase""".stripMargin)
+      val frawPlan = fraw.queryExecution.optimizedPlan.toString
+      assert(!frawPlan.contains("dot_product"), frawPlan)
+      assert(fraw.head().getDouble(0) == 11.0)
+      // ...but float arrays whose lambda casts both elements to double
+      // compute the exact double product DotProduct computes — rewritten.
+      val fcast = s.sql(
+        s"""SELECT aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           |                 0D, (p, q) -> p + q) AS dp
+           |$fbase""".stripMargin)
+      val fcastPlan = fcast.queryExecution.optimizedPlan.toString
+      assert(fcastPlan.contains("dot_product") || fcastPlan.contains("DotProduct"), fcastPlan)
+      assert(fcast.head().getDouble(0) == 11.0)
+      // the self-dot rewrite duplicates its child, so a NON-DETERMINISTIC
+      // child (shuffle) must be left alone even though the sum of squares
+      // happens to be order-invariant
+      val nondet = s.sql(
+        s"""SELECT aggregate(transform(shuffle(a), x -> x * x), 0D, (p, q) -> p + q) AS n2
+           |$base""".stripMargin)
+      val nondetPlan = nondet.queryExecution.optimizedPlan.toString
+      assert(!nondetPlan.contains("dot_product"), nondetPlan)
+      assert(nondet.head().getDouble(0) == 5.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -1,9 +1,11 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LocalRelation, LogicalPlan, OneRowRelation, Sort, Window => LWindow}
-import org.apache.spark.sql.execution.{GlobalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Expand, Filter, Generate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Project, Range, RepartitionOperation, Sort, SubqueryAlias, Union, Window => LWindow}
+import org.apache.spark.sql.execution.{CoalesceExec, ExpandExec, FilterExec, GlobalLimitExec, LocalTableScanExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Registry-WIDE physical-plan lint (VERDICT r14 #1): every entry in
   * `SparkEntry.queries` is planned and screened for the scale-killer
@@ -43,44 +45,181 @@ class RegistryPlanLintSpec extends SparkSpec {
     "embedding_topk" -> "documented O(n²) exact-cosine truth baseline (Similarity.scala embeddingTopk); scale path = embedding_ann_lsh/ivf",
     "embedding_knn_native" -> "documented O(n²) exact kNN baseline on the native cosine kernel; scale path = embedding_ann_lsh / ivf_index_search",
     "embedding_cosine_dedup" -> "documented O(n²) exact near-dup baseline; scale path = embedding_lsh_dedup",
-    "knn_label_vote" -> "documented exact kNN vote baseline over the bounded labeled set",
-    "ivf_index_search" -> "broadcast of the persisted K-row centroid table (K=8 by construction) — bounded by the index contract but read back from parquet, so not structurally visible to the lint"
+    "knn_label_vote" -> "documented exact kNN vote baseline over the bounded labeled set"
   )
 
-  /** Entries allowed an unpartitioned Window over unreduced input. */
-  private val GlobalWindowWhitelist: Map[String, String] = Map.empty
+  /** Entries allowed an unpartitioned Window whose input the
+    * key-cardinality screen cannot prove bounded. Until r15 the screen
+    * accepted ANY Aggregate below the window; now grouping keys must be
+    * domain-bounded, which surfaces these — each is a REAL single-task
+    * funnel, listed with why it is accepted rather than fixed. Two
+    * classes: (a) reference-inherent global ranks over HAVING-shrunk
+    * company aggregates (supplier-dimension cardinality, sf×10k — W1 in
+    * SURVEY §2, the semantics the reference queries demand); (b) rank
+    * statistics / surrogate-key assignment that need a total order over a
+    * dimension-sized reduction. */
+  private val GlobalWindowWhitelist: Map[String, String] = Map(
+    "q1_ratio_rank" -> "reference W1: global RANK over the HAVING-shrunk per-company aggregate (supplier-dim cardinality)",
+    "q1b_disputed_rank" -> "reference W1 variant: same HAVING-shrunk per-company frame",
+    "q1c_companies" -> "reference U2: four global ranks over the same per-company aggregate",
+    "q2_state_ratios" -> "reference J5: the q1c rank frame reused before the state rollup",
+    "q3a_cf_view" -> "reference J5/A6: the q1c rank frame feeding the CF view",
+    "company_dim" -> "M4 surrogate-key assignment: contiguous ids require one row_number pass over the supplier-dim-sized distinct set (runs once per dim build)",
+    "scd2_resolution" -> "M6 SCD2 kernel: surrogate keys over the incoming batch's natural-key set — batch-sized, not history-sized",
+    "customer_percentiles" -> "percentile ranks over the per-customer aggregate (customer-dim cardinality); scale path = two-phase _pid prefix-sum kernel (spend_deciles)",
+    "gini_spend" -> "Gini needs a total order over per-customer spend (customer-dim cardinality); scale path = two-phase _pid prefix-sum kernel",
+    "mann_whitney_value" -> "rank-sum statistic: global ranks over the distinct-value tie groups (value-domain cardinality after 6dp rounding)",
+    "spearman_value_hour" -> "rank correlation: global ranks over distinct x/y tie groups (value-domain cardinality after 6dp rounding)")
 
   /** Entries allowed an unbounded global Sort. */
   private val GlobalSortWhitelist: Map[String, String] = Map.empty
 
-  /** A subtree counts as bounded when some node below provably collapses
-    * cardinality to a domain/artifact size: a global or grouped Aggregate
-    * (this repo's group-bys reduce to dimension/bucket cardinality — the
-    * per-entry PlanSpec pins guard the ones where that matters),
-    * Deduplicate over dimension keys, an explicit LIMIT, or a local/1-row
-    * relation (broadcast literals, collected k-row model artifacts). */
-  private def bounded(p: LogicalPlan): Boolean =
-    p.collectFirst {
-      case a: Aggregate => a
-      case d: Deduplicate => d
-      case l: GlobalLimit => l
-      case lr: LocalRelation => lr
-      case o: OneRowRelation => o
-    }.isDefined
+  /** Columns whose value domains are bounded by the DATA MODEL, not the
+    * row count: dimension keys/names with enumerated domains, enum-like
+    * flags, and bucket/band ids capped by construction. Grouping on only
+    * these collapses cardinality to a domain size no matter how many fact
+    * rows flow in — grouping on `user_id`/`doc_id`/`o_orderkey` does NOT
+    * (their cardinality grows with the data), which is exactly the blind
+    * spot VERDICT r15 flagged in the old any-Aggregate-is-bounded rule. */
+  private val BoundedDomainCols: Set[String] = Set(
+    // star-schema enumerated domains
+    "r_regionkey", "r_name", "n_nationkey", "n_name", "n_regionkey",
+    "nationkey", "c_nationkey", "c_mktsegment", "s_nationkey",
+    "p_brand", "p_type", "p_size",
+    "l_returnflag", "l_linestatus", "l_linenumber",
+    "o_orderstatus", "o_orderpriority",
+    "event_type", "lang", "source", "label", "k_parity",
+    // calendar-domain columns/fields: a DATE column's distinct-value
+    // count is bounded by the corpus' calendar span (thousands of days),
+    // not its row count — unlike an id column
+    "o_orderdate", "l_shipdate",
+    "year", "month", "day", "dow", "week", "quarter", "hour", "window",
+    "hour_start", "day_start", "month_start",
+    // capped bucket ids produced by graft kernels; _pid is
+    // spark_partition_id() — domain = the cluster's partition count, the
+    // backbone of the two-phase prefix-sum kernels
+    "band", "cell", "bucket", "bin", "_pid")
 
-  /** Physical twin of [[bounded]]: an Aggregate / LIMIT / top-k /
-    * local-relation node anywhere below caps the side's cardinality at a
-    * domain/artifact size, so an un-keyed join against it ships a bounded
-    * inner, not a quadratic blow-up. */
-  private def boundedPhys(p: SparkPlan): Boolean =
-    p.collectFirst {
-      case a: HashAggregateExec => a
-      case a: SortAggregateExec => a
-      case a: ObjectHashAggregateExec => a
-      case l: GlobalLimitExec => l
-      case t: TakeOrderedAndProjectExec => t
-      case s: LocalTableScanExec => s
-    }.isDefined
+  private def baseName(n: String): String =
+    n.substring(n.lastIndexOf('.') + 1).toLowerCase(java.util.Locale.ROOT)
+
+  /** A grouping expression has a bounded output domain when every
+    * attribute it references is bounded-domain (bounded inputs compose to
+    * a bounded output), or when the expression itself caps its range
+    * regardless of input: a modulus against a literal (hash-bucket /
+    * band / cell ids) or a calendar-field extraction. */
+  private def boundedExpr(e: Expression): Boolean = e match {
+    case Pmod(_, Literal(_, _), _) => true
+    case Remainder(_, Literal(_, _), _) => true
+    case _: Year | _: Month | _: Quarter | _: DayOfMonth | _: DayOfWeek |
+        _: WeekDay | _: WeekOfYear | _: DayOfYear | _: Hour | _: Minute => true
+    case _: TruncDate | _: TruncTimestamp => true
+    case Cast(c, _, _, _) => boundedExpr(c)
+    case a: Alias => boundedExpr(a.child)
+    case _ =>
+      e.references.forall(a => BoundedDomainCols.contains(baseName(a.name)))
+  }
+
+  private def boundedGrouping(keys: Seq[Expression]): Boolean =
+    keys.forall(boundedExpr)
+
+  /** Grouping keys are often plain attribute refs to an alias in the
+    * Project directly below (the optimizer's PullOutGroupingExpressions
+    * emits `_groupingexpression` aliases; user code projects
+    * `date_trunc(...) AS hour_start` first; a Union's output attrs come
+    * from its first branch) — expand ONE level of those aliases so
+    * [[boundedExpr]] can see the defining expression. */
+  private def aliasMap(p: LogicalPlan): Map[ExprId, Expression] = p match {
+    case Project(projList, _) =>
+      projList.collect { case al: Alias => al.exprId -> al.child }.toMap
+    case u: Union => aliasMap(u.children.head)
+    case _ => Map.empty
+  }
+
+  private def resolveKeys(keys: Seq[Expression], child: LogicalPlan): Seq[Expression] = {
+    val aliases = aliasMap(child)
+    if (aliases.isEmpty) keys
+    else keys.map(_.transformUp {
+      case ar: AttributeReference if aliases.contains(ar.exprId) =>
+        aliases(ar.exprId)
+    })
+  }
+
+  /** Bounded DIMENSION TABLES: a raw scan whose every output column
+    * belongs to the nation/region schemas is a scan of an enumerated
+    * domain (25 / 5 rows by the data model) — bounded without any
+    * reduction above it. */
+  private val BoundedTableCols: Set[String] = Set(
+    "r_regionkey", "r_name", "n_nationkey", "n_name", "n_regionkey")
+
+  /** A subtree counts as bounded when a node that provably collapses
+    * cardinality to a domain/artifact size is reachable through
+    * CARDINALITY-PRESERVING nodes only: a global aggregate (1 row), a
+    * grouped Aggregate/Deduplicate whose keys are all bounded-domain, an
+    * explicit LIMIT, or a local/1-row relation (broadcast literals,
+    * collected k-row model artifacts). The walk stops at joins unless
+    * BOTH sides are bounded and at generators (explode multiplies rows) —
+    * the old collectFirst-anywhere version let an Aggregate buried under
+    * one side of an unreduced fact branch vouch for the whole subtree
+    * (ADVICE r15). An Aggregate grouping on an unbounded key (user_id,
+    * doc_id) is itself no bound, but its CHILD may still be. */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate =>
+      // raw names OR alias-resolved (resolution can only help when the
+      // defining expression is visibly bounded — a bounded-named bucket
+      // attr like `window` whose definition references raw ts must not
+      // LOSE its bound to the expansion)
+      boundedGrouping(a.groupingExpressions) ||
+        boundedGrouping(resolveKeys(a.groupingExpressions, a.child)) ||
+        bounded(a.child)
+    case d: Deduplicate =>
+      boundedGrouping(d.keys) ||
+        boundedGrouping(resolveKeys(d.keys, d.child)) || bounded(d.child)
+    case _: GlobalLimit => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case leaf: org.apache.spark.sql.catalyst.plans.logical.LeafNode
+        if leaf.output.nonEmpty &&
+          leaf.output.forall(a => BoundedTableCols.contains(baseName(a.name))) =>
+      true
+    // a static Range is a generated sequence (dim builds) — bounded when
+    // its element count is a domain size, not a fact-table size
+    case r: Range => r.numElements <= BigInt(10000000)
+    // explode over an already-bounded input (calendar sequences from a
+    // 1-row relation) expands by a bounded factor; over a fact scan the
+    // child is unbounded and the walk stops anyway
+    case g: Generate => bounded(g.child)
+    case j: Join => bounded(j.left) && bounded(j.right)
+    case u: Union => u.children.forall(bounded)
+    case n @ (_: Project | _: Filter | _: Sort | _: LWindow | _: LocalLimit |
+        _: SubqueryAlias | _: RepartitionOperation | _: Expand) =>
+      n.children.forall(bounded)
+    case _ => false
+  }
+
+  /** Physical twin of [[bounded]], same reachability discipline: an
+    * Aggregate with bounded-domain (or empty) grouping keys, a LIMIT /
+    * top-k, or a local-relation scan reachable through
+    * cardinality-preserving operators caps the side's cardinality, so an
+    * un-keyed join against it ships a bounded inner, not a quadratic
+    * blow-up. (`sparkPlan` is pre-preparation: no exchanges or
+    * whole-stage-codegen wrappers to walk through.) */
+  private def boundedPhys(p: SparkPlan): Boolean = p match {
+    case a: HashAggregateExec =>
+      boundedGrouping(a.groupingExpressions) || boundedPhys(a.child)
+    case a: SortAggregateExec =>
+      boundedGrouping(a.groupingExpressions) || boundedPhys(a.child)
+    case a: ObjectHashAggregateExec =>
+      boundedGrouping(a.groupingExpressions) || boundedPhys(a.child)
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+        _: LocalTableScanExec => true
+    case i: InMemoryTableScanExec => boundedPhys(i.relation.cachedPlan)
+    case j: BaseJoinExec => boundedPhys(j.left) && boundedPhys(j.right)
+    case u: UnionExec => u.children.forall(boundedPhys)
+    case n @ (_: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+        _: ExpandExec) =>
+      n.children.forall(boundedPhys)
+    case _ => false
+  }
 
   private def unkeyedJoins(phys: SparkPlan): Seq[String] =
     phys.collect {

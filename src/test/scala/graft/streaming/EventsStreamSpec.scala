@@ -527,6 +527,42 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming forward fill with a TTL drops a user's fill once the watermark passes the horizon") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[EventsStream.FEvent]
+    val query = EventsStream.streamingForwardFill(
+        source.toDS().withWatermark("ts", "1 minute"),
+        fillTtl = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("ffill_ttl_test")
+      .outputMode("append").start()
+    try {
+      // batch 0: user 1 purchases at 10:00 — fill = 7.25
+      source.addData(
+        EventsStream.FEvent(1L, 1L, ts("2024-01-01 10:00:00"), "purchase", 7.25),
+        EventsStream.FEvent(2L, 1L, ts("2024-01-01 10:01:00"), "view", 0.0))
+      query.processAllAvailable()
+      // batch 1: another user's event at 13:00 pushes the watermark past
+      // 10:00 + 1h, expiring user 1's state
+      source.addData(
+        EventsStream.FEvent(3L, 2L, ts("2024-01-01 13:00:00"), "view", 0.0))
+      query.processAllAvailable()
+      // an empty batch lets the timeout fire with the advanced watermark
+      source.addData()
+      query.processAllAvailable()
+      // batch 2: user 1 re-appears after the gap — fills from None again
+      source.addData(
+        EventsStream.FEvent(4L, 1L, ts("2024-01-01 13:30:00"), "view", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("ffill_ttl_test").collect()
+        .map(r => (r.getLong(0), Option(r.get(4)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, Some(7.25)), (2L, Some(7.25)), (3L, None), (4L, None)),
+        got.toString)
+    } finally query.stop()
+  }
+
   test("streaming forward fill equals the batch window kernel on an in-order feed") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
