@@ -194,14 +194,20 @@ object EventsStream {
     * At 100 TB the calendar side is hours × types (config-bounded
     * cardinality), broadcast against the aggregated (already reduced)
     * fact side. */
-  def denseHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
-    val sparse = windowAggTransform(Tables.events(spark, dir))
-    val bounds = Tables.events(spark, dir)
+  def denseHourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    denseHourlyAggFrom(Tables.events(spark, dir))
+
+  /** The dense-grid kernel over any events frame — shared by the entry
+    * and the streaming-interpolation pair spec, which drives it with the
+    * twin's MemoryStream feed. */
+  def denseHourlyAggFrom(events: DataFrame): DataFrame = {
+    val sparse = windowAggTransform(events)
+    val bounds = events
       .agg(date_trunc("hour", min(col("ts"))).as("lo"),
         date_trunc("hour", max(col("ts"))).as("hi"))
     val hours = bounds.select(
       explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour_start"))
-    val types = Tables.events(spark, dir).select("event_type").distinct()
+    val types = events.select("event_type").distinct()
     hours.crossJoin(types)
       .join(sparse, Seq("hour_start", "event_type"), "left")
       .select(col("hour_start"), col("event_type"),
@@ -308,8 +314,13 @@ object EventsStream {
     * epoch weights are exact integers. On an observed hour
     * prev==next==current, so the n>0 branch is taken explicitly (the
     * general formula would hit 0/0 there). */
-  def linearInterpolate(spark: SparkSession, dir: String): DataFrame = {
-    val dense = denseHourlyAgg(spark, dir)
+  def linearInterpolate(spark: SparkSession, dir: String): DataFrame =
+    linearInterpolateFrom(Tables.events(spark, dir))
+
+  /** The interpolation kernel over any events frame — shared by the
+    * entry and the streaming-twin pair spec. */
+  def linearInterpolateFrom(events: DataFrame): DataFrame = {
+    val dense = denseHourlyAggFrom(events)
       .withColumn("mean_obs",
         when(col("n") > 0,
           round(col("value_sum") / col("n") * 1e6) / 1e6))
@@ -865,6 +876,121 @@ object EventsStream {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** One not-yet-finalized hour of a key's interpolation state: the hour
+    * bucket start, the EXACT decimal sum of observed values (kept as the
+    * BigDecimal string — exact addition is order-proof across batches and
+    * replays), and the observation count. */
+  final case class InterpPending(hourMicros: Long, sumDec: String, n: Long)
+  final case class InterpState(pending: List[InterpPending],
+                               lastHourMicros: Long, lastMean: Double,
+                               hasLast: Boolean)
+  final case class InterpFill(event_type: String,
+                              hour_start: java.sql.Timestamp,
+                              n: Long, value_interp: Double)
+
+  /** Bounded-lateness streaming linear interpolation — the online twin of
+    * [[linearInterpolate]] (VERDICT r15 #8), and the one analytic whose
+    * batch form needs FUTURE observations: a gap hour's fill is the
+    * straight line between the surrounding observed hourly means, so it
+    * cannot be emitted until the right endpoint is known AND can no
+    * longer change. The watermark provides exactly that bound: an hour
+    * finalizes when the watermark passes its end (no in-hour or in-gap
+    * observation can still arrive), and finalizing an observed hour
+    * emits the gap hours since the previous observed hour — each fill
+    * appears once, `delay + gap-length` after the gap opened, the
+    * latency/lateness trade `withWatermark` names.
+    *
+    * Same kernel math as the batch entry: per-hour means are the 6dp
+    * HALF_UP round of `value_sum / n` (sums accumulate in exact decimal
+    * — order-proof across batches, stricter than the batch double sum
+    * and equal to it whenever the feed's values are binary-exact, which
+    * the pair spec pins), gap fractions are the same epoch-second double
+    * ratio, and fills round through the identical `round(x*1e6)/1e6`
+    * sequence. Events at or behind a key's finalized frontier are
+    * dropped ([[cusumDetect]]'s late discipline); edge hours before a
+    * key's first observation are unemittable online (the batch grid's
+    * leading NULLs need the GLOBAL corpus bounds) and carry no value in
+    * the batch result either.
+    *
+    * State discipline: per event_type (enum-bounded key domain), the
+    * state is the open hours' (sum, n) plus one (hour, mean) frontier —
+    * open hours are bounded by the watermark horizon (an hour closes
+    * one delay after it ends), so state is O(horizon/1h) rows per key,
+    * never history-sized. An event-time timeout at the earliest open
+    * hour's end finalizes quiet keys without waiting for their next
+    * event. */
+  def streamingInterpolate(events: Dataset[FEvent]): Dataset[InterpFill] = {
+    import events.sparkSession.implicits._
+    val HourMicros = 3600L * 1000000L
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue / 1e6
+    def tsOf(micros: Long) = new java.sql.Timestamp(micros / 1000L)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[InterpState, InterpFill](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, it: Iterator[FEvent], state: GroupState[InterpState]) =>
+          val st = state.getOption
+            .getOrElse(InterpState(Nil, 0L, 0.0, hasLast = false))
+          var pending: Map[Long, (java.math.BigDecimal, Long)] =
+            st.pending
+              .map(p => p.hourMicros -> (new java.math.BigDecimal(p.sumDec), p.n))
+              .toMap
+          if (!state.hasTimedOut) it.foreach { e =>
+            val h = Math.floorDiv(epochMicros(e.ts), HourMicros) * HourMicros
+            // at/behind the finalized frontier = late beyond the
+            // watermark contract — dropped, not folded out of order
+            if (!(st.hasLast && h <= st.lastHourMicros)) {
+              val (s0, n0) =
+                pending.getOrElse(h, (java.math.BigDecimal.ZERO, 0L))
+              pending = pending
+                .updated(h, (s0.add(java.math.BigDecimal.valueOf(e.value)), n0 + 1))
+            }
+          }
+          val wmMicros = state.getCurrentWatermarkMs * 1000L
+          val (closed, open) = pending.toSeq.sortBy(_._1)
+            .partition { case (h, _) => h + HourMicros <= wmMicros }
+          var lastH = st.lastHourMicros
+          var lastM = st.lastMean
+          var hasLast = st.hasLast
+          val out = List.newBuilder[InterpFill]
+          closed.foreach { case (h, (sum, n)) =>
+            val valueSum =
+              sum.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+            val mean = round6(valueSum / n)
+            if (hasLast) {
+              val phSec = lastH / 1000000L
+              val nhSec = h / 1000000L
+              var g = lastH + HourMicros
+              while (g < h) {
+                val frac =
+                  (g / 1000000L - phSec).toDouble / (nhSec - phSec).toDouble
+                out += InterpFill(etype, tsOf(g), 0L,
+                  round6(lastM + (mean - lastM) * frac))
+                g += HourMicros
+              }
+            }
+            out += InterpFill(etype, tsOf(h), n, mean)
+            lastH = h; lastM = mean; hasLast = true
+          }
+          state.update(InterpState(
+            open.map { case (h, (s, n)) =>
+              InterpPending(h, s.toPlainString, n)
+            }.toList,
+            lastH, lastM, hasLast))
+          // finalize quiet keys: wake when the watermark passes the
+          // earliest open hour's end (clamped above the current watermark
+          // — Spark rejects a timeout at/behind it)
+          open.headOption.foreach { case (h, _) =>
+            state.setTimeoutTimestamp(
+              math.max((h + HourMicros) / 1000L,
+                state.getCurrentWatermarkMs + 1L))
+          }
+          out.result().iterator
       }
   }
 

@@ -563,6 +563,69 @@ class EventsStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bounded-lateness streaming interpolation equals the batch kernel once the watermark passes a gap's right endpoint") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[EventsStream.FEvent]
+    val query = EventsStream.streamingInterpolate(
+        source.toDS().withWatermark("ts", "30 minutes"))
+      .writeStream.format("memory").queryName("interp_twin_test")
+      .outputMode("append").start()
+    try {
+      // batch 0: two types observed in hour 10; nothing can finalize yet
+      source.addData(
+        EventsStream.FEvent(1L, 1L, ts("2024-01-01 10:10:00"), "a", 1.75),
+        EventsStream.FEvent(2L, 1L, ts("2024-01-01 10:20:00"), "a", 2.25),
+        EventsStream.FEvent(3L, 2L, ts("2024-01-01 10:30:00"), "b", 3.5))
+      query.processAllAvailable()
+      assert(spark.table("interp_twin_test").isEmpty)
+      // batch 1: 'a' observed again at 14:05 after a 3-hour gap; the
+      // watermark advances to 13:35, then an empty batch fires the
+      // hour-10 event-time timeouts for both keys
+      source.addData(
+        EventsStream.FEvent(4L, 1L, ts("2024-01-01 14:05:00"), "a", 4.0))
+      query.processAllAvailable()
+      source.addData()
+      query.processAllAvailable()
+      // batch 2: 16:00 pushes the watermark past 15:00, closing hour 14
+      // and releasing the gap fills; the 10:30 replay is behind 'a's
+      // finalized frontier — dropped, not folded
+      source.addData(
+        EventsStream.FEvent(5L, 1L, ts("2024-01-01 16:00:00"), "a", 9.0),
+        EventsStream.FEvent(6L, 1L, ts("2024-01-01 10:30:00"), "a", 100.0))
+      query.processAllAvailable()
+      source.addData()
+      query.processAllAvailable()
+      val got = spark.table("interp_twin_test")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2.getTime)).toSeq
+      // hours 15/16 stay open beyond the final watermark frontier
+      assert(got == Seq(
+        ("a", ts("2024-01-01 10:00:00"), 2L, 2.0),
+        ("a", ts("2024-01-01 11:00:00"), 0L, 2.5),
+        ("a", ts("2024-01-01 12:00:00"), 0L, 3.0),
+        ("a", ts("2024-01-01 13:00:00"), 0L, 3.5),
+        ("a", ts("2024-01-01 14:00:00"), 1L, 4.0),
+        ("b", ts("2024-01-01 10:00:00"), 1L, 3.5)), got.toString)
+      // pair discipline: every emitted row equals the batch kernel's row
+      // for the same (type, hour) on the on-time feed
+      val batchFeed = Seq(
+        (ts("2024-01-01 10:10:00"), "a", 1.75),
+        (ts("2024-01-01 10:20:00"), "a", 2.25),
+        (ts("2024-01-01 10:30:00"), "b", 3.5),
+        (ts("2024-01-01 14:05:00"), "a", 4.0),
+        (ts("2024-01-01 16:00:00"), "a", 9.0)).toDF("ts", "event_type", "value")
+      val batch = EventsStream.linearInterpolateFrom(batchFeed)
+        .collect()
+        .map(r => ((r.getString(1), r.getTimestamp(0)),
+          (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+      got.foreach { case (et, h, n, v) =>
+        assert(batch((et, h)) == ((n, Some(v))), s"mismatch at $et $h")
+      }
+    } finally query.stop()
+  }
+
   test("streaming forward fill equals the batch window kernel on an in-order feed") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
