@@ -584,7 +584,11 @@ object Stats {
       .filter(col("rk") === 1).select(col("d").as("cd"))
     val sides = daily.crossJoin(broadcast(change))
       .withColumn("seg", when(col("d") <= col("cd"), lit("before")).otherwise(lit("after")))
-      .withColumn("r6", col("rev").cast("decimal(18,2)"))
+      // DECIMAL(19,2): a daily revenue squared overflows DuckDB's
+      // int64-backed DECIMAL(18) at sf0.1 cardinalities; 19 digits force
+      // int128 there (19+19 = 38 stays within both engines' max
+      // precision for the r6*r6 product) — sf0.1 oracle pass finding
+      .withColumn("r6", col("rev").cast("decimal(19,2)"))
     val m = sides.groupBy(lit(1).as("k")).agg(
       first(col("cd")).as("change_date"),
       sum(when(col("seg") === "before", 1L).otherwise(0L)).as("n1"),
@@ -635,7 +639,7 @@ object Stats {
       |  SELECT d AS cd FROM sc ORDER BY abs(s_t) DESC, d LIMIT 1
       |), sides AS (
       |  SELECT CASE WHEN d <= cd THEN 'before' ELSE 'after' END AS seg,
-      |         CAST(rev AS DECIMAL(18,2)) AS r6, cd
+      |         CAST(rev AS DECIMAL(19,2)) AS r6, cd
       |  FROM daily CROSS JOIN change
       |), m AS (
       |  SELECT min(cd) AS change_date,

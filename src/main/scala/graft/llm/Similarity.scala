@@ -843,9 +843,14 @@ object Similarity {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("label"), col("pos").cast("long").as("pos"),
         round(col("v").cast("double"), 6).cast("decimal(18,6)").as("val"))
+    // round via the explicit *1e6 sequence ON BOTH ENGINES: Spark's
+    // round(x, 6) rounds x's exact decimal expansion while DuckDB scales
+    // by 10^6 in floating point first — on a 6th-decimal boundary value
+    // they disagree (sf0.1 exposed one; see SCALE.md sf0.1 oracle pass)
     ex.groupBy("label", "pos")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("val")).cast("double") / count(lit(1)), 6).as("mean"))
+        (round(sum(col("val")).cast("double") / count(lit(1)) * lit(1e6)) / lit(1e6))
+          .as("mean"))
       .orderBy("label", "pos")
   }
 
@@ -860,7 +865,7 @@ object Similarity {
       |  FROM ex
       |)
       |SELECT label, pos, count(*) AS n_vecs,
-      |       round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean
+      |       round(CAST(sum(val) AS DOUBLE) / count(*) * 1000000) / 1000000 AS mean
       |FROM v GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
   /** Per-dimension standardization statistics over the whole embedding

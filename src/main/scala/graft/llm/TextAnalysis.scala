@@ -1517,7 +1517,11 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+        // explicit *1e6 round sequence on both engines (same latent
+        // 6th-decimal boundary class the sf0.1 pass exposed in the
+        // perplexity filter — fixed here before it bites)
+        (round(sum(col("nll")).cast("double") / count(lit(1)) * lit(1e6)) / lit(1e6))
+          .as("avg_nll"))
       .orderBy("doc_id")
   }
 
@@ -1545,7 +1549,7 @@ object TextAnalysis {
       |  FROM pr JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1) CROSS JOIN vv
       |)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      |       round(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000) / 1000000 AS avg_nll
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Reference split the held-out LM of [[referencePerplexityFilter]]
@@ -1611,7 +1615,11 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("unseen")).as("n_unseen"),
-        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+        // explicit *1e6 round sequence on both engines (see
+        // embeddingCentroids: Spark's round(x, 6) and DuckDB's disagree
+        // on 6th-decimal boundary values; sf0.1 exposed one here)
+        (round(sum(col("nll")).cast("double") / count(lit(1)) * lit(1e6)) / lit(1e6))
+          .as("avg_nll"))
       .withColumn("keep", col("avg_nll") <= RefPplMaxNll)
       .orderBy("doc_id")
   }
@@ -1651,8 +1659,9 @@ object TextAnalysis {
        |)
        |SELECT doc_id, count(*) AS n_bigrams,
        |       CAST(sum(unseen) AS BIGINT) AS n_unseen,
-       |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll,
-       |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) <= $RefPplMaxNll
-       |         AS keep
+       |       round(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000) / 1000000
+       |         AS avg_nll,
+       |       round(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000) / 1000000
+       |         <= $RefPplMaxNll AS keep
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
