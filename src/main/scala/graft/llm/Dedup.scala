@@ -49,15 +49,20 @@ object Dedup {
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.spread(Tables.documents(spark, dir)))
 
-  private[llm] val shinglesCteSql: String =
-    """docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(range(1, len(ws) - 1),
-      |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
-      |  FROM docs WHERE len(ws) >= 3
-      |)""".stripMargin
+  /** The shingles CTE over an arbitrary corpus source (a table name or an
+    * aliased subquery) — parametrized so sampled variants can share the
+    * exact chain; [[shinglesCteSql]] keeps the full-corpus binding. */
+  private[llm] def shinglesCte(src: String): String =
+    s"""docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM $src
+       |), sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(ws) - 1),
+       |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+       |  FROM docs WHERE len(ws) >= 3
+       |)""".stripMargin
+
+  private[llm] val shinglesCteSql: String = shinglesCte("documents")
 
   /** Document-frequency cap for the inverted shingle index: shingles in
     * more than this many documents are dropped from the index (skew
@@ -150,9 +155,12 @@ object Dedup {
        |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5
        |)""".stripMargin
 
-  val ngramJaccardPairsSql: String =
-    s"""WITH $shinglesCteSql, $jaccardPairsCteSql
+  /** Full pairs SQL over an arbitrary corpus source (see [[shinglesCte]]). */
+  private[llm] def ngramJaccardPairsSqlFrom(src: String): String =
+    s"""WITH ${shinglesCte(src)}, $jaccardPairsCteSql
        |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  val ngramJaccardPairsSql: String = ngramJaccardPairsSqlFrom("documents")
 
   /** Containment threshold for [[containmentDedup]]: a doc ≥ 90% of whose
     * shingles appear in another doc is treated as contained. */
@@ -334,10 +342,15 @@ object Dedup {
     * (doc_a, doc_b) between two near-dup-sized pair lists, collapsing
     * into counters map-side. Precision/recall guard their zero
     * denominators explicitly (ANSI mode throws on x/0). */
-  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEval(spark: SparkSession, dir: String): DataFrame =
+    dedupEvalFrom(withShingles(spark, dir).cache())
+
+  /** The confusion-count kernel over a prepared (cached) shingle frame —
+    * shared with [[dedupEvalSampled]], which feeds it a hash-sampled
+    * corpus instead of the full one. */
+  private[llm] def dedupEvalFrom(sh: DataFrame): DataFrame = {
     // one shingle pass feeds both estimators (each kernel re-reads it
     // for its confirm/vote stages, so the cache is read 3+ times)
-    val sh = withShingles(spark, dir).cache()
     val truth = ngramJaccardPairsFrom(sh, DefaultMaxShingleDf)
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
@@ -382,6 +395,66 @@ object Dedup {
        |       round(CASE WHEN n_pred = 0 THEN NULL ELSE tp * 1.0 / n_pred END, 6) AS precision,
        |       round(CASE WHEN n_truth = 0 THEN NULL ELSE tp * 1.0 / n_truth END, 6) AS recall
        |FROM c""".stripMargin
+
+  /** Salt + modulus for the sampled-eval corpus slice: documents whose
+    * salted md5 bucket is 0 (1/[[EvalSampleMod]] of the corpus),
+    * engine-parity with the `hash_split` md5 discipline. */
+  private val EvalSampleSalt = "evalsample"
+  private val EvalSampleMod = 2
+
+  /** Sampled dedup-estimator evaluation — the form of the [[dedupEval]]
+    * audit that survives 100 TB. The full audit's cost is inherently
+    * Ω(Σ_c k_c²) in the duplicate-cluster sizes k_c (the pair lists ARE
+    * the output): the round-16 25× rehearsal measured the full eval at
+    * 68.7 s when corpus replication inflated the SimHash pred list to
+    * 1.53 M pairs (SCALE.md round-16 section) — output-proportional, but
+    * the output itself grows quadratically with clique size. At corpus
+    * scale nobody audits every pair; the standard move is a deterministic
+    * document-level Bernoulli sample. A doc survives iff its salted-md5
+    * bucket ≡ 0 (mod [[EvalSampleMod]]), so a PAIR survives iff both
+    * endpoints do (rate 1/mod²) — truth and pred pair sets thin by the
+    * SAME factor, making the precision/recall ratio estimators consistent
+    * (variance, not bias, is the price; widen the sample to shrink it).
+    * Shuffle-free sampling: the md5 predicate is a scan-stage filter, so
+    * the sampled eval does 1/mod² of the pair work end-to-end. */
+  def dedupEvalSampled(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = Tables.spread(Tables.documents(spark, dir))
+      .filter(conv(substring(
+        md5(concat_ws(":", lit(EvalSampleSalt), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % EvalSampleMod === 0)
+    dedupEvalFrom(shinglesOf(sampled).cache())
+  }
+
+  /** Oracle: identical confusion arithmetic over the two pair queries,
+    * each rebound to the sampled corpus subquery (same salted-md5
+    * predicate, DuckDB spelling). */
+  lazy val dedupEvalSampledSql: String = {
+    val src = "(SELECT * FROM documents WHERE (('0x' || substr(md5('" +
+      s"$EvalSampleSalt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT" +
+      s" % $EvalSampleMod) = 0) sampled"
+    s"""WITH truth AS (
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardPairsSqlFrom(src)}) WHERE jaccard >= 0.8
+       |), pred AS (
+       |  SELECT doc_a, doc_b FROM (${simhashDedupSqlFrom(src)})
+       |), j AS (
+       |  SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
+       |         coalesce(t.doc_b, p.doc_b) AS doc_b,
+       |         (t.doc_a IS NOT NULL) AS in_t, (p.doc_a IS NOT NULL) AS in_p
+       |  FROM truth t FULL OUTER JOIN pred p
+       |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+       |), c AS (
+       |  SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |         CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |         CAST(sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN NOT in_t AND in_p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN in_t AND NOT in_p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM j
+       |)
+       |SELECT n_truth, n_pred, tp, fp, fn,
+       |       round(CASE WHEN n_pred = 0 THEN NULL ELSE tp * 1.0 / n_pred END, 6) AS precision,
+       |       round(CASE WHEN n_truth = 0 THEN NULL ELSE tp * 1.0 / n_truth END, 6) AS recall
+       |FROM c""".stripMargin
+  }
 
   /** SimHash bit width (60: 15 hex chars of md5 — fits a signed 64-bit
     * lane on both engines), Hamming threshold, and band count. 8 disjoint
@@ -453,6 +526,114 @@ object Dedup {
       .filter(col("hamming") <= HamMax)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Wide-fingerprint width: two 60-bit md5 words = 120 bits, banded as
+    * 8 disjoint 15-bit slices (4 per word — 8×15 = 120 exactly). */
+  private val WideBits = 60 // per word; 2 words
+  private val WideBandBits = 15
+  private val WideBandsPerWord = 4
+
+  /** 120-bit SimHash near-dup pairs — the wide-fingerprint response to
+    * the band-domain wall the round-16 25× rehearsal measured on the
+    * 60-bit kernel (SCALE.md). Pigeonhole for Hamming ≤ 7 forces 8
+    * disjoint bands whatever the width; at 60 bits that makes band keys
+    * 7-8 bits (≤ 256 values), so band-bucket occupancy grows ~n/2^w and
+    * the self-join candidate count ~n²·2^{-w} — measured 315 s at 125k
+    * docs. Doubling the fingerprint to 120 bits (md5 has 128; two 60-bit
+    * words keep every lane in a signed long on both engines) widens each
+    * band to 15 bits (32,768 values), moving the wall out by
+    * 2^{15-7.5} ≈ 181× for the SAME exact-recall guarantee: ≤ 7
+    * differing bits over 8 disjoint bands leave at least one band
+    * identical. The Hamming budget is now spent over 120 bits, so the
+    * match predicate is proportionally stricter than the 60-bit entry's —
+    * a deliberate contract of its own (near-dup thresholds tighten as
+    * fingerprints widen), not a drop-in replacement; both entries are
+    * oracle-exact over their own predicates.
+    *
+    * Same vote-pack discipline as [[simhashDedupFrom]]: 120 per-bit
+    * ±1 vote counters packed into 18 lane-packed longs (9-bit lanes,
+    * 7 per long) so the aggregate keeps 19 buffers instead of 121 —
+    * wide-enough documents would deoptimize codegen otherwise. */
+  def simhashDedupWide(spark: SparkSession, dir: String): DataFrame =
+    simhashDedupWideFrom(withShingles(spark, dir))
+
+  private[llm] def simhashDedupWideFrom(shingled: DataFrame): DataFrame = {
+    val TotalBits = 2 * WideBits // 120
+    val LaneBits = 9
+    val LanesPerWord = 7
+    val numWords = (TotalBits + LanesPerWord - 1) / LanesPerWord // 18
+    val ex = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("m", md5(col("s")))
+      .withColumn("h1", expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substring(m, 16, 15), 16, 10) AS BIGINT)"))
+    // bit j < 60 reads word h1 at j; bit j >= 60 reads h2 at j-60
+    def bitOf(j: Int): Column =
+      if (j < WideBits) shiftright(col("h1"), j).bitwiseAND(lit(1L))
+      else shiftright(col("h2"), j - WideBits).bitwiseAND(lit(1L))
+    val packCols = count(lit(1)).as("n") +:
+      (0 until numWords).map { g =>
+        val lanes = (0 until LanesPerWord)
+          .filter(k => g * LanesPerWord + k < TotalBits)
+          .map(k => shiftleft(bitOf(g * LanesPerWord + k), LaneBits * k))
+        sum(lanes.reduce(_ + _)).as(s"p$g")
+      }
+    val votes = ex.groupBy("doc_id").agg(packCols.head, packCols.tail: _*)
+    def packedWord(bitBase: Int): Column = (0 until WideBits).map { j =>
+      val bit = bitBase + j
+      val (g, k) = (bit / LanesPerWord, bit % LanesPerWord)
+      val cnt = shiftright(col(s"p$g"), LaneBits * k)
+        .bitwiseAND(lit((1L << LaneBits) - 1))
+      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sh = votes.select(col("doc_id"),
+      packedWord(0).as("sim1"), packedWord(WideBits).as("sim2")).cache()
+    val bands = sh.withColumn("band", explode(array(
+      (0 until 2 * WideBandsPerWord).map { idx =>
+        val word = if (idx < WideBandsPerWord) col("sim1") else col("sim2")
+        val off = (idx % WideBandsPerWord) * WideBandBits
+        struct(lit(idx).as("band_id"),
+          shiftright(word, off).bitwiseAND(lit((1L << WideBandBits) - 1)).as("band_key"))
+      }: _*)))
+      .select(col("doc_id"), col("sim1"), col("sim2"),
+        col("band.band_id"), col("band.band_key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.sim1").bitwiseXOR(col("b.sim1"))) +
+          bit_count(col("a.sim2").bitwiseXOR(col("b.sim2")))).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= HamMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: all-pairs 120-bit Hamming at the same threshold — banding
+    * is recall-exact by pigeonhole, so the pair sets match exactly. */
+  val simhashDedupWideSql: String =
+    s"""WITH $shinglesCteSql, hs AS (
+       |  SELECT doc_id,
+       |         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h1,
+       |         list_transform(shingles, s -> ('0x' || substr(md5(s), 16, 15))::BIGINT) AS h2
+       |  FROM sh
+       |), sim AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(0::BIGINT, range(0, $WideBits)),
+       |           (acc, j) -> acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, h1),
+       |                                   (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |                             THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS sim1,
+       |         list_reduce(list_prepend(0::BIGINT, range(0, $WideBits)),
+       |           (acc, j) -> acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, h2),
+       |                                   (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |                             THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS sim2
+       |  FROM hs
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) AS BIGINT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) <= $HamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Edit-distance budget for [[levenshteinDedup]] and the per-block
     * document-frequency cap mirroring [[DefaultMaxShingleDf]]. */
@@ -1276,8 +1457,9 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
        |ORDER BY d.doc_id""".stripMargin
 
-  val simhashDedupSql: String =
-    s"""WITH $shinglesCteSql, hs AS (
+  /** Full SimHash pairs SQL over an arbitrary corpus source. */
+  private[llm] def simhashDedupSqlFrom(src: String): String =
+    s"""WITH ${shinglesCte(src)}, hs AS (
        |  SELECT doc_id,
        |         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hashes
        |  FROM sh
@@ -1294,6 +1476,8 @@ object Dedup {
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HamMax
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  val simhashDedupSql: String = simhashDedupSqlFrom("documents")
 
   /** Document-frequency cap for [[tfidfCosinePairs]]'s inverted index —
     * shingles in more documents than this are dropped before the pair

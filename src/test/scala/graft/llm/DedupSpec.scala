@@ -21,6 +21,26 @@ class DedupSpec extends SparkSpec {
     assert(sim.filter(col("doc_a") >= col("doc_b") || col("hamming") > 7).isEmpty)
   }
 
+  test("wide simhash is a strict refinement of the 60-bit kernel") {
+    import spark.implicits._
+    // The wide fingerprint's first word IS the 60-bit fingerprint (same
+    // md5 prefix, same votes), so ham120 = ham60 + ham(word2) >= ham60:
+    // every wide pair must also be a narrow pair, never the reverse.
+    val wide = Dedup.simhashDedupWide(spark, sfDir).cache()
+    val narrow = Dedup.simhashDedup(spark, sfDir).cache()
+    assert(wide.filter(col("doc_a") >= col("doc_b") || col("hamming") > 7).isEmpty)
+    assert(wide.select("doc_a", "doc_b")
+      .except(narrow.select("doc_a", "doc_b")).isEmpty,
+      "a 120-bit pair within budget must be within budget on its 60-bit prefix")
+    // identical texts hash to identical fingerprints: hamming 0 on both,
+    // so the wide (stricter) kernel still catches exact duplicates
+    val dupText = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, dupText), (2L, dupText)).toDF("doc_id", "text")
+    val got = Dedup.simhashDedupWideFrom(Dedup.shinglesOf(docs)).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 0L)))
+  }
+
   test("shingle df-cap bounds hot-shingle fan-out without losing true near-dups") {
     import spark.implicits._
     // docs 1-2: true near-dups (identical text, many shared low-df shingles).
