@@ -39,7 +39,7 @@ object Dedup {
 
   /** Distinct word-3-gram shingles per document, identical on both engines:
     * whitespace-split of trimmed text, trigrams joined with single spaces. */
-  private[llm] def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", split(trim(col("text")), "\\s+"))
       .filter(size(col("ws")) >= 3)
@@ -460,8 +460,8 @@ object Dedup {
     * lane on both engines), Hamming threshold, and band count. 8 disjoint
     * bands make Hamming ≤ 7 recall EXACT by pigeonhole. */
   private val SimBits = 60
-  private val HamMax = 7
-  private val SimBands: Seq[(Int, Int)] = // (offset, width): 4×8-bit + 4×7-bit
+  private[graft] val HamMax = 7
+  private[graft] val SimBands: Seq[(Int, Int)] = // (offset, width): 4×8-bit + 4×7-bit
     Seq((0, 8), (8, 8), (16, 8), (24, 8), (32, 7), (39, 7), (46, 7), (53, 7))
 
   /** SimHash near-dup pairs: 60-bit md5-derived simhash per document
@@ -473,10 +473,12 @@ object Dedup {
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
     simhashDedupFrom(withShingles(spark, dir))
 
-  /** Core SimHash kernel over a prepared (doc_id, shingles) frame —
-    * shared by the entry and [[dedupEval]] (which feeds both estimators
-    * from ONE cached shingle pass). */
-  private[llm] def simhashDedupFrom(shingled: DataFrame): DataFrame = {
+  /** The 60-bit fingerprint stage of the SimHash kernel: (doc_id,
+    * simhash) from a prepared (doc_id, shingles) frame, via the exploded
+    * vote aggregate. Exposed to [[graft.streaming.DocStream]], whose
+    * per-row HOF fingerprint must stay bit-identical to this groupBy
+    * formulation (DocStreamSpec pins the equality corpus-wide). */
+  private[graft] def simhashFingerprints(shingled: DataFrame): DataFrame = {
     // Per-bit votes over the exploded shingle-hash stream. Bit j of the
     // simhash is set iff the +1/-1 vote is positive, i.e. 2·(count of
     // 1-bits) > shingle count. The 60 per-bit counters are packed into 9
@@ -509,7 +511,14 @@ object Dedup {
         .bitwiseAND(lit((1L << LaneBits) - 1))
       when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sh = votes.select(col("doc_id"), simhash.as("simhash")).cache()
+    votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** Core SimHash kernel over a prepared (doc_id, shingles) frame —
+    * shared by the entry and [[dedupEval]] (which feeds both estimators
+    * from ONE cached shingle pass). */
+  private[graft] def simhashDedupFrom(shingled: DataFrame): DataFrame = {
+    val sh = simhashFingerprints(shingled).cache()
     val bands = sh.withColumn("band", explode(array(
       SimBands.zipWithIndex.map { case ((off, w), idx) =>
         struct(lit(idx).as("band_id"),

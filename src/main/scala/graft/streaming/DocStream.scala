@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** Streaming document kernels — the online forms of the near-dup
+  * machinery in [[graft.llm.Dedup]], for the ingest-time shape of an LLM
+  * data pipeline: documents arrive as a live feed and near-duplicates of
+  * anything seen within a bounded horizon must be flagged before the doc
+  * is admitted to the corpus (the batch entries audit a corpus at rest;
+  * crawl ingestion needs the same answer per arriving document).
+  *
+  * Reference scope: the reference warehouse has no streaming surface at
+  * all (SURVEY §2.10) — this module, like EventsStream, is beyond-
+  * reference capability built on Structured Streaming.
+  *
+  * Design: the batch SimHash kernel fingerprints documents with a groupBy
+  * over exploded shingle votes — a shuffle, which a per-document
+  * streaming transform must avoid. [[rowSimhash]] computes the IDENTICAL
+  * 60-bit fingerprint as a single per-row higher-order-function
+  * expression (fold over the document's own shingle hashes — no explode,
+  * no shuffle, O(shingles·60) per row), so fingerprinting is a stateless
+  * map stage in the stream. DocStreamSpec pins bit-equality of the two
+  * formulations over the whole sf0.001 corpus.
+  *
+  * Candidate generation then reuses the batch kernel's banding
+  * ([[Dedup.SimBands]]): 8 disjoint bit-slices, docs sharing any band
+  * value are candidates, pigeonhole-exact for Hamming ≤ [[Dedup.HamMax]].
+  * In the stream this becomes a watermarked stream-stream SELF-join on
+  * (band_id, band_key) with a symmetric event-time bound — Spark buffers
+  * per-band state only inside the watermark horizon, so state is bounded
+  * by in-horizon traffic × 8 bands, not stream history. A pair matching
+  * in k bands emits k times; `dropDuplicatesWithinWatermark` collapses
+  * the copies (they arrive in the same micro-batch, far inside the
+  * horizon).
+  *
+  * 100 TB/day shape: fingerprinting is embarrassingly parallel; the join
+  * shuffles on (band_id, band_key) — 8·2^8 ≈ 2k band buckets at 60 bits,
+  * so a production deployment at crawl scale would swap in the 120-bit
+  * fingerprint's 15-bit bands (8·32k buckets, [[Dedup.simhashDedupWide]])
+  * exactly as in batch; the streaming plumbing is width-agnostic.
+  */
+object DocStream {
+
+  /** Per-row 60-bit SimHash over the `shingles` array column — the HOF
+    * re-expression of [[Dedup.simhashFingerprints]]'s vote aggregate.
+    * Vote arithmetic: bit j is set iff the ±1 vote sum over the doc's
+    * distinct shingle hashes is strictly positive, which is exactly the
+    * batch kernel's `2·count(1-bits) > n` majority (sum = 2·cnt − n). */
+  private[graft] val rowSimhash: String =
+    """aggregate(
+      |  zip_with(
+      |    aggregate(
+      |      transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)),
+      |      array_repeat(0, 60),
+      |      (acc, h) -> zip_with(acc, sequence(0, 59),
+      |                           (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1))),
+      |    sequence(0, 59),
+      |    (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+      |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin
+
+  /** (doc_id, ts, simhash) for a document frame with `text` — drops
+    * sub-3-word docs exactly as the batch shingle stage does. */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+    Dedup.shinglesOf(docs)
+      .withColumn("simhash", expr(rowSimhash))
+      .drop("ws", "shingles", "text")
+
+  /** Near-dup pairs among documents arriving within `horizon` of each
+    * other: (doc_a, doc_b, hamming, pair_ts) with doc_a < doc_b and
+    * Hamming ≤ [[Dedup.HamMax]], emitted once per pair. Input schema:
+    * (doc_id long, ts timestamp, text string). Append-mode; a pair emits
+    * once both endpoints have arrived, is final, and its state ages out
+    * with the watermark. */
+  def streamingSimhashDedup(docs: DataFrame,
+                            horizon: String = "30 MINUTES"): DataFrame = {
+    val banded = fingerprints(docs)
+      .withColumn("band", explode(array(
+        Dedup.SimBands.zipWithIndex.map { case ((off, w), idx) =>
+          struct(lit(idx).as("band_id"),
+            shiftright(col("simhash"), off).bitwiseAND(lit((1 << w) - 1))
+              .as("band_key"))
+        }: _*)))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        col("band.band_id"), col("band.band_key"))
+    val a = banded.toDF("a_doc", "a_ts", "a_sim", "a_band", "a_key")
+      .withWatermark("a_ts", horizon)
+    val b = banded.toDF("b_doc", "b_ts", "b_sim", "b_band", "b_key")
+      .withWatermark("b_ts", horizon)
+    a.join(b,
+        col("a_band") === col("b_band") && col("a_key") === col("b_key") &&
+          col("a_doc") < col("b_doc") &&
+          col("b_ts") >= col("a_ts") - expr(s"INTERVAL $horizon") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("a_doc").as("doc_a"), col("b_doc").as("doc_b"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long")
+          .as("hamming"),
+        col("a_ts").as("pair_ts"))
+      .filter(col("hamming") <= Dedup.HamMax)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
+  /** The batch comparison frame the MemoryStream spec checks the stream
+    * against: the batch SimHash kernel's pairs restricted to endpoints
+    * whose arrival times are within `horizon` of each other. */
+  private[graft] def batchEquivalent(docs: DataFrame,
+                                     horizon: String): DataFrame = {
+    val times = docs.select(col("doc_id"), col("ts"))
+    Dedup.simhashDedupFrom(Dedup.shinglesOf(docs))
+      .join(times.toDF("doc_a", "ts_a"), "doc_a")
+      .join(times.toDF("doc_b", "ts_b"), "doc_b")
+      .filter(col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.llm.Dedup
+
+class DocStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("per-row HOF simhash is bit-identical to the batch vote aggregate, corpus-wide") {
+    val docs = Tables.documents(spark, sfDir)
+    val perRow = DocStream.fingerprints(docs).select("doc_id", "simhash")
+    val batch = Dedup.simhashFingerprints(Dedup.shinglesOf(docs))
+    assert(perRow.count() == batch.count())
+    assert(perRow.except(batch).isEmpty && batch.except(perRow).isEmpty,
+      "row-local fold and groupBy votes must produce the same fingerprint for every doc")
+  }
+
+  test("streaming simhash dedup emits exactly the in-horizon batch pairs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // 20-word texts so every doc clears the 3-word shingle floor; docs
+    // 1/2/3 share one text (pairwise hamming 0), doc 4 is unrelated.
+    val shared = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val other = (1 to 20).map(i => s"omega${i * 7}").mkString(" ")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), shared),
+      (2L, ts("2024-01-01 10:10:00"), shared), // in horizon of 1
+      (4L, ts("2024-01-01 10:05:00"), other), // near nothing
+      (3L, ts("2024-01-01 12:00:00"), shared)) // out of horizon of 1 and 2
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val stream = DocStream.streamingSimhashDedup(
+      source.toDF().toDF("doc_id", "ts", "text"), "30 MINUTES")
+    val query = stream.writeStream.format("memory")
+      .queryName("doc_dedup_test").outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      // advance the watermark well past every pair so held state flushes
+      source.addData((99L, ts("2024-01-01 15:00:00"), other + " tail"))
+      query.processAllAvailable()
+      val emitted = spark.table("doc_dedup_test")
+        .select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = DocStream.batchEquivalent(
+          rows.toDF("doc_id", "ts", "text"), "30 MINUTES")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(expected == Set((1L, 2L, 0L)),
+        s"batch comparison frame must itself be the in-horizon pair, got $expected")
+      assert(emitted == expected,
+        s"stream must emit exactly the in-horizon batch pairs, got $emitted")
+    } finally query.stop()
+  }
+
+  test("a multi-band match emits once and identical docs pair at hamming 0 per band math") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // identical fingerprints collide in ALL 8 bands — the duplicate-pair
+    // suppression (dropDuplicatesWithinWatermark) must collapse the 8
+    // band hits to one emitted row.
+    val text = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = DocStream.streamingSimhashDedup(
+        source.toDF().toDF("doc_id", "ts", "text"), "30 MINUTES")
+      .writeStream.format("memory")
+      .queryName("doc_dedup_multiband").outputMode("append").start()
+    try {
+      source.addData((1L, ts("2024-01-01 10:00:00"), text),
+        (2L, ts("2024-01-01 10:01:00"), text))
+      query.processAllAvailable()
+      source.addData((99L, ts("2024-01-01 15:00:00"),
+        (1 to 30).map(i => s"gamma${i * 3}").mkString(" ")))
+      query.processAllAvailable()
+      val got = spark.table("doc_dedup_multiband")
+        .select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 2L, 0L)), s"exactly one row for the pair, got $got")
+    } finally query.stop()
+  }
+}

@@ -42,6 +42,7 @@ TWIN_END = "<!-- END GENERATED streaming twins -->"
 # ---------------------------------------------------------------------------
 TWIN_SOURCES = [
     "src/main/scala/graft/streaming/EventsStream.scala",
+    "src/main/scala/graft/streaming/DocStream.scala",
     "src/main/scala/graft/warehouse/Merge.scala",
 ]
 TWIN_DEF_RE = re.compile(
@@ -53,6 +54,8 @@ TWINS = {
         "same sliding window() agg; watermark bounds open-frame state"),
     "streamingIngestDedup": (["ingest_dedup"],
         "dropDuplicatesWithinWatermark — one key per in-horizon event"),
+    "streamingSimhashDedup": (["simhash_dedup"],
+        "per-row HOF fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
     "streamingClickAttribution": (["click_attribution"],
         "watermarked interval stream-stream join, state bounded by the join horizon"),
     "streamingUnattributedClicks": (["unattributed_clicks"],
