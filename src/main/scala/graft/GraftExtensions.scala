@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MisraGries, NfcNormalize, PolyHash}
+import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MisraGries, NfcNormalize, PolyHash, SimHashWord}
 
 /** Library entry point for `spark.sql.extensions` — registers graft's
   * native Catalyst expressions on every session built with
@@ -64,6 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 1, "char_entropy expects 1 argument")
         CharEntropy(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_word"),
+      info("simhash_word",
+        "simhash_word(shingles, word) - 60-bit SimHash of a string array; word picks the md5 hex slice (0 or 1)"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "simhash_word expects 2 arguments")
+        SimHashWord(args.head, args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

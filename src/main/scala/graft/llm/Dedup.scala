@@ -474,11 +474,25 @@ object Dedup {
     simhashDedupFrom(withShingles(spark, dir))
 
   /** The 60-bit fingerprint stage of the SimHash kernel: (doc_id,
-    * simhash) from a prepared (doc_id, shingles) frame, via the exploded
-    * vote aggregate. Exposed to [[graft.streaming.DocStream]], whose
-    * per-row HOF fingerprint must stay bit-identical to this groupBy
-    * formulation (DocStreamSpec pins the equality corpus-wide). */
+    * simhash) from a prepared (doc_id, shingles) frame, via the native
+    * per-row [[graft.functions.SimHashWord]] expression — every vote only
+    * reads its own row's shingles, so fingerprinting is a map stage with
+    * NO shuffle (the vote-aggregate twin below exchanges one row per
+    * shingle to compute the same bits). Shared with the streaming twin
+    * [[graft.streaming.DocStream]], which needs exactly this per-row
+    * shape to fingerprint documents as they arrive. */
   private[graft] def simhashFingerprints(shingled: DataFrame): DataFrame = {
+    graft.functions.SimHashWord.register(shingled.sparkSession)
+    shingled.select(col("doc_id"),
+      expr("simhash_word(shingles, 0)").as("simhash"))
+  }
+
+  /** The exploded groupBy formulation of the same fingerprint — the
+    * shape the DuckDB oracle mirrors, kept as the independent cross-check
+    * of the native kernel (DedupSpec pins bit-equality corpus-wide for
+    * both md5 words). Production code uses [[simhashFingerprints]]. */
+  private[graft] def simhashFingerprintsVoteAgg(shingled: DataFrame,
+                                                word: Int = 0): DataFrame = {
     // Per-bit votes over the exploded shingle-hash stream. Bit j of the
     // simhash is set iff the +1/-1 vote is positive, i.e. 2·(count of
     // 1-bits) > shingle count. The 60 per-bit counters are packed into 9
@@ -494,7 +508,7 @@ object Dedup {
     val ex = shingled
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("h", expr(
-        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+        s"CAST(conv(substring(md5(s), ${word * 15 + 1}, 15), 16, 10) AS BIGINT)"))
     val packCols = count(lit(1)).as("n") +:
       (0 until numWords).map { g =>
         val lanes = (0 until LanesPerWord)
@@ -559,44 +573,19 @@ object Dedup {
     * fingerprints widen), not a drop-in replacement; both entries are
     * oracle-exact over their own predicates.
     *
-    * Same vote-pack discipline as [[simhashDedupFrom]]: 120 per-bit
-    * ±1 vote counters packed into 18 lane-packed longs (9-bit lanes,
-    * 7 per long) so the aggregate keeps 19 buffers instead of 121 —
-    * wide-enough documents would deoptimize codegen otherwise. */
+    * Both words come from the native per-row
+    * [[graft.functions.SimHashWord]] kernel (words 0 and 1 of the same
+    * md5), so the 120-bit fingerprint stage is shuffle-free too — the
+    * lane-packed vote aggregate this replaced survives as the 60-bit
+    * cross-check twin [[simhashFingerprintsVoteAgg]]. */
   def simhashDedupWide(spark: SparkSession, dir: String): DataFrame =
     simhashDedupWideFrom(withShingles(spark, dir))
 
   private[llm] def simhashDedupWideFrom(shingled: DataFrame): DataFrame = {
-    val TotalBits = 2 * WideBits // 120
-    val LaneBits = 9
-    val LanesPerWord = 7
-    val numWords = (TotalBits + LanesPerWord - 1) / LanesPerWord // 18
-    val ex = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("m", md5(col("s")))
-      .withColumn("h1", expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)"))
-      .withColumn("h2", expr("CAST(conv(substring(m, 16, 15), 16, 10) AS BIGINT)"))
-    // bit j < 60 reads word h1 at j; bit j >= 60 reads h2 at j-60
-    def bitOf(j: Int): Column =
-      if (j < WideBits) shiftright(col("h1"), j).bitwiseAND(lit(1L))
-      else shiftright(col("h2"), j - WideBits).bitwiseAND(lit(1L))
-    val packCols = count(lit(1)).as("n") +:
-      (0 until numWords).map { g =>
-        val lanes = (0 until LanesPerWord)
-          .filter(k => g * LanesPerWord + k < TotalBits)
-          .map(k => shiftleft(bitOf(g * LanesPerWord + k), LaneBits * k))
-        sum(lanes.reduce(_ + _)).as(s"p$g")
-      }
-    val votes = ex.groupBy("doc_id").agg(packCols.head, packCols.tail: _*)
-    def packedWord(bitBase: Int): Column = (0 until WideBits).map { j =>
-      val bit = bitBase + j
-      val (g, k) = (bit / LanesPerWord, bit % LanesPerWord)
-      val cnt = shiftright(col(s"p$g"), LaneBits * k)
-        .bitwiseAND(lit((1L << LaneBits) - 1))
-      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sh = votes.select(col("doc_id"),
-      packedWord(0).as("sim1"), packedWord(WideBits).as("sim2")).cache()
+    graft.functions.SimHashWord.register(shingled.sparkSession)
+    val sh = shingled.select(col("doc_id"),
+      expr("simhash_word(shingles, 0)").as("sim1"),
+      expr("simhash_word(shingles, 1)").as("sim2")).cache()
     val bands = sh.withColumn("band", explode(array(
       (0 until 2 * WideBandsPerWord).map { idx =>
         val word = if (idx < WideBandsPerWord) col("sim1") else col("sim2")

@@ -16,14 +16,13 @@ import graft.llm.Dedup
   * all (SURVEY §2.10) — this module, like EventsStream, is beyond-
   * reference capability built on Structured Streaming.
   *
-  * Design: the batch SimHash kernel fingerprints documents with a groupBy
-  * over exploded shingle votes — a shuffle, which a per-document
-  * streaming transform must avoid. [[rowSimhash]] computes the IDENTICAL
-  * 60-bit fingerprint as a single per-row higher-order-function
-  * expression (fold over the document's own shingle hashes — no explode,
-  * no shuffle, O(shingles·60) per row), so fingerprinting is a stateless
-  * map stage in the stream. DocStreamSpec pins bit-equality of the two
-  * formulations over the whole sf0.001 corpus.
+  * Design: a per-document streaming transform cannot shuffle, so
+  * fingerprinting reuses the batch kernel's per-row native expression
+  * ([[graft.functions.SimHashWord]] via [[Dedup.simhashFingerprints]] —
+  * no explode, no groupBy, O(shingles·60) inside WholeStageCodegen):
+  * fingerprinting is a stateless map stage in the stream, bit-identical
+  * to batch by construction (and the native kernel itself is pinned
+  * against the exploded vote aggregate corpus-wide in DedupSpec).
   *
   * Candidate generation then reuses the batch kernel's banding
   * ([[Dedup.SimBands]]): 8 disjoint bit-slices, docs sharing any band
@@ -44,29 +43,15 @@ import graft.llm.Dedup
   */
 object DocStream {
 
-  /** Per-row 60-bit SimHash over the `shingles` array column — the HOF
-    * re-expression of [[Dedup.simhashFingerprints]]'s vote aggregate.
-    * Vote arithmetic: bit j is set iff the ±1 vote sum over the doc's
-    * distinct shingle hashes is strictly positive, which is exactly the
-    * batch kernel's `2·count(1-bits) > n` majority (sum = 2·cnt − n). */
-  private[graft] val rowSimhash: String =
-    """aggregate(
-      |  zip_with(
-      |    aggregate(
-      |      transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)),
-      |      array_repeat(0, 60),
-      |      (acc, h) -> zip_with(acc, sequence(0, 59),
-      |                           (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1))),
-      |    sequence(0, 59),
-      |    (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-      |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin
-
-  /** (doc_id, ts, simhash) for a document frame with `text` — drops
-    * sub-3-word docs exactly as the batch shingle stage does. */
-  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+  /** (doc_id, ts, simhash) for a document frame with `text` — the batch
+    * shingle stage + the native per-row fingerprint; drops sub-3-word
+    * docs exactly as batch does. */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.SimHashWord.register(docs.sparkSession)
     Dedup.shinglesOf(docs)
-      .withColumn("simhash", expr(rowSimhash))
+      .withColumn("simhash", expr("simhash_word(shingles, 0)"))
       .drop("ws", "shingles", "text")
+  }
 
   /** Near-dup pairs among documents arriving within `horizon` of each
     * other: (doc_a, doc_b, hamming, pair_ts) with doc_a < doc_b and

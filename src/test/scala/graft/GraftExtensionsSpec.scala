@@ -38,6 +38,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(1) == 11.0)
       // 'a'=97, 'b'=98: (0*31+97)*31+98 = 3105
       assert(r.getLong(2) == 3105L)
+      // a single-shingle fingerprint IS its hash (every bit's lone vote
+      // wins), so both simhash_word words pin against the conv formula
+      val sw = s.sql(
+        """SELECT simhash_word(array('x'), 0) =
+          |         CAST(conv(substring(md5('x'), 1, 15), 16, 10) AS BIGINT) AS eq0,
+          |       simhash_word(array('x'), 1) =
+          |         CAST(conv(substring(md5('x'), 16, 15), 16, 10) AS BIGINT) AS eq1""".stripMargin).head()
+      assert(sw.getBoolean(0) && sw.getBoolean(1))
       // the native aggregate resolves and aggregates through the same route
       val mg = s.sql(
         """SELECT misra_gries(t, 4) AS m

@@ -41,6 +41,19 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 2L, 0L)))
   }
 
+  test("native word-1 fingerprint matches the exploded vote aggregate, corpus-wide") {
+    // word 0 is pinned in DocStreamSpec; this covers the wide kernel's
+    // second md5 word through the same independent groupBy formulation.
+    graft.functions.SimHashWord.register(spark)
+    val sh = Dedup.shinglesOf(Tables.documents(spark, sfDir)).cache()
+    val native = sh.select(col("doc_id"),
+      expr("simhash_word(shingles, 1)").as("simhash"))
+    val voteAgg = Dedup.simhashFingerprintsVoteAgg(sh, word = 1)
+    assert(native.count() == voteAgg.count())
+    assert(native.except(voteAgg).isEmpty && voteAgg.except(native).isEmpty,
+      "word-1 native kernel and groupBy votes must agree for every doc")
+  }
+
   test("shingle df-cap bounds hot-shingle fan-out without losing true near-dups") {
     import spark.implicits._
     // docs 1-2: true near-dups (identical text, many shared low-df shingles).

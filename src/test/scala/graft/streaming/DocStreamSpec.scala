@@ -12,13 +12,13 @@ class DocStreamSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("per-row HOF simhash is bit-identical to the batch vote aggregate, corpus-wide") {
+  test("per-row native simhash is bit-identical to the exploded vote aggregate, corpus-wide") {
     val docs = Tables.documents(spark, sfDir)
     val perRow = DocStream.fingerprints(docs).select("doc_id", "simhash")
-    val batch = Dedup.simhashFingerprints(Dedup.shinglesOf(docs))
-    assert(perRow.count() == batch.count())
-    assert(perRow.except(batch).isEmpty && batch.except(perRow).isEmpty,
-      "row-local fold and groupBy votes must produce the same fingerprint for every doc")
+    val voteAgg = Dedup.simhashFingerprintsVoteAgg(Dedup.shinglesOf(docs))
+    assert(perRow.count() == voteAgg.count())
+    assert(perRow.except(voteAgg).isEmpty && voteAgg.except(perRow).isEmpty,
+      "row-local native kernel and groupBy votes must produce the same fingerprint for every doc")
   }
 
   test("streaming simhash dedup emits exactly the in-horizon batch pairs") {

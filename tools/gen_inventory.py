@@ -55,7 +55,7 @@ TWINS = {
     "streamingIngestDedup": (["ingest_dedup"],
         "dropDuplicatesWithinWatermark — one key per in-horizon event"),
     "streamingSimhashDedup": (["simhash_dedup"],
-        "per-row HOF fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
+        "per-row native simhash_word fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
     "streamingClickAttribution": (["click_attribution"],
         "watermarked interval stream-stream join, state bounded by the join horizon"),
     "streamingUnattributedClicks": (["unattributed_clicks"],
