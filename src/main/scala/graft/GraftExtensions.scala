@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MisraGries, NfcNormalize, PolyHash, SimHashWord}
+import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MinHashSig, MisraGries, NfcNormalize, PolyHash, SimHashWord}
 
 /** Library entry point for `spark.sql.extensions` — registers graft's
   * native Catalyst expressions on every session built with
@@ -72,6 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 2, "simhash_word expects 2 arguments")
         SimHashWord(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles, k) - k-hash MinHash signature (array<bigint>) of a string array"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "minhash_sig expects 2 arguments")
+        MinHashSig(args.head, args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

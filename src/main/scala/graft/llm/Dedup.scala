@@ -261,27 +261,41 @@ object Dedup {
   private val NumBands = NumHashes / BandRows
 
   /** LSH band keys for a prepared (doc_id, shingles) frame: one row per
-    * (doc_id, band_id, band_key). Signatures are 64 min() aggregates over
-    * the exploded shingle stream — a single codegen'd hash aggregate with
-    * map-side partials, instead of an interpreted per-row higher-order
-    * fold (HOF lambdas don't codegen). Each shingle string is hashed
-    * ONCE; the 64 hash-family members rehash only the fixed-width 64-bit
-    * value (not the string), which also avoids ANSI-mode overflow that a
-    * raw multiply-mix would hit. Shared by [[minhashDedup]] and
-    * [[Decontaminate.decontaminateFuzzy]] so "same bucket" means the same
-    * thing in both audits. */
+    * (doc_id, band_id, band_key). Signatures come from the native per-row
+    * [[graft.functions.MinHashSig]] kernel — every minimum only reads its
+    * own row's shingles, so the signature stage is a map with NO shuffle
+    * (the exploded 64-buffer min() aggregate it replaced survives as the
+    * cross-check twin [[minhashSigExploded]]). Each shingle string is
+    * hashed ONCE; the 64 hash-family members rehash only the fixed-width
+    * 64-bit value (not the string), which also avoids ANSI-mode overflow
+    * that a raw multiply-mix would hit. Band keys fold the signature
+    * lanes through Spark's own xxhash64 over element_at, so buckets are
+    * bit-identical to the former column formulation. Shared by
+    * [[minhashDedup]] and [[Decontaminate.decontaminateFuzzy]] so "same
+    * bucket" means the same thing in both audits. */
   private[llm] def minhashBands(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    graft.functions.MinHashSig.register(sh.sparkSession)
+    val sig = sh.select(col("doc_id"),
+      expr(s"minhash_sig(shingles, $NumHashes)").as("sig"))
     sig.withColumn("band", explode(array(
       (0 until NumBands).map(b =>
         struct(lit(b).as("band_id"),
           xxhash64((lit(b) +: (0 until BandRows).map(r =>
-            col(s"h${b * BandRows + r}"))): _*).as("band_key"))): _*)))
+            element_at(col("sig"), b * BandRows + r + 1))): _*).as("band_key"))): _*)))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** The exploded groupBy formulation of the same signature — kept as the
+    * independent cross-check of the native kernel (DedupSpec pins
+    * lane-equality corpus-wide). Production code uses [[minhashBands]]. */
+  private[llm] def minhashSigExploded(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH near-dup pairs: per-doc signature sig[i] =

@@ -46,6 +46,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       simhash_word(array('x'), 1) =
           |         CAST(conv(substring(md5('x'), 16, 15), 16, 10) AS BIGINT) AS eq1""".stripMargin).head()
       assert(sw.getBoolean(0) && sw.getBoolean(1))
+      // a single-shingle signature lane i IS xxhash64(i, xxhash64(s)) —
+      // no minimum to take — so the native kernel pins against Spark's
+      // own hash chain
+      val mh = s.sql(
+        """SELECT minhash_sig(array('x'), 3) =
+          |         array(xxhash64(0, xxhash64('x')),
+          |               xxhash64(1, xxhash64('x')),
+          |               xxhash64(2, xxhash64('x'))) AS eq""".stripMargin).head()
+      assert(mh.getBoolean(0))
       // the native aggregate resolves and aggregates through the same route
       val mg = s.sql(
         """SELECT misra_gries(t, 4) AS m

@@ -54,6 +54,17 @@ class DedupSpec extends SparkSpec {
       "word-1 native kernel and groupBy votes must agree for every doc")
   }
 
+  test("native minhash signature matches the exploded 64-buffer min aggregate, corpus-wide") {
+    graft.functions.MinHashSig.register(spark)
+    val sh = Dedup.shinglesOf(Tables.documents(spark, sfDir)).cache()
+    val native = sh.select(col("doc_id"),
+      expr("minhash_sig(shingles, 64)").as("sig"))
+    val exploded = Dedup.minhashSigExploded(sh)
+    assert(native.count() == exploded.count())
+    assert(native.except(exploded).isEmpty && exploded.except(native).isEmpty,
+      "row-local native kernel and groupBy minima must agree lane-for-lane for every doc")
+  }
+
   test("shingle df-cap bounds hot-shingle fan-out without losing true near-dups") {
     import spark.implicits._
     // docs 1-2: true near-dups (identical text, many shared low-df shingles).
