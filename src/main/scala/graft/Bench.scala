@@ -57,8 +57,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // signature builders (minhash/simhash) are 60-64-column aggregates;
-      // keep them inside whole-stage codegen (default maxFields=100)
+      // wide plans (pivot/rollup outputs, and formerly the exploded
+      // sketch-signature aggregates — now native per-row expressions)
+      // stay inside whole-stage codegen (default maxFields=100)
       .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -188,7 +188,7 @@ object Sampling {
     * broadcast-joined back. The ranged frame is cached because BOTH
     * consumers (local sums, partition totals) must see the identical
     * partition placement. Adds `cum_tokens` = inclusive running sum. */
-  private def globalRunningSum(spark: SparkSession, d: DataFrame,
+  private[llm] def globalRunningSum(spark: SparkSession, d: DataFrame,
       sortCols: Seq[Column], value: Column): DataFrame = {
     val n = spark.sessionState.conf.numShufflePartitions
     val ranged = d.repartitionByRange(n, sortCols: _*)

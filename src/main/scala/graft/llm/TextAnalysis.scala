@@ -68,7 +68,7 @@ object TextAnalysis {
     * [[textQualitySql]] and [[qualityGateSql]] — the score formula exists
     * exactly once per engine. (Plain strings, not interpolators: the
     * regexes carry backslashes.) */
-  private val qualityCteSql: String =
+  private[llm] val qualityCteSql: String =
     """t AS (
       |  SELECT doc_id, lang, n_chars, source, text,
       |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -78,7 +78,7 @@ object TextAnalysis {
       |         length(regexp_replace(text, '\s+', '', 'g')) AS chars_ns
       |  FROM documents
       |)""".stripMargin
-  private val qualityScoreSql: String =
+  private[llm] val qualityScoreSql: String =
     """round(least(n_tokens / 100.0, 1.0) * 0.4
       |             + least(n_stop * 1.0 / n_tokens * 5, 1.0) * 0.4
       |             + (1.0 - least(n_punct * 1.0 / length(text) * 10, 1.0)) * 0.2, 6)""".stripMargin
@@ -94,7 +94,7 @@ object TextAnalysis {
 
   /** Below this quality score a document counts as low-quality in the
     * per-source report — a run-config literal, like the gate medians. */
-  private val LowQuality = 0.5
+  private[llm] val LowQuality = 0.5
 
   /** Per-source quality report — the dashboard that decides which crawl
     * feeds get downweighted or dropped: per source, document/token
