@@ -8,17 +8,17 @@ import graft.Tables
 /** The composite corpus-preparation pipeline — the LLM-side analogue of
   * `etl_full_pipeline` (beyond-reference surface; builder brief): the
   * per-stage entries (`text_quality`, `exact_dedup`, `simhash_dedup`,
-  * `decontaminate`, `token_budget_select`) each verify one kernel, but
-  * none can pin the STAGE ORDERING a real training-data prep run
+  * `decontaminate_fuzzy`, `token_budget_select`) each verify one kernel,
+  * but none can pin the STAGE ORDERING a real training-data prep run
   * commits to — and ordering is semantic here: near-dup pairs are
   * computed among quality survivors only (a pair whose partner was
   * quality-dropped must not drop the survivor), exact-dup keepers are
   * chosen among survivors (if a duplicate group's min doc was gated
   * out, the next-smallest survivor is the keeper), and the token budget
-  * fills from whatever remains after decontamination. This entry chains
-  * gate → exact-dedup → near-dup drop → test-split/decontamination drop
-  * → budget selection as ONE oracled dataflow, so the whole funnel is
-  * hash-gated, not just its pieces.
+  * fills from whatever remains after decontamination. `corpus_prep_pipeline`
+  * emits the selected manifest and `corpus_prep_funnel` the one-row
+  * stage-count report — together the whole funnel is hash-gated, not
+  * just its pieces.
   *
   * Stage policies (each reuses the shared kernel so the definition
   * exists once per engine):
@@ -61,16 +61,24 @@ import graft.Tables
   * decontamination drops are semi/anti-joins against near-dup-sized and
   * benchmark-sized sets (broadcastable); the budget prefix sum is the
   * two-phase range-partitioned kernel, no single-task funnel. Nothing in
-  * the funnel materializes more than pair-list-sized intermediates.
+  * the funnel materializes more than pair-list-sized intermediates; the
+  * funnel report is six single-row global aggregates cross-joined
+  * (1×1 joins, map-side collapsed).
   */
 object CorpusPrep {
 
   /** Token budget for the final selection stage — sized so the selection
     * is a strict subset at every test SF (same run-config stance as
     * [[Sampling]]'s budget). Shared with the oracle SQL. */
-  private val PrepTokenBudget = 60000L
+  private val PrepTokenBudget = 15000L
 
-  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+  /** The staged survivor frames, shared by the manifest and the funnel
+    * report so both entries describe the identical run. `picked` carries
+    * (doc_id, split, n_tokens, quality_score, cum_tokens), unordered. */
+  private[llm] case class Stages(docs: DataFrame, gated: DataFrame,
+    exact: DataFrame, nd: DataFrame, clean: DataFrame, picked: DataFrame)
+
+  private[llm] def stages(spark: SparkSession, dir: String): Stages = {
     val docs = Tables.spread(Tables.documents(spark, dir))
     // stage 1: quality gate (scores from the one shared frame)
     val scored = TextAnalysis.qualityFrame(spark, dir)
@@ -87,7 +95,7 @@ object CorpusPrep {
     val ndDrop = Dedup.simhashDedupFrom(Dedup.shinglesOf(exact))
       .select(col("doc_b").as("doc_id")).distinct()
     val nd = exact.join(ndDrop, Seq("doc_id"), "left_anti")
-    // stage 4: test split out; exact-overlap contaminated docs out
+    // stage 4: test split out; fuzzy-contaminated docs out
     val trainSide = Sampling.hashSplitFrom(nd, col("doc_id"))
       .filter(col("split") =!= "test")
     val flagged = Decontaminate.decontaminateFuzzy(spark, dir)
@@ -95,19 +103,38 @@ object CorpusPrep {
     val clean = trainSide.join(flagged, Seq("doc_id"), "left_anti")
       .select("doc_id", "split", "n_tokens", "quality_score")
     // stage 5: quality-first token-budget fill
-    Sampling.globalRunningSum(spark, clean,
+    val picked = Sampling.globalRunningSum(spark, clean,
         Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"))
       .filter(col("cum_tokens") - col("n_tokens") < PrepTokenBudget)
       .select("doc_id", "split", "n_tokens", "quality_score", "cum_tokens")
-      .orderBy("cum_tokens")
+    Stages(docs, gated, exact, nd, clean, picked)
   }
 
-  /** Oracle: the same funnel as chained CTEs; the near-dup and
+  /** The selected-corpus manifest, in fill order. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame =
+    stages(spark, dir).picked.orderBy("cum_tokens")
+
+  /** One-row funnel report: how many documents each stage admitted and
+    * what the selection spent — the dashboard a prep run publishes next
+    * to its manifest (and the first place a mis-sized gate, cap, or
+    * budget shows up). */
+  def corpusPrepFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val s = stages(spark, dir)
+    s.docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(s.gated.agg(count(lit(1)).as("n_gated")))
+      .crossJoin(s.exact.agg(count(lit(1)).as("n_exact_kept")))
+      .crossJoin(s.nd.agg(count(lit(1)).as("n_after_neardup")))
+      .crossJoin(s.clean.agg(count(lit(1)).as("n_clean")))
+      .crossJoin(s.picked.agg(count(lit(1)).as("n_selected"),
+        coalesce(max(col("cum_tokens")), lit(0L)).as("tokens_selected")))
+  }
+
+  /** The shared CTE chain (through `picked`); the near-dup and
     * decontamination stages nest the registered kernels' own oracle
     * statements (the [[Dedup.dedupEvalSql]] composition pattern), so each
     * stage's SQL definition still exists exactly once. */
-  val corpusPrepSql: String =
-    s"""WITH ${TextAnalysis.qualityCteSql},
+  private val prepCtesSql: String =
+    s"""${TextAnalysis.qualityCteSql},
        |scored AS (
        |  SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens,
        |         ${TextAnalysis.qualityScoreSql} AS quality_score
@@ -139,8 +166,23 @@ object CorpusPrep {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |           AS cum_tokens
        |  FROM clean
-       |)
-       |SELECT doc_id, split, n_tokens, quality_score, cum_tokens FROM sel
-       |WHERE cum_tokens - n_tokens < $PrepTokenBudget
-       |ORDER BY cum_tokens""".stripMargin
+       |), picked AS (
+       |  SELECT doc_id, split, n_tokens, quality_score, cum_tokens FROM sel
+       |  WHERE cum_tokens - n_tokens < $PrepTokenBudget
+       |)""".stripMargin
+
+  val corpusPrepSql: String =
+    s"""WITH $prepCtesSql
+       |SELECT doc_id, split, n_tokens, quality_score, cum_tokens
+       |FROM picked ORDER BY cum_tokens""".stripMargin
+
+  val corpusPrepFunnelSql: String =
+    s"""WITH $prepCtesSql
+       |SELECT (SELECT count(*) FROM documents) AS n_input,
+       |       (SELECT count(*) FROM gated) AS n_gated,
+       |       (SELECT count(*) FROM exact) AS n_exact_kept,
+       |       (SELECT count(*) FROM nd) AS n_after_neardup,
+       |       (SELECT count(*) FROM clean) AS n_clean,
+       |       (SELECT count(*) FROM picked) AS n_selected,
+       |       (SELECT coalesce(max(cum_tokens), 0) FROM picked) AS tokens_selected""".stripMargin
 }

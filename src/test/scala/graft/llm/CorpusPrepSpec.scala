@@ -80,5 +80,5 @@ class CorpusPrepSpec extends SparkSpec {
 object CorpusPrepSpecBudget {
   // mirror of CorpusPrep.PrepTokenBudget for the admission assertion
   // (kept test-side so the spec restates the contract independently)
-  val value = 60000L
+  val value = 15000L
 }
