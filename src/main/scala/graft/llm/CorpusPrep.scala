@@ -83,18 +83,24 @@ object CorpusPrep {
     // stage 1: quality gate (scores from the one shared frame)
     val scored = TextAnalysis.qualityFrame(spark, dir)
       .select("doc_id", "n_tokens", "quality_score")
+    // gated/exact are each read by 2-3 downstream branches (and the
+    // funnel report counts every stage), so cache the survivor frames —
+    // run-scoped scratch, spilling to disk past memory, same stance as
+    // dedup_eval's cached shingle pass
     val gated = docs.select("doc_id", "text")
       .join(scored, "doc_id")
       .filter(col("quality_score") >= TextAnalysis.LowQuality)
+      .cache()
     // stage 2: exact dedup — min doc_id per identical text, among survivors
     val keepers = gated
       .groupBy(md5(col("text")).as("k"))
       .agg(min(col("doc_id")).as("doc_id"))
     val exact = gated.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      .cache()
     // stage 3: near-dup edge-greedy drop among survivors
     val ndDrop = Dedup.simhashDedupFrom(Dedup.shinglesOf(exact))
       .select(col("doc_b").as("doc_id")).distinct()
-    val nd = exact.join(ndDrop, Seq("doc_id"), "left_anti")
+    val nd = exact.join(ndDrop, Seq("doc_id"), "left_anti").cache()
     // stage 4: test split out; fuzzy-contaminated docs out
     val trainSide = Sampling.hashSplitFrom(nd, col("doc_id"))
       .filter(col("split") =!= "test")
@@ -102,6 +108,7 @@ object CorpusPrep {
       .select("doc_id").distinct()
     val clean = trainSide.join(flagged, Seq("doc_id"), "left_anti")
       .select("doc_id", "split", "n_tokens", "quality_score")
+      .cache()
     // stage 5: quality-first token-budget fill
     val picked = Sampling.globalRunningSum(spark, clean,
         Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"))

@@ -244,7 +244,7 @@ object Sampling {
       .orderBy("doc_id")
 
   /** Kernel over any frame/key: adds `bucket` (0-99) and `split`. */
-  private[llm] def hashSplitFrom(df: DataFrame, key: Column): DataFrame = {
+  private[graft] def hashSplitFrom(df: DataFrame, key: Column): DataFrame = {
     val bucket = conv(
       substring(md5(concat_ws(":", lit(SplitSalt), key.cast("string"))), 1, 8),
       16, 10).cast("long") % 100

@@ -34,33 +34,44 @@ object TextAnalysis {
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     qualityFrame(spark, dir).drop("source").orderBy("doc_id")
 
+  /** Appends `n_tokens`, `stop_ratio`, `punct_ratio` (6dp) and
+    * `quality_score` (6dp) to ANY frame with a `text` column — per-row
+    * expressions only, so the same scorer runs in batch and behind a
+    * stream ([[graft.streaming.DocStream]]'s ingest gate); the score and
+    * ratio formulas exist exactly once per engine. The score feeds on the
+    * UNROUNDED ratios; the appended ratio columns are the 6dp output
+    * form. Quality: long-enough docs with organic stopword density and
+    * low punctuation noise score high; clamped linear terms, weights sum
+    * to 1. */
+  private[graft] def withQualityScore(d: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val nStop = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val stopRatio = nStop.cast("double") / nTok
+    val punctRatio = nPunct.cast("double") / length(col("text"))
+    val score =
+      least(nTok.cast("double") / 100d, lit(1d)) * 0.4 +
+        least(stopRatio * 5d, lit(1d)) * 0.4 +
+        (lit(1d) - least(punctRatio * 10d, lit(1d))) * 0.2
+    d.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("stop_ratio", round(stopRatio, 6))
+      .withColumn("punct_ratio", round(punctRatio, 6))
+      .withColumn("quality_score", round(score, 6))
+  }
+
   /** The unordered quality frame, shared by [[textQuality]] and
     * [[qualityGate]] so both score documents identically. */
   private[llm] def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
     // spread: per-doc regex/hash work serializes on a single-split scan
     // (identity at real scale, see Tables.spread)
-    val d = Tables.spread(Tables.documents(spark, dir))
-    val nTok = size(split(trim(col("text")), "\\s+"))
+    val d = withQualityScore(Tables.spread(Tables.documents(spark, dir)))
     val nBpe = size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
-    val nStop = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
-    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
     val charsNoSpace = length(regexp_replace(col("text"), "\\s+", ""))
-    val avgTokLen = charsNoSpace.cast("double") / nTok
-    val stopRatio = nStop.cast("double") / nTok
-    val punctRatio = nPunct.cast("double") / length(col("text"))
-    // quality: long-enough docs with organic stopword density and low
-    // punctuation noise score high; clamped linear terms, weights sum to 1
-    val score =
-      least(nTok.cast("double") / 100d, lit(1d)) * 0.4 +
-        least(stopRatio * 5d, lit(1d)) * 0.4 +
-        (lit(1d) - least(punctRatio * 10d, lit(1d))) * 0.2
     d.select(
       col("doc_id"), col("lang"), col("n_chars"),
-      nTok.cast("long").as("n_tokens"), nBpe.cast("long").as("n_tokens_bpe"),
-      round(avgTokLen, 6).as("avg_token_len"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(score, 6).as("quality_score"),
+      col("n_tokens"), nBpe.cast("long").as("n_tokens_bpe"),
+      round(charsNoSpace.cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+      col("stop_ratio"), col("punct_ratio"), col("quality_score"),
       col("source")) // consumed by sourceQualityReport; textQuality drops it
   }
 
@@ -94,7 +105,7 @@ object TextAnalysis {
 
   /** Below this quality score a document counts as low-quality in the
     * per-source report — a run-config literal, like the gate medians. */
-  private[llm] val LowQuality = 0.5
+  private[graft] val LowQuality = 0.5
 
   /** Per-source quality report — the dashboard that decides which crawl
     * feeds get downweighted or dropped: per source, document/token

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.llm.Dedup
+import graft.llm.{Dedup, Sampling, TextAnalysis}
 
 /** Streaming document kernels — the online forms of the near-dup
   * machinery in [[graft.llm.Dedup]], for the ingest-time shape of an LLM
@@ -86,6 +86,40 @@ object DocStream {
       .filter(col("hamming") <= Dedup.HamMax)
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
   }
+
+  /** Streaming corpus admission gate — the per-document stages of
+    * [[graft.llm.CorpusPrep]]'s prep funnel at ingest time: quality gate
+    * (the shared per-row scorer [[graft.llm.TextAnalysis.withQualityScore]],
+    * same bar), test-split drop (the shared split function — eval docs
+    * never enter the training feed), exact dedup within the watermark
+    * horizon (md5(text) key), and a stream-static ANTI-join against an
+    * offline contamination flag list (e.g.
+    * [[graft.llm.Decontaminate.decontaminateFuzzy]] output — benchmark
+    * reference sets are corpus-level artifacts, refreshed offline, so the
+    * static side is the right shape). The cross-document funnel stages
+    * stay in their own forms: near-dup is [[streamingSimhashDedup]], the
+    * token budget is a corpus-level decision by definition.
+    *
+    * Contract difference vs the batch funnel, by design: the in-horizon
+    * exact dedup keeps the FIRST-ARRIVING copy of a text (ingest cannot
+    * know a smaller doc_id is coming), where the batch stage keeps the
+    * min doc_id; and duplicates farther apart than the horizon both
+    * pass (the offline pass sweeps them). State: one md5 key per
+    * in-horizon ADMITTED document — the gate drops low-quality/test docs
+    * BEFORE the dedup buffer, so rejected traffic costs no state.
+    *
+    * Input schema: (doc_id long, ts timestamp, text string); `flagged`
+    * is a static (doc_id, ...) frame. Append-mode. */
+  def streamingCorpusGate(docs: DataFrame, flagged: DataFrame,
+                          horizon: String = "2 hours"): DataFrame =
+    Sampling.hashSplitFrom(TextAnalysis.withQualityScore(docs), col("doc_id"))
+      .filter(col("quality_score") >= TextAnalysis.LowQuality)
+      .filter(col("split") =!= "test")
+      .withColumn("text_key", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_key")
+      .join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "ts", "split", "n_tokens", "quality_score")
 
   /** The batch comparison frame the MemoryStream spec checks the stream
     * against: the batch SimHash kernel's pairs restricted to endpoints

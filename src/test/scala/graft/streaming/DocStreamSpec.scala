@@ -57,6 +57,40 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest gate: every drop reason fires and exactly the admissible docs pass") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // md5-split buckets (salt split-v1): doc 1 -> 92 (test), docs 3/4/5/11
+    // -> 36/11/53/67 (train). good = 102 tokens, 1/3 stopwords, no
+    // punctuation -> score 1.0; junk = 2 tokens, no stopwords -> 0.208.
+    val good = (1 to 34).map(_ => "the quick fox").mkString(" ")
+    val junk = "zzz qqq"
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val flagged = Seq(11L).toDF("doc_id")
+    val query = DocStream.streamingCorpusGate(
+        source.toDF().toDF("doc_id", "ts", "text"), flagged, "2 hours")
+      .writeStream.format("memory")
+      .queryName("corpus_gate_test").outputMode("append").start()
+    try {
+      source.addData(
+        (1L, ts("2024-01-01 10:00:00"), good + " one"), // test split -> drop
+        (3L, ts("2024-01-01 10:01:00"), good), // admit
+        (4L, ts("2024-01-01 10:02:00"), good), // duplicate text -> drop
+        (5L, ts("2024-01-01 10:03:00"), junk), // low quality -> drop
+        (11L, ts("2024-01-01 10:04:00"), good + " two")) // flagged -> drop
+      query.processAllAvailable()
+      val got = spark.table("corpus_gate_test")
+        .select("doc_id", "split", "quality_score")
+        .as[(Long, String, Double)].collect().toSet
+      // docs 3 and 4 share a text; exactly one (the first-arriving) passes
+      assert(got.map(_._1).intersect(Set(3L, 4L)).size == 1,
+        s"one admitted doc per in-horizon duplicate text, got $got")
+      assert(got.map(_._1) - 3L - 4L == Set.empty,
+        s"test-split, low-quality, and flagged docs must all drop, got $got")
+      assert(got.forall(r => r._2 == "train" && r._3 >= 0.5), s"admitted rows carry gate fields: $got")
+    } finally query.stop()
+  }
+
   test("a multi-band match emits once and identical docs pair at hamming 0 per band math") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

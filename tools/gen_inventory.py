@@ -54,6 +54,8 @@ TWINS = {
         "same sliding window() agg; watermark bounds open-frame state"),
     "streamingIngestDedup": (["ingest_dedup"],
         "dropDuplicatesWithinWatermark — one key per in-horizon event"),
+    "streamingCorpusGate": (["corpus_prep_pipeline"],
+        "the funnel's per-doc stages at ingest: shared scorer gate, split drop, in-horizon exact dedup, static contamination anti-join"),
     "streamingSimhashDedup": (["simhash_dedup"],
         "per-row native simhash_word fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
     "streamingClickAttribution": (["click_attribution"],
