@@ -273,7 +273,7 @@ object Dedup {
     * bit-identical to the former column formulation. Shared by
     * [[minhashDedup]] and [[Decontaminate.decontaminateFuzzy]] so "same
     * bucket" means the same thing in both audits. */
-  private[llm] def minhashBands(sh: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     graft.functions.MinHashSig.register(sh.sparkSession)
     val sig = sh.select(col("doc_id"),
       expr(s"minhash_sig(shingles, $NumHashes)").as("sig"))
@@ -420,8 +420,8 @@ object Dedup {
     * audit that survives 100 TB. The full audit's cost is inherently
     * Ω(Σ_c k_c²) in the duplicate-cluster sizes k_c (the pair lists ARE
     * the output): the round-16 25× rehearsal measured the full eval at
-    * 68.7 s when corpus replication inflated the SimHash pred list to
-    * 1.53 M pairs (SCALE.md round-16 section) — output-proportional, but
+    * 67-120 s (±40% run variance) when corpus replication inflated the
+    * SimHash pred list to 1.53 M pairs (SCALE.md round-16 section) — output-proportional, but
     * the output itself grows quadratically with clique size. At corpus
     * scale nobody audits every pair; the standard move is a deterministic
     * document-level Bernoulli sample. A doc survives iff its salted-md5

@@ -164,6 +164,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("sketch fingerprints are map stages: zero exchanges scan-to-signature") {
+    // The r16 native kernels removed the explode+groupBy vote/min
+    // shuffles — the fingerprint/signature/band frames must stay pure
+    // projections over the scan (an Exchange here means the per-shingle
+    // stream is being re-keyed again, the exact regression the native
+    // expressions eliminated).
+    val docs = Tables.documents(spark, sfDir)
+    val sim = planString(
+      graft.llm.Dedup.simhashFingerprints(graft.llm.Dedup.shinglesOf(docs)))
+    assert(!sim.contains("Exchange"), sim.take(3000))
+    assert(sim.contains("simhash_word"), sim.take(3000))
+    val mh = planString(
+      graft.llm.Dedup.minhashBands(graft.llm.Dedup.shinglesOf(docs)))
+    assert(!mh.contains("Exchange"), mh.take(3000))
+    assert(mh.contains("minhash_sig"), mh.take(3000))
+  }
+
   test("session boundaries: one hash shuffle (the user window), filter after lag") {
     val df = graft.streaming.EventsStream.sessionBoundaries(spark, sfDir)
     df.collect()
