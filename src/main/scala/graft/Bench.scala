@@ -93,11 +93,22 @@ object Bench {
     // clear per-query .cache() blocks between passes: every pass re-pays
     // cache population the same way, instead of pass 1 paying it for the
     // suite and later passes riding (or evicting) accumulated blocks —
-    // the cross-pass bias the interleaved design is meant to remove
+    // the cross-pass bias the interleaved design is meant to remove.
+    // SPARK_GRAFT_BENCH_ISOLATE=1 additionally clears between ENTRIES:
+    // within a pass, entries otherwise share leaked kernel caches in
+    // sorted-name order — deterministic, so round-over-round trends stay
+    // like-for-like, but at rehearsal scales (25×) the blocks evict each
+    // other and per-entry numbers become order-dependent (SCALE.md
+    // round-16 solo-cold study). Default off: the driver's trend
+    // artifact must keep comparing shared-cache runs.
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     def runPasses(ns: Seq[String]): Seq[Map[String, Double]] =
       (1 to reps).map { _ =>
         spark.catalog.clearCache()
-        ns.map(n => n -> exec(n)).toMap
+        ns.map { n =>
+          if (isolate) spark.catalog.clearCache()
+          n -> exec(n)
+        }.toMap
       }
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
