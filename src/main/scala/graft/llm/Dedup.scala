@@ -566,9 +566,9 @@ object Dedup {
 
   /** Wide-fingerprint width: two 60-bit md5 words = 120 bits, banded as
     * 8 disjoint 15-bit slices (4 per word — 8×15 = 120 exactly). */
-  private val WideBits = 60 // per word; 2 words
-  private val WideBandBits = 15
-  private val WideBandsPerWord = 4
+  private[graft] val WideBits = 60 // per word; 2 words
+  private[graft] val WideBandBits = 15
+  private[graft] val WideBandsPerWord = 4
 
   /** 120-bit SimHash near-dup pairs — the wide-fingerprint response to
     * the band-domain wall the round-16 25× rehearsal measured on the
@@ -595,7 +595,7 @@ object Dedup {
   def simhashDedupWide(spark: SparkSession, dir: String): DataFrame =
     simhashDedupWideFrom(withShingles(spark, dir))
 
-  private[llm] def simhashDedupWideFrom(shingled: DataFrame): DataFrame = {
+  private[graft] def simhashDedupWideFrom(shingled: DataFrame): DataFrame = {
     graft.functions.SimHashWord.register(shingled.sparkSession)
     val sh = shingled.select(col("doc_id"),
       expr("simhash_word(shingles, 0)").as("sim1"),

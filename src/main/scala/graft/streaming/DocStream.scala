@@ -87,6 +87,56 @@ object DocStream {
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
   }
 
+  /** The wide-fingerprint form of [[streamingSimhashDedup]] — 120 bits
+    * as two [[graft.functions.SimHashWord]] words, banded as 8 disjoint
+    * 15-bit slices exactly like the batch `simhash_dedup_wide` kernel.
+    * This is the CRAWL-SCALE configuration the 60-bit scaladoc points
+    * to: at 15-bit band keys the per-band bucket domain is 32,768, so
+    * in-horizon state buckets stay small 181× longer as traffic grows,
+    * for the same pigeonhole-exact Hamming ≤ [[Dedup.HamMax]] recall
+    * (now spent over 120 bits — the proportionally stricter near-dup
+    * contract of the wide batch entry). Same emit/state semantics as
+    * the narrow twin. */
+  def streamingSimhashDedupWide(docs: DataFrame,
+                                horizon: String = "30 MINUTES"): DataFrame = {
+    val banded = fingerprintsWide(docs)
+      .withColumn("band", explode(array(
+        (0 until 2 * Dedup.WideBandsPerWord).map { idx =>
+          val word = if (idx < Dedup.WideBandsPerWord) col("sim1") else col("sim2")
+          val off = (idx % Dedup.WideBandsPerWord) * Dedup.WideBandBits
+          struct(lit(idx).as("band_id"),
+            shiftright(word, off).bitwiseAND(lit((1L << Dedup.WideBandBits) - 1))
+              .as("band_key"))
+        }: _*)))
+      .select(col("doc_id"), col("ts"), col("sim1"), col("sim2"),
+        col("band.band_id"), col("band.band_key"))
+    val a = banded.toDF("a_doc", "a_ts", "a_sim1", "a_sim2", "a_band", "a_key")
+      .withWatermark("a_ts", horizon)
+    val b = banded.toDF("b_doc", "b_ts", "b_sim1", "b_sim2", "b_band", "b_key")
+      .withWatermark("b_ts", horizon)
+    a.join(b,
+        col("a_band") === col("b_band") && col("a_key") === col("b_key") &&
+          col("a_doc") < col("b_doc") &&
+          col("b_ts") >= col("a_ts") - expr(s"INTERVAL $horizon") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("a_doc").as("doc_a"), col("b_doc").as("doc_b"),
+        (bit_count(col("a_sim1").bitwiseXOR(col("b_sim1"))) +
+          bit_count(col("a_sim2").bitwiseXOR(col("b_sim2")))).cast("long")
+          .as("hamming"),
+        col("a_ts").as("pair_ts"))
+      .filter(col("hamming") <= Dedup.HamMax)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
+  /** (doc_id, ts, sim1, sim2) — both 60-bit md5 words per document. */
+  private[graft] def fingerprintsWide(docs: DataFrame): DataFrame = {
+    graft.functions.SimHashWord.register(docs.sparkSession)
+    Dedup.shinglesOf(docs)
+      .withColumn("sim1", expr("simhash_word(shingles, 0)"))
+      .withColumn("sim2", expr("simhash_word(shingles, 1)"))
+      .drop("ws", "shingles", "text")
+  }
+
   /** Streaming corpus admission gate — the per-document stages of
     * [[graft.llm.CorpusPrep]]'s prep funnel at ingest time: quality gate
     * (the shared per-row scorer [[graft.llm.TextAnalysis.withQualityScore]],

@@ -57,6 +57,40 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("wide streaming dedup: in-horizon pairs at 120-bit hamming, out-of-horizon silent") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val shared = (1 to 25).map(i => s"delta$i").mkString(" ")
+    val other = (1 to 25).map(i => s"rho${i * 11}").mkString(" ")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), shared),
+      (2L, ts("2024-01-01 10:10:00"), shared), // in horizon of 1
+      (4L, ts("2024-01-01 10:05:00"), other), // near nothing
+      (3L, ts("2024-01-01 12:00:00"), shared)) // out of horizon of 1 and 2
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = DocStream.streamingSimhashDedupWide(
+        source.toDF().toDF("doc_id", "ts", "text"), "30 MINUTES")
+      .writeStream.format("memory")
+      .queryName("doc_dedup_wide_test").outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      source.addData((99L, ts("2024-01-01 15:00:00"), other + " tail"))
+      query.processAllAvailable()
+      val emitted = spark.table("doc_dedup_wide_test")
+        .select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(emitted == Set((1L, 2L, 0L)),
+        s"only the in-horizon identical pair emits, at 120-bit hamming 0: $emitted")
+      // the batch wide kernel agrees on the full (un-horizoned) pair set
+      val batch = Dedup.simhashDedupWideFrom(
+          Dedup.shinglesOf(rows.toDF("doc_id", "ts", "text")))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(batch == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"batch pairs all shared-text docs regardless of time: $batch")
+    } finally query.stop()
+  }
+
   test("ingest gate: every drop reason fires and exactly the admissible docs pass") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

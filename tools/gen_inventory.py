@@ -58,6 +58,8 @@ TWINS = {
         "the funnel's per-doc stages at ingest: shared scorer gate, split drop, in-horizon exact dedup, static contamination anti-join"),
     "streamingSimhashDedup": (["simhash_dedup"],
         "per-row native simhash_word fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
+    "streamingSimhashDedupWide": (["simhash_dedup_wide"],
+        "the crawl-scale 120-bit form: two native words, 8×15-bit bands — 32k-value band buckets keep in-horizon state small 181× longer"),
     "streamingClickAttribution": (["click_attribution"],
         "watermarked interval stream-stream join, state bounded by the join horizon"),
     "streamingUnattributedClicks": (["unattributed_clicks"],
