@@ -559,8 +559,14 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // FILTER before the pair dedup: hamming is functionally determined
+      // by (doc_a, doc_b), so the order is semantics-free — but the dedup
+      // is a shuffle of every band-join candidate (~n²/2^w rows; ~10⁸ at
+      // the 25× rehearsal) while the filter is map-side, so filtering
+      // first shrinks that exchange to the surviving near-dup pairs.
+      // Catalyst cannot push this itself: hamming is not a dedup key.
       .filter(col("hamming") <= HamMax)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -616,8 +622,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (bit_count(col("a.sim1").bitwiseXOR(col("b.sim1"))) +
           bit_count(col("a.sim2").bitwiseXOR(col("b.sim2")))).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // filter-before-dedup: see simhashDedupFrom — hamming is pair-
+      // determined, the dedup exchange shrinks to surviving pairs
       .filter(col("hamming") <= HamMax)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
