@@ -125,6 +125,41 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedup join state survives a restart: pair endpoints split across a crash") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_docckpt_").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    Files.createDirectories(Paths.get(in))
+    val shared = (1 to 20).map(i => s"kappa$i").mkString(" ")
+    val other = (1 to 20).map(i => s"psi${i * 13}").mkString(" ")
+    def startQuery() = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, ts STRING, text STRING").json(in)
+        .select(col("doc_id"), to_timestamp(col("ts")).as("ts"), col("text"))
+      DocStream.streamingSimhashDedup(docs, "30 MINUTES")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // incarnation 1 sees only ONE endpoint of the eventual pair — its
+    // banded rows land in the join state store
+    Seq((1L, "2024-01-01 10:00:00", shared), (4L, "2024-01-01 10:02:00", other))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").json(in)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // the matching doc arrives while no query runs; the restart must
+    // recover doc 1's band state and emit the pair exactly once
+    Seq((2L, "2024-01-01 10:10:00", shared))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").json(in)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L)),
+      s"restart must recover join state and emit the pair once, got $got")
+  }
+
   test("a multi-band match emits once and identical docs pair at hamming 0 per band math") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
