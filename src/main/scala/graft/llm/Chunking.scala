@@ -32,7 +32,12 @@ object Chunking {
     * ceil(n_tokens / stride) rows per doc, each a near-fixed-size
     * window, which is exactly the row-size distribution downstream
     * loaders want. */
-  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunksFrame(spark, dir).orderBy("doc_id", "chunk_id")
+
+  /** The unordered chunk frame, shared by [[docChunks]] and
+    * [[chunkDedup]] so both see identical windows. */
+  private[llm] def chunksFrame(spark: SparkSession, dir: String): DataFrame = {
     // spread: per-doc tokenize/explode work serializes on a single-split
     // scan (identity at real scale, see Tables.spread)
     val d = Tables.spread(Tables.documents(spark, dir))
@@ -49,11 +54,13 @@ object Chunking {
           .as("n_tokens"),
         array_join(slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens)), " ")
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
-  val docChunksSql: String =
-    s"""WITH d AS (
+  /** The shared chunk CTE (`ch`: doc_id, chunk_id, start_tok, n_tokens,
+    * chunk_text) — one SQL definition of the window math for every
+    * chunk-consuming oracle. */
+  private val chunkCteSql: String =
+    s"""d AS (
        |  SELECT doc_id,
        |         string_split_regex(lower(trim(text)), '\\s+') AS toks
        |  FROM documents
@@ -61,13 +68,59 @@ object Chunking {
        |  SELECT doc_id, toks, len(toks) AS n,
        |         range(0, greatest(n, 1), $ChunkStride) AS starts
        |  FROM d
-       |)
-       |SELECT doc_id,
-       |       CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_id,
-       |       CAST(unnest(starts) AS BIGINT) AS start_tok,
-       |       CAST(least($ChunkTokens, n - unnest(starts)) AS BIGINT) AS n_tokens,
-       |       array_to_string(
-       |         list_slice(toks, unnest(starts) + 1,
-       |                    unnest(starts) + $ChunkTokens), ' ') AS chunk_text
-       |FROM n ORDER BY doc_id, chunk_id""".stripMargin
+       |), ch AS (
+       |  SELECT doc_id,
+       |         CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_id,
+       |         CAST(unnest(starts) AS BIGINT) AS start_tok,
+       |         CAST(least($ChunkTokens, n - unnest(starts)) AS BIGINT) AS n_tokens,
+       |         array_to_string(
+       |           list_slice(toks, unnest(starts) + 1,
+       |                      unnest(starts) + $ChunkTokens), ' ') AS chunk_text
+       |  FROM n
+       |)""".stripMargin
+
+  val docChunksSql: String =
+    s"""WITH $chunkCteSql
+       |SELECT doc_id, chunk_id, start_tok, n_tokens, chunk_text
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Boilerplate-chunk census — verbatim repeated full-width windows
+    * ACROSS documents (headers, footers, license blocks, navigation
+    * chrome): every [[ChunkTokens]]-token chunk whose text occurs in ≥ 2
+    * distinct documents, with its spread. Chunk-granular exact dedup
+    * complements the document-level kernels: a Jaccard/SimHash pass
+    * misses a 64-token footer pasted into thousands of otherwise-
+    * unrelated pages (whole-document similarity stays low), while this
+    * census finds exactly that — the fixed-window flavor of
+    * `substring_dedup`'s shared-run detection, at the granularity
+    * training loaders consume. Partial tail windows are excluded by
+    * contract: the census counts repeated full windows, not the short
+    * tails every near-dup family trivially shares.
+    *
+    * Scale shape: the chunk stage is the map-only [[chunksFrame]] pass;
+    * the census groups on md5(chunk_text) — a fixed-width shuffle key
+    * regardless of chunk bytes, one exchange with map-side partials.
+    * Output is bounded by the corpus's distinct-boilerplate vocabulary,
+    * not its size. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunksFrame(spark, dir)
+      .filter(col("n_tokens") === ChunkTokens)
+      .groupBy(md5(col("chunk_text")).as("chunk_key"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_key")
+
+  val chunkDedupSql: String =
+    s"""WITH $chunkCteSql
+       |SELECT md5(chunk_text) AS chunk_key,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       count(*) AS n_occurrences,
+       |       min(doc_id) AS first_doc
+       |FROM ch
+       |WHERE n_tokens = $ChunkTokens
+       |GROUP BY 1
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_key""".stripMargin
 }

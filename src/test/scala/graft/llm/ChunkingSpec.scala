@@ -25,6 +25,28 @@ class ChunkingSpec extends SparkSpec {
     assert(j.filter(col("k") =!= ceil(col("n") / lit(48.0)).cast("long")).isEmpty)
   }
 
+  test("chunk census reconciles with the chunk frame and reports only cross-doc repeats") {
+    val census = Chunking.chunkDedup(spark, sfDir).cache()
+    assert(census.count() > 0, "the corpus's near-dup families must share full windows")
+    assert(census.filter(col("n_docs") < 2 ||
+      col("n_occurrences") < col("n_docs")).isEmpty,
+      "every reported chunk spans >= 2 docs and occurs at least once per doc")
+    // independent recount from the public chunk surface
+    val recount = Chunking.docChunks(spark, sfDir)
+      .filter(col("n_tokens") === 64)
+      .groupBy(md5(col("chunk_text")).as("chunk_key"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("no"),
+        min(col("doc_id")).as("fd"))
+      .filter(col("nd") >= 2)
+    assert(census.count() == recount.count())
+    assert(census.join(recount,
+        census("chunk_key") === recount("chunk_key") &&
+          census("n_docs") === recount("nd") &&
+          census("n_occurrences") === recount("no") &&
+          census("first_doc") === recount("fd"), "left_anti").isEmpty,
+      "census rows must match an independent recount exactly")
+  }
+
   test("adjacent chunks overlap by window - stride tokens") {
     val ch = Chunking.docChunks(spark, sfDir)
     val gaps = ch.groupBy("doc_id").agg(
