@@ -31,7 +31,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // per-query .cache() blocks must not pile up
+      RunScope.releaseAll() // entry-scoped kernel scratch, freed per entry
+      spark.catalog.clearCache() // belt-and-braces for anything unrouted
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.RunScope.ScratchCacheOps
 
 /** Behavioral event analytics — the funnel and cohort-retention queries a
   * product-analytics engine answers over the events stream (beyond-
@@ -899,7 +900,7 @@ object Behavior {
     // per-part counts, and the corpus total
     val baskets = items.groupBy("orderkey")
       .agg(sort_array(collect_set(col("partkey"))).as("parts"))
-      .cache()
+      .scratchCache()
     val totals = baskets.agg(count(lit(1)).as("n_orders"))
     val perPart = baskets.select(explode(col("parts")).as("partkey"))
       .groupBy("partkey").agg(count(lit(1)).as("n"))

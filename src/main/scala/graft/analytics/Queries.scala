@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.RunScope.ScratchCacheOps
 
 /** Analytical query surface — Spark-native rebuilds of the reference's
   * analysis.sql Q1–Q3 shapes (reference: analysis.sql:13-238), mapped onto
@@ -324,7 +325,7 @@ object Queries {
     * of a top-5 company has its (company, state) present there by
     * construction. Operators: O3 J6 J7 W2 W3 P7 S5. */
   def q3bWorstIssues(spark: SparkSession, dir: String): DataFrame = {
-    val tempCf = q3aCfView(spark, dir).cache() // scanned 3× (analysis.sql:194,216,231)
+    val tempCf = q3aCfView(spark, dir).scratchCache() // scanned 3× (analysis.sql:194,216,231)
     val ratio = count(when(col("timely_responses") === 1, 1)) / count(lit(1))
     val top5 = tempCf
       .groupBy(col("company"))

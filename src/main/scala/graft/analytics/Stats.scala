@@ -136,18 +136,21 @@ object Stats {
     *
     * Scale shape: spend aggregates per customer first (one keyed sum of
     * mergeable decimal partials — the fact-side cost), then the global
-    * rank comes from [[graft.warehouse.Dims.surrogateKeys]] — the M4
-    * adaptive kernel: a single window sort while the per-customer frame
-    * is dimension-sized, the range-partition + zipWithIndex twin when
-    * it outgrows one task. The ordering (spend, custkey) is total, so
-    * ranks are deterministic under spend ties and both kernel paths
-    * assign identical ids. The final Σ is one scalar aggregate. */
+    * rank comes from [[graft.llm.Sampling.globalRunningSum]] with
+    * value = 1 — the two-phase `_pid` prefix-sum kernel (range-partition,
+    * parallel local row counts, #partition-row offset window broadcast
+    * back): `row_number()` under the total order with NO single-task
+    * window at any scale. The ordering (spend, custkey) is total, so
+    * ranks are deterministic under spend ties and the kernel assigns
+    * exactly the window's ids (r16 whitelist retirement — this entry
+    * previously rode the adaptive surrogate-key kernel, whose small-input
+    * arm planned a global window). The final Σ is one scalar aggregate. */
   def giniSpend(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    val ranked = graft.warehouse.Dims.surrogateKeys(
-      spend, "i", Seq(col("spend").asc, col("custkey").asc))
+    val ranked = graft.llm.Sampling.globalRunningSum(spark, spend,
+      Seq(col("spend").asc, col("custkey").asc), lit(1L), "i")
     ranked.agg(count(lit(1)).as("n"),
         sum(col("spend")).as("tot"),
         sum(col("spend") * (lit(2) * col("i"))).as("wsum"))
@@ -443,10 +446,10 @@ object Stats {
   /** Per-customer spend percentile report — percent_rank, cume_dist and
     * the ntile quartile over total customer spend, WITHOUT the global
     * single-partition window those functions normally plan: the total
-    * order comes from the adaptive surrogate-key kernel
-    * ([[graft.warehouse.Dims.surrogateKeys]], the `gini_spend` pattern —
-    * window on dimension-sized input, per-partition-offset zipWithIndex
-    * above it), and the three statistics are closed forms over that
+    * order comes from [[graft.llm.Sampling.globalRunningSum]] with
+    * value = 1 (the two-phase `_pid` prefix-sum kernel, the `gini_spend`
+    * pattern — no single-task window at any scale; r16 whitelist
+    * retirement), and the three statistics are closed forms over that
     * position:
     *   - percent_rank = (rank − 1) / (n − 1) with rank = min position
     *     among spend peers (ties share a rank, exactly the SQL-standard
@@ -468,8 +471,8 @@ object Stats {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    val ranked = graft.warehouse.Dims.surrogateKeys(
-      spend, "i", Seq(col("spend").asc, col("custkey").asc))
+    val ranked = graft.llm.Sampling.globalRunningSum(spark, spend,
+      Seq(col("spend").asc, col("custkey").asc), lit(1L), "i")
     val tot = ranked.agg(count(lit(1)).as("n"))
     val peers = Window.partitionBy(col("spend"))
     ranked.crossJoin(broadcast(tot))
@@ -586,8 +589,11 @@ object Stats {
       .withColumn("seg", when(col("d") <= col("cd"), lit("before")).otherwise(lit("after")))
       // DECIMAL(19,2): a daily revenue squared overflows DuckDB's
       // int64-backed DECIMAL(18) at sf0.1 cardinalities; 19 digits force
-      // int128 there (19+19 = 38 stays within both engines' max
-      // precision for the r6*r6 product) — sf0.1 oracle pass finding
+      // int128 there. Spark's r6*r6 result precision is p1+p2+1 = 39,
+      // which EXCEEDS max 38 and takes the precision-loss scale
+      // adjustment to DECIMAL(38,4) — parity with DuckDB's DECIMAL(38,4)
+      // product is verified empirically (sf0.1 oracle pass), so any
+      // further widening must re-run the second-scale oracle pass
       .withColumn("r6", col("rev").cast("decimal(19,2)"))
     val m = sides.groupBy(lit(1).as("k")).agg(
       first(col("cd")).as("change_date"),
@@ -689,19 +695,18 @@ object Stats {
     * from joining the per-(value, group) counts back — integer/decimal
     * arithmetic end to end until the final z. */
   def mannWhitneyValue(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir)
       .filter(col("event_type").isin(MwGroupA, MwGroupB) &&
         col("value").isNotNull)
       .select(col("event_type").as("g"), col("value").as("v"))
     val cells = e.groupBy("v", "g").agg(count(lit(1)).as("c"))
     val byValue = cells.groupBy("v").agg(sum(col("c")).as("cv"))
-    val wv = Window.orderBy("v")
-    // midrank of every row at value v: rows-before + (cv + 1)/2
-    val ranked = byValue
-      .withColumn("before",
-        coalesce(sum(col("cv")).over(wv.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+    // midrank of every row at value v: rows-before + (cv + 1)/2, the
+    // prefix over the distinct-value frame from the two-phase `_pid`
+    // kernel (r16 whitelist retirement — was a global window)
+    val ranked = graft.llm.Sampling.globalRunningSum(spark, byValue,
+        Seq(col("v")), col("cv"), "cum_cv")
+      .withColumn("before", col("cum_cv") - col("cv"))
       .withColumn("midrank",
         col("before").cast("decimal(28,1)") +
           (col("cv").cast("decimal(28,1)") + 1) / 2)
@@ -789,20 +794,18 @@ object Stats {
     * moment aggregate over the events — the sample itself is never
     * sorted. */
   def spearmanValueHour(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("value").as("x"), hour(col("ts")).cast("long").as("y"))
-    def midranks(df: DataFrame, c: String): DataFrame = {
-      val w = Window.orderBy(c)
-      df.groupBy(c).agg(count(lit(1)).as("cv"))
-        .withColumn("before", coalesce(
-          sum(col("cv")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+    // per-variable midranks over the distinct-value frame via the
+    // two-phase `_pid` prefix sum (r16 whitelist retirement)
+    def midranks(df: DataFrame, c: String): DataFrame =
+      graft.llm.Sampling.globalRunningSum(spark,
+          df.groupBy(c).agg(count(lit(1)).as("cv")),
+          Seq(col(c)), col("cv"), "cum_cv")
         .select(col(c),
-          (col("before").cast("decimal(18,1)") +
+          ((col("cum_cv") - col("cv")).cast("decimal(18,1)") +
             (col("cv").cast("decimal(18,1)") + 1) / 2).as(s"r_$c"))
-    }
     val ranked = e
       .join(broadcast(midranks(e, "x")), "x")
       .join(broadcast(midranks(e, "y")), "y")

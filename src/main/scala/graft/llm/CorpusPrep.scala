@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.RunScope.ScratchCacheOps
 
 /** The composite corpus-preparation pipeline — the LLM-side analogue of
   * `etl_full_pipeline` (beyond-reference surface; builder brief): the
@@ -74,7 +75,15 @@ object CorpusPrep {
 
   /** The staged survivor frames, shared by the manifest and the funnel
     * report so both entries describe the identical run. `picked` carries
-    * (doc_id, split, n_tokens, quality_score, cum_tokens), unordered. */
+    * (doc_id, split, n_tokens, quality_score, cum_tokens), unordered.
+    *
+    * Each entry builds its own stages() — deliberately NOT memoized
+    * across entries: the stage caches are run-scoped scratch
+    * ([[graft.RunScope]], released by the harness when the entry's
+    * action completes), so each entry pays — and its bench number
+    * reports — its own full funnel cost, order-independently. Sharing
+    * one cached funnel across the pair would make whichever entry ran
+    * second look nearly free (ADVICE r16 adjudication). */
   private[llm] case class Stages(docs: DataFrame, gated: DataFrame,
     exact: DataFrame, nd: DataFrame, clean: DataFrame, picked: DataFrame)
 
@@ -90,17 +99,17 @@ object CorpusPrep {
     val gated = docs.select("doc_id", "text")
       .join(scored, "doc_id")
       .filter(col("quality_score") >= TextAnalysis.LowQuality)
-      .cache()
+      .scratchCache()
     // stage 2: exact dedup — min doc_id per identical text, among survivors
     val keepers = gated
       .groupBy(md5(col("text")).as("k"))
       .agg(min(col("doc_id")).as("doc_id"))
     val exact = gated.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
-      .cache()
+      .scratchCache()
     // stage 3: near-dup edge-greedy drop among survivors
     val ndDrop = Dedup.simhashDedupFrom(Dedup.shinglesOf(exact))
       .select(col("doc_b").as("doc_id")).distinct()
-    val nd = exact.join(ndDrop, Seq("doc_id"), "left_anti").cache()
+    val nd = exact.join(ndDrop, Seq("doc_id"), "left_anti").scratchCache()
     // stage 4: test split out; fuzzy-contaminated docs out
     val trainSide = Sampling.hashSplitFrom(nd, col("doc_id"))
       .filter(col("split") =!= "test")
@@ -108,7 +117,7 @@ object CorpusPrep {
       .select("doc_id").distinct()
     val clean = trainSide.join(flagged, Seq("doc_id"), "left_anti")
       .select("doc_id", "split", "n_tokens", "quality_score")
-      .cache()
+      .scratchCache()
     // stage 5: quality-first token-budget fill
     val picked = Sampling.globalRunningSum(spark, clean,
         Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"))

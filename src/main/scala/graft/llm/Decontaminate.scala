@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.RunScope.ScratchCacheOps
 
 /** Benchmark decontamination — the audit every pretraining pipeline runs
   * before a training corpus ships (beyond-reference surface; builder
@@ -114,7 +115,7 @@ object Decontaminate {
       Dedup.shinglesOf(Tables.spread(Tables.documents(spark, dir))),
       col("doc_id"))
       .select("doc_id", "split", "shingles")
-      .cache() // reused: bands + 2 confirm joins
+      .scratchCache() // reused: bands + 2 confirm joins
     val bands = Dedup.minhashBands(sh)
       .join(sh.select("doc_id", "split"), "doc_id")
     val test = bands.filter(col("split") === "test")

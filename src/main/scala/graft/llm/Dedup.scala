@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.RunScope.ScratchCacheOps
 
 /** Near-duplicate detection over the `documents` corpus — the dedup family
   * a pretraining-data pipeline runs before training (beyond-reference
@@ -103,7 +104,7 @@ object Dedup {
     // join revisits the documents to learn set sizes.
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
         explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
-      .cache() // read twice: df head count + posting build
+      .scratchCache() // read twice: df head count + posting build
     // the hot set is the skewed head — tiny, and AQE broadcasts the anti-join
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
@@ -195,7 +196,7 @@ object Dedup {
       minC: Double): DataFrame = {
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
         explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
-      .cache() // read twice: df head count + posting build
+      .scratchCache() // read twice: df head count + posting build
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
     val postings = ex.join(hot, Seq("s"), "left_anti")
@@ -304,7 +305,7 @@ object Dedup {
     * candidates; candidates are confirmed with EXACT Jaccard ≥ 0.8 on the
     * shingle arrays. Output is therefore exact (banding only prunes). */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(spark, dir).cache() // reused: signatures + 2 confirm joins
+    val sh = withShingles(spark, dir).scratchCache() // reused: signatures + 2 confirm joins
     val bands = minhashBands(sh)
     val cands = bands.as("a")
       .join(bands.as("b"),
@@ -357,7 +358,7 @@ object Dedup {
     * into counters map-side. Precision/recall guard their zero
     * denominators explicitly (ANSI mode throws on x/0). */
   def dedupEval(spark: SparkSession, dir: String): DataFrame =
-    dedupEvalFrom(withShingles(spark, dir).cache())
+    dedupEvalFrom(withShingles(spark, dir).scratchCache())
 
   /** The confusion-count kernel over a prepared (cached) shingle frame —
     * shared with [[dedupEvalSampled]], which feeds it a hash-sampled
@@ -436,7 +437,7 @@ object Dedup {
       .filter(conv(substring(
         md5(concat_ws(":", lit(EvalSampleSalt), col("doc_id").cast("string"))),
         1, 8), 16, 10).cast("long") % EvalSampleMod === 0)
-    dedupEvalFrom(shinglesOf(sampled).cache())
+    dedupEvalFrom(shinglesOf(sampled).scratchCache())
   }
 
   /** Oracle: identical confusion arithmetic over the two pair queries,
@@ -546,7 +547,7 @@ object Dedup {
     * shared by the entry and [[dedupEval]] (which feeds both estimators
     * from ONE cached shingle pass). */
   private[graft] def simhashDedupFrom(shingled: DataFrame): DataFrame = {
-    val sh = simhashFingerprints(shingled).cache()
+    val sh = simhashFingerprints(shingled).scratchCache()
     val bands = sh.withColumn("band", explode(array(
       SimBands.zipWithIndex.map { case ((off, w), idx) =>
         struct(lit(idx).as("band_id"),
@@ -605,7 +606,7 @@ object Dedup {
     graft.functions.SimHashWord.register(shingled.sparkSession)
     val sh = shingled.select(col("doc_id"),
       expr("simhash_word(shingles, 0)").as("sim1"),
-      expr("simhash_word(shingles, 1)").as("sim2")).cache()
+      expr("simhash_word(shingles, 1)").as("sim2")).scratchCache()
     val bands = sh.withColumn("band", explode(array(
       (0 until 2 * WideBandsPerWord).map { idx =>
         val word = if (idx < WideBandsPerWord) col("sim1") else col("sim2")
@@ -963,7 +964,7 @@ object Dedup {
            |               'h', xxhash64(concat_ws(' ', slice(ws, i, $SubstrWin)))))"""
           .stripMargin)).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
-      .cache() // read twice: duplicated-hash set + mark-back join
+      .scratchCache() // read twice: duplicated-hash set + mark-back join
     // windows present in >= 2 DISTINCT docs (within-doc repetition is
     // repetition_metrics' business, not dedup's)
     val dup = ex.select("h", "doc_id").distinct()
@@ -1028,7 +1029,7 @@ object Dedup {
            |               'h', xxhash64(concat_ws(' ', slice(ws, i, $SubstrWin)))))"""
           .stripMargin)).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
-      .cache()
+      .scratchCache()
     // duplicated windows with their corpus-wide keeper (min doc_id)
     val keepers = ex.select("h", "doc_id").distinct()
       .groupBy("h").agg(count(lit(1)).as("dd"), min(col("doc_id")).as("keeper"))
@@ -1148,7 +1149,7 @@ object Dedup {
   private[llm] def ngramJaccardPairsTouchingNew(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), col("is_new"), size(col("shingles")).as("n"),
         explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
-      .cache() // read twice: df head count + posting build
+      .scratchCache() // read twice: df head count + posting build
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
     val postings = ex.join(hot, Seq("s"), "left_anti")
@@ -1290,7 +1291,7 @@ object Dedup {
         explode(expr("transform(shingles, s -> xxhash64(s))")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .cache()
+      .scratchCache()
     val counts = bySh.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = bySh
@@ -1551,7 +1552,7 @@ object Dedup {
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("sh"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
-      .cache()
+      .scratchCache()
     val norms = w.groupBy("doc_id")
       .agg(sum(round(col("w") * col("w"), 6).cast("decimal(28,6)")).as("nsq"))
       .select(col("doc_id"), sqrt(col("nsq").cast("double")).as("nrm"))

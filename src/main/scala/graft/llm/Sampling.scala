@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.RunScope.ScratchCacheOps
 
 /** Corpus-selection operators for training-data preparation (beyond-
   * reference surface): deterministic stratified sampling (data-mixing
@@ -187,14 +188,20 @@ object Sampling {
     * window over ≤ #partitions rows — config-bounded, not data-bounded)
     * broadcast-joined back. The ranged frame is cached because BOTH
     * consumers (local sums, partition totals) must see the identical
-    * partition placement. Adds `cum_tokens` = inclusive running sum. */
-  private[llm] def globalRunningSum(spark: SparkSession, d: DataFrame,
-      sortCols: Seq[Column], value: Column): DataFrame = {
+    * partition placement. Adds `outCol` = inclusive running sum (default
+    * `cum_tokens`, the token-budget entries' column). With
+    * `value = lit(1L)` the running sum IS `row_number()` under the total
+    * order — the rank-statistic entries (gini_spend,
+    * customer_percentiles, mann_whitney_value, spearman_value_hour) ride
+    * that instead of a single-task global window. */
+  private[graft] def globalRunningSum(spark: SparkSession, d: DataFrame,
+      sortCols: Seq[Column], value: Column,
+      outCol: String = "cum_tokens"): DataFrame = {
     val n = spark.sessionState.conf.numShufflePartitions
     val ranged = d.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .cache()
+      .scratchCache()
     val localW = Window.partitionBy(col("_pid"))
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -206,8 +213,8 @@ object Sampling {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_off")
     local.join(broadcast(offsets), Seq("_pid"))
-      .withColumn("cum_tokens", col("_off") + col("_lcum"))
-      .drop("_pid", "_lcum")
+      .withColumn(outCol, col("_off") + col("_lcum"))
+      .drop("_pid", "_lcum", "_off")
   }
 
   /** Split-version salt: bumping it reshuffles every assignment (a fresh

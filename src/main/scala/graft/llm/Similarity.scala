@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{CosineSimilarity, DotProduct}
 import graft.sources.Layout
+import graft.RunScope.ScratchCacheOps
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
   * ArrayType(FloatType) 64-dim, label) — beyond-reference surface for a
@@ -516,7 +517,7 @@ object Similarity {
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .cache()
+      .scratchCache()
     // The trained quantizer is a MODEL ARTIFACT of K ≤ 8 rows (bounded by
     // the compile-time constant, never by data size): train once per
     // (session, dir) via centroidArtifact and re-plan the search against
@@ -681,7 +682,7 @@ object Similarity {
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .cache()
+      .scratchCache()
     spark.createDataFrame(centroidArtifact(spark, dir, e))
       .toDF("cent_id", "ced")
       .write.mode("overwrite")
@@ -1100,7 +1101,7 @@ object Similarity {
       .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("ced"))
 
   private[llm] def trainPqCodebooks(e: DataFrame): DataFrame = {
-    val subs = pqSubvectors(e).cache()
+    val subs = pqSubvectors(e).scratchCache()
     var cents = seedPqCodebooks(e)
     for (_ <- 1 to PqIters) {
       val assigned = subs.join(broadcast(cents), Seq("m"))
@@ -1152,7 +1153,7 @@ object Similarity {
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .cache()
+      .scratchCache()
     val cents = spark.createDataFrame(pqArtifact(spark, dir, e))
       .toDF("m", "cent_id", "ced")
     pqEncodeWith(e, cents)
@@ -1269,7 +1270,7 @@ object Similarity {
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .cache()
+      .scratchCache()
     val cents = spark.createDataFrame(pqArtifact(spark, dir, e))
       .toDF("m", "cent_id", "ced")
     adcSearchFrom(e, cents, AdcQLo, AdcQHi)
@@ -1348,7 +1349,7 @@ object Similarity {
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .cache()
+      .scratchCache()
     val ivfCents = spark.createDataFrame(centroidArtifact(spark, dir, e))
       .toDF("cent_id", "ced")
     val pqCents = spark.createDataFrame(pqArtifact(spark, dir, e))
@@ -1463,7 +1464,7 @@ object Similarity {
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .cache()
+      .scratchCache()
     val ivfCents = spark.createDataFrame(centroidArtifact(spark, dir, e))
       .toDF("cent_id", "ced")
     val pqCents = spark.createDataFrame(pqArtifact(spark, dir, e))

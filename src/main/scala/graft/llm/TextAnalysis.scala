@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.analytics.Quantiles
+import graft.RunScope.ScratchCacheOps
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
   * the `documents` corpus table (beyond-reference surface; builder brief +
@@ -481,7 +482,7 @@ object TextAnalysis {
     val ex = Dedup.shinglesOf(Tables.spread(Tables.documents(spark, dir)))
       .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
         explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
-      .cache() // read twice: first-doc aggregate + count-back join
+      .scratchCache() // read twice: first-doc aggregate + count-back join
     val firsts = ex.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
     ex.join(firsts, "s")
       .groupBy("doc_id", "n_shingles")

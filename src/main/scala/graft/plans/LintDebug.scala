@@ -1,21 +1,32 @@
-package graft
+package graft.plans
+
+import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window => LWindow}
 
-/** Scratch diagnostic (not a test): prints, for each entry with an
-  * unpartitioned Window or interior global sort, the child subtree's
-  * Aggregate grouping expressions — to classify bounded vs unbounded. */
+import graft.SparkEntry
+
+/** Diagnostic main (not a test — lives next to Bench/Verify): prints, for
+  * each entry with an unpartitioned Window or interior global sort, the
+  * child subtree's shape — to classify bounded vs unbounded when deciding
+  * whether a GlobalWindowWhitelist entry is justified.
+  *
+  * Usage: `runMain graft.plans.LintDebug <sfDir> [entry ...]` — with no
+  * entry names, scans the whole registry for unpartitioned windows.
+  */
 object LintDebug {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: LintDebug <sfDir> [entry ...] (e.g. /root/testdata/sf0.001)")
+    val sfDir = args.head
+    val names = args.tail.toSet
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("lint-debug").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfDir = "/root/testdata/sf0.001"
-    val names = args.toSet
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(e => names.isEmpty || names(e._1))
       .foreach { case (name, q) =>
@@ -30,9 +41,7 @@ object LintDebug {
                 .map(l => "  " + l.take(150)).mkString("\n"))
             }
           }
-          opt.collect {
-            case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
-          }.drop(1) match {
+          opt.collect { case s: Sort if s.global => s }.drop(1) match {
             case ss if ss.nonEmpty && names(name) =>
               ss.foreach { s =>
                 println(s"== $name interior sort")
@@ -41,7 +50,7 @@ object LintDebug {
               }
             case _ =>
           }
-        } catch { case e: Throwable => println(s"== $name ERR ${e.getMessage}") }
+        } catch { case NonFatal(e) => println(s"== $name ERR ${e.getMessage}") }
       }
     spark.stop()
   }

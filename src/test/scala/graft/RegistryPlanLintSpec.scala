@@ -65,11 +65,11 @@ class RegistryPlanLintSpec extends SparkSpec {
     "q2_state_ratios" -> "reference J5: the q1c rank frame reused before the state rollup",
     "q3a_cf_view" -> "reference J5/A6: the q1c rank frame feeding the CF view",
     "company_dim" -> "M4 surrogate-key assignment: contiguous ids require one row_number pass over the supplier-dim-sized distinct set (runs once per dim build)",
-    "scd2_resolution" -> "M6 SCD2 kernel: surrogate keys over the incoming batch's natural-key set — batch-sized, not history-sized",
-    "customer_percentiles" -> "percentile ranks over the per-customer aggregate (customer-dim cardinality); scale path = two-phase _pid prefix-sum kernel (spend_deciles)",
-    "gini_spend" -> "Gini needs a total order over per-customer spend (customer-dim cardinality); scale path = two-phase _pid prefix-sum kernel",
-    "mann_whitney_value" -> "rank-sum statistic: global ranks over the distinct-value tie groups (value-domain cardinality after 6dp rounding)",
-    "spearman_value_hour" -> "rank correlation: global ranks over distinct x/y tie groups (value-domain cardinality after 6dp rounding)")
+    "scd2_resolution" -> "M6 SCD2 kernel: surrogate keys over the incoming batch's natural-key set — batch-sized, not history-sized")
+  // r17: customer_percentiles, gini_spend, mann_whitney_value and
+  // spearman_value_hour left this list — their global ranks/prefix sums
+  // now ride Sampling.globalRunningSum's two-phase _pid kernel (the
+  // spend_deciles pattern), so no single-task window remains to whitelist.
 
   /** Entries allowed an unbounded global Sort. */
   private val GlobalSortWhitelist: Map[String, String] = Map.empty
