@@ -123,4 +123,94 @@ object Chunking {
        |GROUP BY 1
        |HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY chunk_key""".stripMargin
+
+  /** A chunk must appear in at least this many distinct documents to be
+    * stripped by [[chunkDedupApply]] — the census's own ≥ 2 spread bar
+    * (a window repeated across two documents is already boilerplate;
+    * raise for conservative pipelines). Shared with the oracle SQL. */
+  private val BoilerplateMinDocs = 2
+
+  /** Boilerplate-chunk REMOVAL — the consumer of [[chunkDedup]]'s census
+    * (VERDICT r16: every other dedup family here is detect + apply;
+    * this completes the chunk family). Rewrites each document with all
+    * tokens covered by an over-spread full window removed: a token is
+    * dropped iff its position falls inside ANY occurrence of a chunk
+    * whose text repeats in ≥ [[BoilerplateMinDocs]] distinct documents —
+    * the boilerplate-strip step a training pipeline actually runs
+    * (headers/footers/nav chrome excised in place, the unique prose
+    * around them kept). Overlapping flagged windows union their spans.
+    * Output is the normalized (lowercased, whitespace-collapsed) token
+    * stream the window math itself runs on — the same normalization
+    * contract as every chunk entry.
+    *
+    * Scale shape: reuses the census's only exchange (groupBy on
+    * md5(chunk_text), fixed-width key) plus a semi-join back on the same
+    * key; flagged spans then collapse to ONE array per document (keyed
+    * shuffle on doc_id, output bounded by flagged-occurrence count, not
+    * corpus size) and the strip itself is a per-row higher-order
+    * `filter`/`exists` over the token array — map-side, no token-level
+    * explode or range join anywhere. Documents with no flagged window
+    * take the null-spans fast path untouched. */
+  def chunkDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val occ = chunksFrame(spark, dir)
+      .filter(col("n_tokens") === ChunkTokens)
+      .select(col("doc_id"), col("start_tok"),
+        md5(col("chunk_text")).as("chunk_key"))
+    val flagged = occ.groupBy("chunk_key")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= BoilerplateMinDocs)
+      .select("chunk_key")
+    val spans = occ.join(flagged, Seq("chunk_key"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("start_tok"))).as("starts"))
+    val kept = when(col("starts").isNull, col("toks"))
+      .otherwise(expr(s"filter(toks, (t, i) -> " +
+        s"NOT exists(starts, s -> i >= s AND i < s + $ChunkTokens))"))
+    d.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens_before"),
+        size(kept).cast("long").as("n_tokens_after"),
+        array_join(kept, " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: same flagged-window spans; the strip re-derives token
+    * positions by unnest-with-subscripts and anti-filters them against
+    * the spans (DuckDB's list lambdas carry no index, so the exploded
+    * form IS the single-sourced equivalent of Spark's indexed filter);
+    * string_agg ordered by position rebuilds the text. Fully-stripped
+    * and empty documents keep a row via the left join + coalesce. */
+  val chunkDedupApplySql: String =
+    s"""WITH $chunkCteSql, occ AS (
+       |  SELECT doc_id, start_tok, md5(chunk_text) AS chunk_key
+       |  FROM ch WHERE n_tokens = $ChunkTokens
+       |), flagged AS (
+       |  SELECT chunk_key FROM occ
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $BoilerplateMinDocs
+       |), spans AS (
+       |  SELECT doc_id, start_tok FROM occ
+       |  WHERE chunk_key IN (SELECT chunk_key FROM flagged)
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS t,
+       |         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+       |  FROM d
+       |), kept AS (
+       |  SELECT k.doc_id, k.t, k.pos FROM tok k
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM spans s
+       |    WHERE s.doc_id = k.doc_id
+       |      AND k.pos >= s.start_tok AND k.pos < s.start_tok + $ChunkTokens)
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_after,
+       |         string_agg(t, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(len(d.toks) AS BIGINT) AS n_tokens_before,
+       |       CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_tokens_after,
+       |       coalesce(agg.clean_text, '') AS clean_text
+       |FROM d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

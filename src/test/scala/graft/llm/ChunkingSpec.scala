@@ -47,6 +47,48 @@ class ChunkingSpec extends SparkSpec {
       "census rows must match an independent recount exactly")
   }
 
+  test("apply strips exactly the tokens under over-spread full windows") {
+    val applied = Chunking.chunkDedupApply(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+    // row-complete: one output row per document, before-count = token count
+    assert(applied.count() ==
+      docs.count(), "every document keeps a row, stripped or not")
+    assert(applied.join(
+      docs.select(col("doc_id"), size(col("toks")).cast("long").as("n")),
+      "doc_id").filter(col("n_tokens_before") =!= col("n")).isEmpty)
+    // independent token-level recount: rebuild the kept-token count from
+    // the census's flagged keys and the public chunk surface
+    val flaggedKeys = Chunking.chunkDedup(spark, sfDir).select("chunk_key")
+    val spans = Chunking.docChunks(spark, sfDir)
+      .filter(col("n_tokens") === 64)
+      .withColumn("chunk_key", md5(col("chunk_text")))
+      .join(flaggedKeys, Seq("chunk_key"), "left_semi")
+      .select(col("doc_id"), col("start_tok"))
+    val removedPerDoc = spans
+      .groupBy("doc_id").agg(collect_set(col("start_tok")).as("ss"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), expr(
+        "size(filter(toks, (t, i) -> exists(ss, s -> i >= s AND i < s + 64)))")
+        .cast("long").as("removed"))
+    val got = applied
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .withColumn("expect",
+        col("n_tokens_before") - coalesce(col("removed"), lit(0L)))
+    assert(got.filter(col("n_tokens_after") =!= col("expect")).isEmpty,
+      "after-count must equal before minus independently recounted covered tokens")
+    // at least one document actually got stripped on this corpus (the
+    // census is non-empty, so some full window repeats across docs)
+    assert(applied.filter(col("n_tokens_after") < col("n_tokens_before"))
+      .count() > 0)
+    // the clean text is exactly the kept tokens re-joined
+    assert(applied.filter(
+      size(split(col("clean_text"), " ")).cast("long") =!= col("n_tokens_after")
+        && !(col("clean_text") === "" && col("n_tokens_after") === 0)).isEmpty)
+    applied.unpersist()
+  }
+
   test("adjacent chunks overlap by window - stride tokens") {
     val ch = Chunking.docChunks(spark, sfDir)
     val gaps = ch.groupBy("doc_id").agg(
