@@ -84,10 +84,20 @@ object CorpusPrep {
     * reports — its own full funnel cost, order-independently. Sharing
     * one cached funnel across the pair would make whichever entry ran
     * second look nearly free (ADVICE r16 adjudication). */
-  private[llm] case class Stages(docs: DataFrame, gated: DataFrame,
+  private[graft] case class Stages(docs: DataFrame, gated: DataFrame,
     exact: DataFrame, nd: DataFrame, clean: DataFrame, picked: DataFrame)
 
-  private[llm] def stages(spark: SparkSession, dir: String): Stages = {
+  /** `wideNearDup = true` runs stage 3 on the 120-bit
+    * [[Dedup.simhashDedupWideFrom]] kernel instead of the 60-bit
+    * [[Dedup.simhashDedupFrom]] — the production width SCALE.md names as
+    * the scale path once 60-bit band occupancy saturates. The registered
+    * entries keep the 60-bit default (their oracle nests the 60-bit
+    * kernel's SQL, and the two widths legitimately pin different
+    * near-dup predicates); CorpusPrepSpec proves the composite rides the
+    * wide kernel by reconciling its stage counts against an independent
+    * recomputation. */
+  private[graft] def stages(spark: SparkSession, dir: String,
+      wideNearDup: Boolean = false): Stages = {
     val docs = Tables.spread(Tables.documents(spark, dir))
     // stage 1: quality gate (scores from the one shared frame)
     val scored = TextAnalysis.qualityFrame(spark, dir)
@@ -107,8 +117,10 @@ object CorpusPrep {
     val exact = gated.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
       .scratchCache()
     // stage 3: near-dup edge-greedy drop among survivors
-    val ndDrop = Dedup.simhashDedupFrom(Dedup.shinglesOf(exact))
-      .select(col("doc_b").as("doc_id")).distinct()
+    val ndPairs =
+      if (wideNearDup) Dedup.simhashDedupWideFrom(Dedup.shinglesOf(exact))
+      else Dedup.simhashDedupFrom(Dedup.shinglesOf(exact))
+    val ndDrop = ndPairs.select(col("doc_b").as("doc_id")).distinct()
     val nd = exact.join(ndDrop, Seq("doc_id"), "left_anti").scratchCache()
     // stage 4: test split out; fuzzy-contaminated docs out
     val trainSide = Sampling.hashSplitFrom(nd, col("doc_id"))

@@ -44,6 +44,34 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("wide near-dup width: funnel counts reconcile with an independent wide recomputation") {
+    // The composite must be able to ride the production 120-bit kernel
+    // (SCALE.md's scale path): run stages() at the wide width and
+    // reconcile every count against an independently recomputed funnel
+    // where the wide pair kernel is applied by hand to the exact-stage
+    // survivors. The two widths pin different near-dup predicates, so
+    // also check the wide drop set is a subset of the 60-bit one (the
+    // 120-bit Hamming <= 7 bar is strictly tighter on this corpus's
+    // near-identical families).
+    val s = CorpusPrep.stages(spark, sfDir, wideNearDup = true)
+    val widePairs = Dedup.simhashDedupWideFrom(Dedup.shinglesOf(s.exact))
+    val wideDrop = widePairs.select(col("doc_b").as("doc_id")).distinct()
+    val expectNd = s.exact.join(wideDrop, Seq("doc_id"), "left_anti")
+    assert(s.nd.count() == expectNd.count(),
+      "wide funnel's post-near-dup count must equal the recomputation")
+    assert(s.nd.select("doc_id").except(expectNd.select("doc_id")).isEmpty,
+      "wide funnel's survivor set must equal the recomputation")
+    val narrow = CorpusPrep.stages(spark, sfDir)
+    assert(s.gated.count() == narrow.gated.count() &&
+      s.exact.count() == narrow.exact.count(),
+      "width only affects stage 3 and beyond")
+    val narrowDrop = Dedup.simhashDedupFrom(Dedup.shinglesOf(narrow.exact))
+      .select(col("doc_b").as("doc_id")).distinct()
+    assert(wideDrop.join(narrowDrop, Seq("doc_id"), "left_anti").isEmpty,
+      "on this corpus the 120-bit drop set is a subset of the 60-bit one")
+    graft.RunScope.releaseAll()
+  }
+
   test("stage ordering: a near-dup pair with a quality-dropped partner does not drop the survivor") {
     // The funnel computes simhash pairs AMONG GATED SURVIVORS. Recompute
     // the edge-greedy drop set both ways on the corpus: threaded (pairs

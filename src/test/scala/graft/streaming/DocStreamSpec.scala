@@ -125,6 +125,81 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("wide-width funnel parity: ingest gate + wide streaming dedup equals the batch funnel") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // The ingest composition (streamingCorpusGate, then the 120-bit
+    // streamingSimhashDedupWide over admitted docs, edge-greedy drop of
+    // doc_b) must admit the identical corpus as the batch funnel at
+    // wideNearDup = true — the production width, not just 60 bits.
+    // Synthetic corpus written as a documents table so BOTH paths read
+    // the same rows; split-v1 buckets: doc 1 -> test; 3,4,5,8,11 -> train.
+    // T vs T+" extension" differ by ONE trigram shingle out of ~400, so
+    // the 120-bit fingerprints sit within the Hamming budget (the wide
+    // pair the funnel must act on); U and V share no content words.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prep_parity_").toString
+    def prose(tag: String) = (1 to 200)
+      .flatMap(i => Seq(if (i % 2 == 0) "the" else "of", s"$tag$i")).mkString(" ")
+    val (t, u, v) = (prose("uniq"), prose("uref"), prose("vtst"))
+    val corpus = Seq((3L, t), (4L, t), (5L, t + " extension"),
+      (8L, u), (11L, "zzz qqq"), (1L, v))
+    corpus.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("syn"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // batch funnel at the production width
+    val st = graft.llm.CorpusPrep.stages(spark, tmp, wideNearDup = true)
+    val exactIds = st.exact.select("doc_id").as[Long].collect().toSet
+    val ndIds = st.nd.select("doc_id").as[Long].collect().toSet
+    val cleanIds = st.clean.select("doc_id").as[Long].collect().toSet
+    assert(exactIds == Set(1L, 3L, 5L, 8L),
+      s"junk gated out, larger exact dup deduped: $exactIds")
+    assert(ndIds == Set(1L, 3L, 8L),
+      s"the wide kernel must pair (3,5) and edge-greedily drop 5: $ndIds")
+    assert(cleanIds == Set(3L, 8L), s"test-split doc leaves at stage 4: $cleanIds")
+    val flagged = graft.llm.Decontaminate.decontaminateFuzzy(spark, tmp)
+      .select("doc_id").distinct()
+    assert(flagged.isEmpty, "the synthetic test doc is unrelated — nothing fuzzy-flagged")
+    // ingest path over the identical rows, arrival in doc_id order within
+    // the horizon (first-arriving = min doc_id, matching the batch keeper)
+    val rows = corpus.zipWithIndex.map { case ((id, tx), i) =>
+      (id, ts(f"2024-01-01 10:${i}%02d:00"), tx) }
+    val src1 = MemoryStream[(Long, Timestamp, String)]
+    val gateQ = DocStream.streamingCorpusGate(
+        src1.toDF().toDF("doc_id", "ts", "text"), flagged, "2 hours")
+      .writeStream.format("memory")
+      .queryName("prep_parity_gate").outputMode("append").start()
+    val src2 = MemoryStream[(Long, Timestamp, String)]
+    val wideQ = DocStream.streamingSimhashDedupWide(
+        src2.toDF().toDF("doc_id", "ts", "text"), "2 hours")
+      .writeStream.format("memory")
+      .queryName("prep_parity_wide").outputMode("append").start()
+    try {
+      src1.addData(rows: _*)
+      gateQ.processAllAvailable()
+      val admitted = spark.table("prep_parity_gate")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == exactIds - 1L,
+        s"gate admits the exact survivors minus the test split: $admitted")
+      // production composition: only ADMITTED docs reach the pair buffer
+      src2.addData(rows.filter(r => admitted(r._1)): _*)
+      wideQ.processAllAvailable()
+      src2.addData((99L, ts("2024-01-02 10:00:00"), "zz yy xx ww vv uu"))
+      wideQ.processAllAvailable()
+      val pairs = spark.table("prep_parity_wide")
+        .select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      val batchPairs = Dedup.simhashDedupWideFrom(Dedup.shinglesOf(st.exact))
+        .filter(col("doc_a") =!= 1L && col("doc_b") =!= 1L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pairs == batchPairs && pairs.map(p => (p._1, p._2)) == Set((3L, 5L)),
+        s"stream and batch agree on the wide pair set: $pairs vs $batchPairs")
+      val finalSet = admitted -- pairs.collect { case (a, b, _) if admitted(a) => b }
+      assert(finalSet == cleanIds,
+        s"ingest composition and batch funnel admit the identical corpus: $finalSet vs $cleanIds")
+    } finally { gateQ.stop(); wideQ.stop(); graft.RunScope.releaseAll() }
+  }
+
   test("dedup join state survives a restart: pair endpoints split across a crash") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
