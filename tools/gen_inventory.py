@@ -175,10 +175,52 @@ def cited_entries(readme_src):
     return cited
 
 
+def second_scale_problems(queries):
+    """Lint the latest committed second-scale artifact
+    (CORRECTNESS_sf0.1_r<N>.json, see tools/second_scale.sh) against the
+    registry: its entry set must match exactly and every entry must be
+    green — a registry that grew or shrank since the last sf0.1 pass is
+    exactly the silent rot VERDICT r16 #5 flagged. The legacy .txt
+    artifact (pre-r17) is ignored once a JSON artifact exists."""
+    import glob, json
+    arts = sorted(glob.glob("CORRECTNESS_sf0.1_r*.json"),
+                  key=lambda p: int(re.search(r"r0*(\d+)", p).group(1)))
+    if not arts:
+        return ["no CORRECTNESS_sf0.1_r*.json second-scale artifact — "
+                "run tools/second_scale.sh"]
+    latest = arts[-1]
+    try:
+        art = json.load(open(latest))
+    except Exception as e:
+        return [f"{latest} unreadable: {e}"]
+    problems = []
+    missing = sorted(set(queries) - set(art))
+    stale = sorted(set(art) - set(queries))
+    if missing:
+        problems.append(
+            f"{latest} lacks {len(missing)} registry entries "
+            f"({', '.join(missing[:5])}{'…' if len(missing) > 5 else ''}) — "
+            "re-run tools/second_scale.sh")
+    if stale:
+        problems.append(
+            f"{latest} carries {len(stale)} entries no longer in the registry "
+            f"({', '.join(stale[:5])}{'…' if len(stale) > 5 else ''}) — "
+            "re-run tools/second_scale.sh")
+    bad = sorted(n for n, v in art.items()
+                 if not (v.get("rows_match") and v.get("schema_match")
+                         and v.get("hash_match")))
+    if bad:
+        problems.append(
+            f"{latest} records {len(bad)} non-green entries "
+            f"({', '.join(bad[:5])}{'…' if len(bad) > 5 else ''})")
+    return problems
+
+
 def main():
     queries, oracles = parse_entry(ENTRY)
     readme_src = open(README).read()
     problems = []
+    problems.extend(second_scale_problems(queries))
 
     # registry internal consistency: every query has an oracle
     for n in sorted(set(queries) - set(oracles)):
