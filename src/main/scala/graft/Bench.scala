@@ -12,8 +12,9 @@ import java.nio.file.{Files, Paths}
   * produced cross-round swings up to 6× on unchanged code — the bench
   * could not resolve the effects it was asked to measure):
   *  - one warm-up pass over the whole suite (session/codegen/broadcast
-  *    warm; populates per-query .cache() calls, all of which are
-  *    dimension/document-sized and stay resident);
+  *    warm; run-scoped kernel scratch is released at the end of every
+  *    entry — see [[RunScope]] — so nothing stays resident across
+  *    entries at any pass);
   *  - SPARK_GRAFT_BENCH_REPS (default 3) measured passes, INTERLEAVED:
   *    pass r runs the whole suite before pass r+1 touches any query, so
   *    slow environment drift (GC pressure, page cache, JIT recompiles)
