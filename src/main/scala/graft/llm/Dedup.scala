@@ -1531,17 +1531,33 @@ object Dedup {
     tfidfCosineFrom(Tables.spread(Tables.documents(spark, dir)))
 
   /** The weighted-cosine kernel over any (doc_id, text) frame — factored
-    * so specs can plant near-duplicates with known similarity. */
+    * so specs can plant near-duplicates with known similarity.
+    *
+    * The tf stage is ROW-LOCAL (r17, the fingerprint-kernel insight
+    * applied to term counting): a document's term frequencies only read
+    * its own shingles, so instead of exploding every OCCURRENCE and
+    * shuffling the full duplicate-bearing stream onto (doc_id, shingle)
+    * — the largest intermediate in this kernel, ~30× document bytes —
+    * each row sorts its shingle array and counts runs (p is a 1-based
+    * run start; the run's length is the gap to the next start). What
+    * explodes afterwards is one row per DISTINCT term per doc, already
+    * exactly the tf frame, and the first exchange in the plan is the
+    * df/pair-join shuffle on the 64-bit term hash. */
   private[llm] def tfidfCosineFrom(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val tf = docs
       .withColumn("ws", split(trim(col("text")), "\\s+"))
       .filter(size(col("ws")) >= 3)
+      .withColumn("ss", expr(
+        "array_sort(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))"))
+      .withColumn("starts", expr(
+        "filter(sequence(1, size(ss)), p -> if(p = 1, true, element_at(ss, p) != element_at(ss, p - 1)))"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
-        .as("shingle"))
-    val tf = toks
-      .groupBy(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .agg(count(lit(1)).as("tf"))
+        """transform(starts, (p, j) -> struct(
+          |  xxhash64(element_at(ss, p)) AS sh,
+          |  CAST(if(j + 2 > size(starts), size(ss) + 1,
+          |          element_at(starts, j + 2)) - p AS BIGINT) AS tf))""".stripMargin))
+        .as("e"))
+      .select(col("doc_id"), col("e.sh"), col("e.tf"))
     val df = tf.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= CosDfCap)
     val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
