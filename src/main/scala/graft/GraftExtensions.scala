@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MinHashSig, MisraGries, NfcNormalize, PolyHash, SimHashWord}
+import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MinHashSig, MisraGries, NfcNormalize, PolyHash, SimHashWord, TermCounts}
 
 /** Library entry point for `spark.sql.extensions` — registers graft's
   * native Catalyst expressions on every session built with
@@ -80,6 +80,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 2, "minhash_sig expects 2 arguments")
         MinHashSig(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("term_counts"),
+      info("term_counts",
+        "term_counts(arr) - per-row distinct-term occurrence counts: array<struct<term string, tf bigint>>, terms ascending"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "term_counts expects 1 argument")
+        TermCounts(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

@@ -1538,26 +1538,35 @@ object Dedup {
     * its own shingles, so instead of exploding every OCCURRENCE and
     * shuffling the full duplicate-bearing stream onto (doc_id, shingle)
     * — the largest intermediate in this kernel, ~30× document bytes —
-    * each row sorts its shingle array and counts runs (p is a 1-based
-    * run start; the run's length is the gap to the next start). What
-    * explodes afterwards is one row per DISTINCT term per doc, already
-    * exactly the tf frame, and the first exchange in the plan is the
-    * df/pair-join shuffle on the 64-bit term hash. */
+    * each row sorts its shingle array and counts runs
+    * ([[TextAnalysis.withTermCounts]], shared with `tfidf_top_terms`).
+    * What explodes afterwards is one row per DISTINCT term per doc,
+    * already exactly the tf frame, and the first exchange in the plan
+    * is the df/pair-join shuffle on the 64-bit term hash. */
   private[llm] def tfidfCosineFrom(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .withColumn("ws", split(trim(col("text")), "\\s+"))
-      .filter(size(col("ws")) >= 3)
-      .withColumn("ss", expr(
-        "array_sort(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))"))
-      .withColumn("starts", expr(
-        "filter(sequence(1, size(ss)), p -> if(p = 1, true, element_at(ss, p) != element_at(ss, p - 1)))"))
-      .select(col("doc_id"), explode(expr(
-        """transform(starts, (p, j) -> struct(
-          |  xxhash64(element_at(ss, p)) AS sh,
-          |  CAST(if(j + 2 > size(starts), size(ss) + 1,
-          |          element_at(starts, j + 2)) - p AS BIGINT) AS tf))""".stripMargin))
-        .as("e"))
-      .select(col("doc_id"), col("e.sh"), col("e.tf"))
+    // scratchCache: tf feeds BOTH the df aggregate and the weight join —
+    // the old groupBy formulation materialized it implicitly in its
+    // shuffle files (both consumers read the reused exchange); with the
+    // exchange gone the cache keeps the shingling+counting single-pass
+    val tf = TextAnalysis.withTermCounts(
+        docs
+          .withColumn("ws", split(trim(col("text")), "\\s+"))
+          .filter(size(col("ws")) >= 3)
+          .withColumn("sg", expr(
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")),
+        "sg", "tcs")
+      // explode_OUTER, deliberately: a plain explode plants a
+      // size(tcs) > 0 generator filter whose predicate inlines the whole
+      // shingling+counting chain, and pushdown then evaluates it
+      // interpreted on the pre-spread single-split scan (measured 3×
+      // the kernel). tcs is non-empty by construction (size(ws) >= 3
+      // guarantees a shingle), so outer ≡ inner; the null guard keeps
+      // the contract explicit at column cost, not expression cost.
+      .select(col("doc_id"), explode_outer(col("tcs")).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("doc_id"), xxhash64(col("e.term")).as("sh"),
+        col("e.tf").as("tf"))
+      .scratchCache()
     val df = tf.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= CosDfCap)
     val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))

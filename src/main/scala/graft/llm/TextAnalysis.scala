@@ -704,6 +704,25 @@ object TextAnalysis {
       |WHERE q.quality_score >= th.lang_median
       |ORDER BY q.doc_id""".stripMargin
 
+  /** Row-local term-frequency counting (r17): term counts only read the
+    * row's own token array, so instead of exploding every OCCURRENCE and
+    * hash-aggregating the duplicate-bearing stream on (doc_id, term) —
+    * one full shuffle of the token stream — the native
+    * [[graft.functions.TermCounts]] expression counts per row in one
+    * pass. Adds `out`: array<struct<term string, tf bigint>> with one
+    * entry per DISTINCT term, exactly the frame the old aggregate
+    * produced after its exchange. Shared by [[tfidfTopTerms]] and
+    * [[graft.llm.Dedup.tfidfCosineFrom]] so the counting kernel exists
+    * once. (A SQL higher-order formulation was tried and reverted:
+    * projection collapsing inlines the sorted array into every
+    * element_at lambda call, re-evaluating the sort — and the tokenizing
+    * regex below it — per element; see the expression's scaladoc.) */
+  private[llm] def withTermCounts(df: DataFrame, arrCol: String,
+      out: String): DataFrame = {
+    graft.functions.TermCounts.register(df.sparkSession)
+    df.withColumn(out, expr(s"term_counts($arrCol)"))
+  }
+
   /** Top terms kept per document by [[tfidfTopTerms]]. */
   private val TfidfK = 3
 
@@ -713,15 +732,16 @@ object TextAnalysis {
     * (where [[corpusTopTerms]] profiles the CORPUS vocabulary, this ranks
     * WITHIN each document against that vocabulary).
     *
-    * Shape at 100 TB: tf is ONE hash aggregate on (doc_id, term) — the
-    * exploded token stream collapses map-side before the shuffle; df
-    * derives from tf by a second aggregate on term (vocabulary-sized
-    * input, never the token stream twice); the df join back to tf
-    * shuffles on term (vocabulary can be ~1e8 at corpus scale — a hash
-    * join, never a broadcast); N is a 1-row broadcast. The per-document
-    * top-k window partitions on doc_id — maximal parallelism (one
-    * document's terms per task, bounded by document length, the opposite
-    * of the few-groups window the quantile kernel exists to avoid).
+    * Shape at 100 TB: tf is ROW-LOCAL ([[withTermCounts]] — the token
+    * stream never shuffles; what explodes is one row per distinct term
+    * per doc, already the tf frame); df derives from tf by one aggregate
+    * on term (vocabulary-sized input, never the token stream); the df
+    * join back to tf shuffles on term (vocabulary can be ~1e8 at corpus
+    * scale — a hash join, never a broadcast); N is a 1-row broadcast.
+    * The per-document top-k window partitions on doc_id — maximal
+    * parallelism (one document's terms per task, bounded by document
+    * length, the opposite of the few-groups window the quantile kernel
+    * exists to avoid).
     *
     * Determinism: rank orders by the 6dp-ROUNDED score then term, so a
     * sub-rounding cross-engine double wiggle cannot flip the row_number
@@ -733,9 +753,20 @@ object TextAnalysis {
     // scan (identity at real scale, see Tables.spread)
     val d = Tables.spread(Tables.documents(spark, dir))
     val nDocs = d.select(count(lit(1)).as("n_docs"))
-    val tf = d.select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // scratchCache: tf feeds the df aggregate AND the join back — the
+    // cache replaces the materialization the old groupBy's shuffle gave
+    val tf = withTermCounts(
+        d.select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks")),
+        "toks", "tcs")
+      // explode_outer + null guard: see tfidfCosineFrom — a plain
+      // explode's generator filter re-evaluates the counting chain as a
+      // pushed-down single-split predicate. tcs is non-empty (split
+      // yields >= 1 token), so outer ≡ inner.
+      .select(col("doc_id"), explode_outer(col("tcs")).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("doc_id"), col("e.term"), col("e.tf").as("tf"))
+      .scratchCache()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
