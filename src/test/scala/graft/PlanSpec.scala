@@ -145,10 +145,13 @@ class PlanSpec extends SparkSpec {
     assert(nSets == 3, line)
   }
 
-  test("tfidf: token stream aggregates map-side once; doc top-k is a doc_id window") {
+  test("tfidf: tf counts per row (no token-stream aggregate); doc top-k is a doc_id window") {
     val df = graft.llm.TextAnalysis.tfidfTopTerms(spark, sfDir)
     val plan = finalPlanString(df)
-    assert(plan.contains("partial_count"), plan.take(3000))
+    // r17: the token stream never aggregates — term frequencies come
+    // from the native per-row term_counts kernel (the occurrence-stream
+    // shuffle this entry used to pay is gone)
+    assert(plan.contains("term_counts"), plan.take(3000))
     // the per-doc rank partitions on doc_id (maximal parallelism), and the
     // only nested-loop is the 1-row corpus-count broadcast
     assert(plan.contains("hashpartitioning(doc_id"), plan.take(3000))
@@ -179,6 +182,44 @@ class PlanSpec extends SparkSpec {
       graft.llm.Dedup.minhashBands(graft.llm.Dedup.shinglesOf(docs)))
     assert(!mh.contains("Exchange"), mh.take(3000))
     assert(mh.contains("minhash_sig"), mh.take(3000))
+  }
+
+  test("tf is row-local: the term_counts cache builds with no exchange or aggregate") {
+    // r17: both TF-IDF kernels count term frequencies per row (native
+    // term_counts) and cache the resulting tf frame — an Exchange or
+    // Aggregate inside that cache's build plan would mean the
+    // duplicate-bearing occurrence stream is being shuffled again (the
+    // exact regression the native kernel eliminated), and a missing
+    // term_counts would mean someone reverted to the groupBy tf.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    for (df <- Seq(graft.llm.TextAnalysis.tfidfTopTerms(spark, sfDir),
+                   graft.llm.Dedup.tfidfCosinePairs(spark, sfDir))) {
+      val caches = df.queryExecution.optimizedPlan.collect {
+        case r: InMemoryRelation => r.cachedPlan.toString
+      }
+      // isolate the tf build: for top_terms the tf cache is the
+      // top-level cache itself; the cosine kernel's w cache NESTS the tf
+      // cache (its build text follows the last InMemoryRelation marker —
+      // AQE hides nested physical nodes from collect, so slice the
+      // string). Everything at-or-below the term_counts projection must
+      // be generator/scan only: a hash/range exchange or any aggregate
+      // there would be the occurrence shuffle coming back (the spread
+      // round-robin repartition of the small test scan is the one
+      // allowed exchange).
+      val tfBuilds = caches.filter(_.contains("term_counts")).map { p =>
+        val i = p.lastIndexOf("InMemoryRelation")
+        if (i >= 0) p.substring(i) else p
+      }.filter(_.contains("term_counts"))
+      assert(tfBuilds.nonEmpty,
+        s"expected a term_counts tf cache, saw:\n${caches.map(_.take(150)).mkString("\n")}")
+      tfBuilds.foreach { p =>
+        assert(!p.contains("Exchange hashpartitioning") &&
+          !p.contains("Exchange rangepartitioning") && !p.contains("Aggregate"),
+          s"tf cache build must be a pure generator stage:\n${p.take(2000)}")
+      }
+    }
+    spark.catalog.clearCache()
+    graft.RunScope.releaseAll()
   }
 
   test("session boundaries: one hash shuffle (the user window), filter after lag") {
