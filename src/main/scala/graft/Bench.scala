@@ -80,8 +80,10 @@ object Bench {
       // completes, so entries never share or evict each other's leaked
       // blocks and per-entry numbers stay order-independent (the r16
       // cache-coupling adjudication — corpus_prep_funnel measured 13.6 s
-      // multi-entry vs 7.1 s solo-cold on identical code before this)
-      RunScope.releaseAll()
+      // multi-entry vs 7.1 s solo-cold on identical code before this).
+      // blocking = true: the drop must FINISH here, not overlap the next
+      // entry's timed window as background BlockManager work.
+      RunScope.releaseAll(blocking = true)
       elapsed
     }
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite while

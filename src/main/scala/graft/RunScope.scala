@@ -42,13 +42,25 @@ object RunScope {
     df
   }
 
-  /** Unpersists every frame registered since the last release. Non-blocking
-    * unpersist: the blocks drop asynchronously, the entry's action has
-    * already consumed them. Safe to call with nothing registered. */
-  def releaseAll(): Unit = {
+  /** Unpersists every frame registered since the last release. Safe to
+    * call with nothing registered.
+    *
+    * `blocking = true` (the Bench call site) waits for the block drops
+    * so the asynchronous removal work cannot overlap the NEXT entry's
+    * timed region — the release runs outside the timing, so pinning the
+    * isolation there costs nothing measured. The default stays
+    * non-blocking for callers with no timing invariant (Verify, specs).
+    *
+    * Scope caveat: this registry is process-global and the harness is
+    * single-threaded by design (Bench/Verify run entries sequentially).
+    * A concurrent caller's releaseAll would drop another entry's
+    * still-in-use scratch — correctness survives (unpersist falls back
+    * to lineage recompute) but cache reuse and timing isolation do not;
+    * a multi-threaded harness would need a scoped registry per run. */
+  def releaseAll(blocking: Boolean = false): Unit = {
     var df = live.poll()
     while (df != null) {
-      try df.unpersist(blocking = false)
+      try df.unpersist(blocking)
       catch { case scala.util.control.NonFatal(_) => () }
       df = live.poll()
     }

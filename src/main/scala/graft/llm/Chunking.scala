@@ -18,8 +18,10 @@ object Chunking {
   /** Window of [[ChunkTokens]] whitespace tokens, stride [[ChunkStride]]
     * (overlap = window - stride). Chunks start at 0, stride, 2*stride, …
     * while the start is inside the document, so every token lands in at
-    * least one chunk and short docs yield exactly one chunk. */
-  private val ChunkTokens = 64
+    * least one chunk and short docs yield exactly one chunk.
+    * (private[llm] so specs recompute spans at the real width instead of
+    * duplicating the constant.) */
+  private[llm] val ChunkTokens = 64
   private val ChunkStride = 48
 
   /** One output row per (doc, window): chunk ordinal, token offset, the
@@ -35,14 +37,23 @@ object Chunking {
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     chunksFrame(spark, dir).orderBy("doc_id", "chunk_id")
 
+  /** The normalized token frame every chunk entry tokenizes from —
+    * factored so [[chunkDedupApply]]'s strip branch reuses ONE
+    * tokenization pass instead of re-running the regex split over the
+    * corpus (review finding, r17). Spread: per-doc tokenize/explode work
+    * serializes on a single-split scan (identity at real scale, see
+    * Tables.spread). */
+  private[llm] def tokFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+
   /** The unordered chunk frame, shared by [[docChunks]] and
     * [[chunkDedup]] so both see identical windows. */
-  private[llm] def chunksFrame(spark: SparkSession, dir: String): DataFrame = {
-    // spread: per-doc tokenize/explode work serializes on a single-split
-    // scan (identity at real scale, see Tables.spread)
-    val d = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .withColumn("n", size(col("toks")))
+  private[llm] def chunksFrame(spark: SparkSession, dir: String): DataFrame =
+    chunksFrameFrom(tokFrame(spark, dir))
+
+  private[llm] def chunksFrameFrom(tok: DataFrame): DataFrame = {
+    val d = tok.withColumn("n", size(col("toks")))
     d.select(col("doc_id"), col("toks"), col("n"),
         posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
           lit(ChunkStride))))
@@ -152,9 +163,12 @@ object Chunking {
     * explode or range join anywhere. Documents with no flagged window
     * take the null-spans fast path untouched. */
   def chunkDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-    val occ = chunksFrame(spark, dir)
+    import graft.RunScope.ScratchCacheOps
+    // one tokenization pass: the census branch (occ, via the chunk
+    // windows) and the strip branch (d) both read the cached token
+    // frame instead of re-running the regex split over the corpus
+    val d = tokFrame(spark, dir).scratchCache()
+    val occ = chunksFrameFrom(d)
       .filter(col("n_tokens") === ChunkTokens)
       .select(col("doc_id"), col("start_tok"),
         md5(col("chunk_text")).as("chunk_key"))

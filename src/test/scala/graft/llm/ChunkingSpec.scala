@@ -59,10 +59,12 @@ class ChunkingSpec extends SparkSpec {
       docs.select(col("doc_id"), size(col("toks")).cast("long").as("n")),
       "doc_id").filter(col("n_tokens_before") =!= col("n")).isEmpty)
     // independent token-level recount: rebuild the kept-token count from
-    // the census's flagged keys and the public chunk surface
+    // the census's flagged keys and the public chunk surface, at the
+    // kernel's real window width (no duplicated constant)
+    val W = Chunking.ChunkTokens
     val flaggedKeys = Chunking.chunkDedup(spark, sfDir).select("chunk_key")
     val spans = Chunking.docChunks(spark, sfDir)
-      .filter(col("n_tokens") === 64)
+      .filter(col("n_tokens") === W)
       .withColumn("chunk_key", md5(col("chunk_text")))
       .join(flaggedKeys, Seq("chunk_key"), "left_semi")
       .select(col("doc_id"), col("start_tok"))
@@ -70,7 +72,7 @@ class ChunkingSpec extends SparkSpec {
       .groupBy("doc_id").agg(collect_set(col("start_tok")).as("ss"))
       .join(docs, "doc_id")
       .select(col("doc_id"), expr(
-        "size(filter(toks, (t, i) -> exists(ss, s -> i >= s AND i < s + 64)))")
+        s"size(filter(toks, (t, i) -> exists(ss, s -> i >= s AND i < s + $W)))")
         .cast("long").as("removed"))
     val got = applied
       .join(removedPerDoc, Seq("doc_id"), "left")

@@ -107,6 +107,10 @@ if __name__ == "__main__":
     jout = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: local_verify.py <sfDir> <outDir> [--json <artifact.json>]")
         jout = args[i + 1]
         del args[i:i + 2]
+    if len(args) != 2:
+        sys.exit("usage: local_verify.py <sfDir> <outDir> [--json <artifact.json>]")
     sys.exit(main(args[0], args[1], jout))
