@@ -19,9 +19,9 @@ object Chunking {
     * (overlap = window - stride). Chunks start at 0, stride, 2*stride, …
     * while the start is inside the document, so every token lands in at
     * least one chunk and short docs yield exactly one chunk.
-    * (private[llm] so specs recompute spans at the real width instead of
-    * duplicating the constant.) */
-  private[llm] val ChunkTokens = 64
+    * (private[graft] so specs and the streaming twin recompute spans at
+    * the real width instead of duplicating the constant.) */
+  private[graft] val ChunkTokens = 64
   private val ChunkStride = 48
 
   /** One output row per (doc, window): chunk ordinal, token offset, the
@@ -52,19 +52,26 @@ object Chunking {
   private[llm] def chunksFrame(spark: SparkSession, dir: String): DataFrame =
     chunksFrameFrom(tokFrame(spark, dir))
 
-  private[llm] def chunksFrameFrom(tok: DataFrame): DataFrame = {
+  /** The window math over any (…, toks) frame. Non-`toks` input columns
+    * pass through unchanged, so the streaming twin
+    * ([[graft.streaming.DocStream.streamingChunkCensus]]) can carry its
+    * event time through the identical chunking — ONE definition of the
+    * window math for batch and ingest. Batch callers pass (doc_id, toks)
+    * and get exactly the historical 5-column shape. */
+  private[graft] def chunksFrameFrom(tok: DataFrame): DataFrame = {
+    val carry = tok.columns.filterNot(_ == "toks").map(col).toSeq
     val d = tok.withColumn("n", size(col("toks")))
-    d.select(col("doc_id"), col("toks"), col("n"),
+    d.select(carry ++ Seq(col("toks"), col("n"),
         posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
-          lit(ChunkStride))))
+          lit(ChunkStride)))): _*)
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "start_tok")
-      .select(col("doc_id"), col("chunk_id").cast("long"),
+      .select(carry ++ Seq(col("chunk_id").cast("long"),
         col("start_tok").cast("long"),
         least(lit(ChunkTokens), col("n") - col("start_tok")).cast("long")
           .as("n_tokens"),
         array_join(slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens)), " ")
-          .as("chunk_text"))
+          .as("chunk_text")): _*)
   }
 
   /** The shared chunk CTE (`ch`: doc_id, chunk_id, start_tok, n_tokens,

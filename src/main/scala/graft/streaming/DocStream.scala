@@ -171,6 +171,47 @@ object DocStream {
       .join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select("doc_id", "ts", "split", "n_tokens", "quality_score")
 
+  /** Streaming boilerplate-chunk census — the ingest-time twin of the
+    * batch `chunk_dedup` entry: per tumbling event-time window of
+    * `windowDur`, every full-width chunk whose text appears in ≥ 2
+    * distinct in-window documents, with its spread and first (smallest
+    * doc_id) carrier. A crawl feed surfaces new boilerplate (headers,
+    * licence blocks, nav chrome) as it starts repeating, instead of
+    * waiting for the next offline census.
+    *
+    * Contract differences vs batch, by design: the census is
+    * PER-WINDOW (a chunk repeated across two documents in different
+    * windows is not flagged — the offline pass sweeps cross-window
+    * spread), and it reports distinct-document spread + first carrier
+    * but not `n_occurrences` (a streaming count(DISTINCT) is
+    * unsupported, so distinctness comes from an in-horizon
+    * (chunk_key, doc_id) dedup feeding a plain count — which by
+    * construction IS n_docs; the within-doc repeat count has no
+    * deduplicated stream to ride). Chunking math is
+    * [[graft.llm.Chunking.chunksFrameFrom]] — the identical window
+    * definition as batch, carried over the event-time column.
+    *
+    * State: the dedup buffer holds one (chunk_key, doc_id) per
+    * in-horizon flagged-or-not chunk occurrence; the window aggregate
+    * holds one row per (window, chunk_key). Both age out with the
+    * watermark. Input schema: (doc_id long, ts timestamp, text string);
+    * append mode — a window's census emits once, when it closes. */
+  def streamingChunkCensus(docs: DataFrame,
+                           windowDur: String = "1 hour"): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("ts"),
+      split(lower(trim(col("text"))), "\\s+").as("toks"))
+    graft.llm.Chunking.chunksFrameFrom(tok)
+      .filter(col("n_tokens") === graft.llm.Chunking.ChunkTokens)
+      .select(col("doc_id"), col("ts"), md5(col("chunk_text")).as("chunk_key"))
+      .withWatermark("ts", windowDur)
+      .dropDuplicatesWithinWatermark("chunk_key", "doc_id")
+      .groupBy(window(col("ts"), windowDur), col("chunk_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("window.start").as("window_start"), col("chunk_key"),
+        col("n_docs"), col("first_doc"))
+  }
+
   /** The batch comparison frame the MemoryStream spec checks the stream
     * against: the batch SimHash kernel's pairs restricted to endpoints
     * whose arrival times are within `horizon` of each other. */

@@ -235,6 +235,42 @@ class DocStreamSpec extends SparkSpec {
       s"restart must recover join state and emit the pair once, got $got")
   }
 
+  test("streaming chunk census: in-window cross-doc repeats flagged, cross-window repeats not") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // 64-token texts = exactly one full-width window per doc (the stride
+    // tail is partial and filtered), so each (doc, chunk) is unique.
+    val boiler = (1 to graft.llm.Chunking.ChunkTokens).map(i => s"bp$i").mkString(" ")
+    val other = (1 to graft.llm.Chunking.ChunkTokens).map(i => s"ur$i").mkString(" ")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), boiler), // window 10:00
+      (2L, ts("2024-01-01 10:10:00"), boiler), // same window -> census row
+      (4L, ts("2024-01-01 10:05:00"), other), // unrelated, never flagged
+      (3L, ts("2024-01-01 12:30:00"), boiler)) // other window, alone -> silent
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = DocStream.streamingChunkCensus(
+        source.toDF().toDF("doc_id", "ts", "text"), "1 hour")
+      .writeStream.format("memory")
+      .queryName("chunk_census_test").outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      source.addData((99L, ts("2024-01-01 16:00:00"), other + " tail99"))
+      query.processAllAvailable()
+      val got = spark.table("chunk_census_test")
+        .select("window_start", "chunk_key", "n_docs", "first_doc")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      // the batch window math computes the expected key from the same rows
+      val key = graft.llm.Chunking.chunksFrameFrom(
+          Seq((1L, boiler)).toDF("doc_id", "text")
+            .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks")))
+        .filter(col("n_tokens") === graft.llm.Chunking.ChunkTokens)
+        .select(md5(col("chunk_text"))).as[String].head()
+      assert(got == Set((ts("2024-01-01 10:00:00"), key, 2L, 1L)),
+        s"exactly the in-window cross-doc repeat, keyed like batch: $got")
+    } finally query.stop()
+  }
+
   test("a multi-band match emits once and identical docs pair at hamming 0 per band math") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
