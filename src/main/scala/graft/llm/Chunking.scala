@@ -45,7 +45,15 @@ object Chunking {
     * Tables.spread). */
   private[llm] def tokFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), toksCol(col("text")).as("toks"))
+
+  /** The ONE normalization+tokenization expression (lowercase, trim,
+    * whitespace split) shared by [[tokFrame]] and the streaming census
+    * ([[graft.streaming.DocStream.streamingChunkCensus]]) — single-
+    * sourced so batch and ingest chunking can never silently drift
+    * (advisor finding, r17). */
+  private[graft] def toksCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(lower(trim(text)), "\\s+")
 
   /** The unordered chunk frame, shared by [[docChunks]] and
     * [[chunkDedup]] so both see identical windows. */

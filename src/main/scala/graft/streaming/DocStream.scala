@@ -188,10 +188,18 @@ object DocStream {
     * (chunk_key, doc_id) dedup feeding a plain count — which by
     * construction IS n_docs; the within-doc repeat count has no
     * deduplicated stream to ride). Chunking math is
-    * [[graft.llm.Chunking.chunksFrameFrom]] — the identical window
-    * definition as batch, carried over the event-time column.
+    * [[graft.llm.Chunking.chunksFrameFrom]] and the normalization is
+    * [[graft.llm.Chunking.toksCol]] — identical definitions as batch,
+    * carried over the event-time column.
     *
-    * State: the dedup buffer holds one (chunk_key, doc_id) per
+    * The dedup key INCLUDES the tumbling window start: the census
+    * contract is per-window, so the same (chunk, doc) pair recurring in
+    * the NEXT window (still inside the watermark horizon) must count
+    * toward that window's n_docs too — deduping on (chunk_key, doc_id)
+    * alone would drop it across the whole horizon and undercount
+    * (advisor finding, r17; adjacent-window spec case pins this).
+    *
+    * State: the dedup buffer holds one (window, chunk_key, doc_id) per
     * in-horizon flagged-or-not chunk occurrence; the window aggregate
     * holds one row per (window, chunk_key). Both age out with the
     * watermark. Input schema: (doc_id long, ts timestamp, text string);
@@ -199,12 +207,13 @@ object DocStream {
   def streamingChunkCensus(docs: DataFrame,
                            windowDur: String = "1 hour"): DataFrame = {
     val tok = docs.select(col("doc_id"), col("ts"),
-      split(lower(trim(col("text"))), "\\s+").as("toks"))
+      graft.llm.Chunking.toksCol(col("text")).as("toks"))
     graft.llm.Chunking.chunksFrameFrom(tok)
       .filter(col("n_tokens") === graft.llm.Chunking.ChunkTokens)
       .select(col("doc_id"), col("ts"), md5(col("chunk_text")).as("chunk_key"))
       .withWatermark("ts", windowDur)
-      .dropDuplicatesWithinWatermark("chunk_key", "doc_id")
+      .withColumn("wstart", window(col("ts"), windowDur)("start"))
+      .dropDuplicatesWithinWatermark("wstart", "chunk_key", "doc_id")
       .groupBy(window(col("ts"), windowDur), col("chunk_key"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)

@@ -271,6 +271,41 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("chunk census: a repeat in the ADJACENT window (inside the horizon) still counts there") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // The same (chunk, doc) pairs recur in the NEXT tumbling window,
+    // within the 1-hour watermark horizon. The dedup key includes the
+    // window start, so window 11:00 must ALSO report n_docs=2 — a dedup
+    // on (chunk_key, doc_id) alone would drop the recurrences across
+    // the whole horizon and leave 11:00 unflagged (advisor finding, r17).
+    val boiler = (1 to graft.llm.Chunking.ChunkTokens).map(i => s"aw$i").mkString(" ")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), boiler),
+      (2L, ts("2024-01-01 10:10:00"), boiler), // window 10:00 -> n_docs=2
+      (1L, ts("2024-01-01 11:05:00"), boiler), // refetched next window,
+      (2L, ts("2024-01-01 11:10:00"), boiler)) // still in horizon of 10:xx state
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = DocStream.streamingChunkCensus(
+        source.toDF().toDF("doc_id", "ts", "text"), "1 hour")
+      .writeStream.format("memory")
+      .queryName("chunk_census_adjacent").outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      source.addData((99L, ts("2024-01-01 16:00:00"),
+        (1 to graft.llm.Chunking.ChunkTokens).map(i => s"zz$i").mkString(" ")))
+      query.processAllAvailable()
+      val got = spark.table("chunk_census_adjacent")
+        .select("window_start", "n_docs", "first_doc")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      assert(got == Set(
+          (ts("2024-01-01 10:00:00"), 2L, 1L),
+          (ts("2024-01-01 11:00:00"), 2L, 1L)),
+        s"both windows must report their own census row, got $got")
+    } finally query.stop()
+  }
+
   test("a multi-band match emits once and identical docs pair at hamming 0 per band math") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
