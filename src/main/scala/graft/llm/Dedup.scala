@@ -546,20 +546,33 @@ object Dedup {
   /** Core SimHash kernel over a prepared (doc_id, shingles) frame —
     * shared by the entry and [[dedupEval]] (which feeds both estimators
     * from ONE cached shingle pass). */
-  private[graft] def simhashDedupFrom(shingled: DataFrame): DataFrame = {
-    val sh = simhashFingerprints(shingled).scratchCache()
+  private[graft] def simhashDedupFrom(shingled: DataFrame): DataFrame =
+    bandedHammingPairs(simhashFingerprints(shingled), "simhash")
+
+  /** The 60-bit banded-Hamming pair machinery, factored from the SimHash
+    * kernel so every 60-bit fingerprint family (word-shingle SimHash,
+    * the multimodal perceptual dHash in [[Multimodal.mediaNearDedup]])
+    * rides ONE banding definition: the fingerprint frame (doc_id,
+    * `fpCol`) is banded into the 8 disjoint [[SimBands]] bit-slices,
+    * rows sharing any (band, key) become candidates, and pairs within
+    * Hamming ≤ [[HamMax]] are emitted — recall-exact by pigeonhole
+    * (≤ 7 differing bits over 8 disjoint bands leave one band equal),
+    * so an all-pairs oracle matches bit-for-bit. */
+  private[graft] def bandedHammingPairs(fp: DataFrame,
+                                        fpCol: String): DataFrame = {
+    val sh = fp.scratchCache()
     val bands = sh.withColumn("band", explode(array(
       SimBands.zipWithIndex.map { case ((off, w), idx) =>
         struct(lit(idx).as("band_id"),
-          (shiftright(col("simhash"), off).bitwiseAND(lit((1 << w) - 1))).as("band_key"))
+          (shiftright(col(fpCol), off).bitwiseAND(lit((1 << w) - 1))).as("band_key"))
       }: _*)))
-      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_key"))
+      .select(col("doc_id"), col(fpCol), col("band.band_id"), col("band.band_key"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        bit_count(col(s"a.$fpCol").bitwiseXOR(col(s"b.$fpCol"))).cast("long").as("hamming"))
       // FILTER before the pair dedup: hamming is functionally determined
       // by (doc_a, doc_b), so the order is semantics-free — but the dedup
       // is a shuffle of every band-join candidate (~n²/2^w rows; ~10⁸ at

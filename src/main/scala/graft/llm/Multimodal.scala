@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -331,4 +331,124 @@ object Multimodal {
     """SELECT md5(md5(text)) AS digest, min(doc_id) AS canonical_id,
       |       count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Perceptual near-duplicate detection — the near-dup member of the
+  // multimodal family (VERDICT r17 #1). [[mediaExactDedup]] only catches
+  // byte-identical copies: a re-encoded/re-compressed upload of the same
+  // image has a different digest and sails through. The perceptual pass
+  // fingerprints the DECODED payload (here the stub codec's byte grid;
+  // a real deployment feeds the 8×8 block-mean grid of the decoded
+  // image) with the dHash shape — gradient SIGNS between adjacent grid
+  // cells — which is invariant to uniform brightness/level shifts and
+  // degrades by single bits under local perturbation, then finds pairs
+  // with the SAME 60-bit banded-Hamming machinery as the text SimHash
+  // kernel ([[Dedup.bandedHammingPairs]]): never all-pairs, recall-exact
+  // at Hamming ≤ 7 by pigeonhole.
+  //
+  // Synthetic re-encodes: the driver corpus has no binary near-dups (the
+  // payload generator is an md5 chain, so distinct texts give unrelated
+  // bytes), so the registered library models the real-world input —
+  // every [[ReencodeEvery]]-th document also has a "re-encoded" copy
+  // (media_id = doc_id + [[ReencodeIdOffset]]) whose grid is a
+  // brightness-shifted clip of the original: digest-different,
+  // perceptually near. Both the grid decode and the re-encode transform
+  // are pure byte arithmetic, so the DuckDB oracle replays the library
+  // and checks the pair set all-pairs (exact, by pigeonhole).
+  // ---------------------------------------------------------------------
+
+  /** Grid cells of the stub decode (the 64-byte video payload = an 8×8
+    * byte grid — block means in a real pipeline). */
+  private val GridBytes = 64
+
+  /** dHash width: 60 adjacent-cell gradients — a signed-long lane on
+    * both engines, the width [[Dedup.bandedHammingPairs]] bands. */
+  private val DhashBits = 60
+
+  /** Brightness shift of the synthetic re-encode, clipped at 255 —
+    * clipping makes the copy NEAR-identical (a gradient between two
+    * clipped cells flattens), not bit-identical, so the entry exercises
+    * nonzero Hamming too. */
+  private[llm] val BrightnessDelta = 4
+
+  /** Every `ReencodeEvery`-th document has a re-encoded library copy. */
+  private[llm] val ReencodeEvery = 50
+
+  /** media_id of a re-encoded copy = doc_id + this offset. */
+  private[llm] val ReencodeIdOffset = 10000000L
+
+  /** The decoded byte grid as an INT array column from the payload hex. */
+  private def gridFromHex(h: Column): Column =
+    transform(sequence(lit(0), lit(GridBytes - 1)),
+      i => conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+
+  /** The 60-bit dHash: bit i = 1 iff grid(i) > grid(i+1). One fold over
+    * the zipped neighbor pairs (accumulator carries the running sum and
+    * the power-of-two place), so the grid expression is never indexed
+    * per-bit — the projection-collapse inlining trap (SCALE.md r17)
+    * cannot re-evaluate the decode per bit. */
+  private[llm] def dhashCol(grid: Column): Column =
+    aggregate(
+      zip_with(slice(grid, 1, DhashBits), slice(grid, 2, DhashBits),
+        (a, b) => when(a > b, lit(1L)).otherwise(lit(0L))),
+      struct(lit(0L).as("s"), lit(1L).as("p")),
+      (acc, bit) => struct(
+        (acc.getField("s") + bit * acc.getField("p")).as("s"),
+        (acc.getField("p") * 2).as("p")),
+      acc => acc.getField("s"))
+
+  /** The media library: every document's decoded grid, plus the
+    * re-encoded copy of every [[ReencodeEvery]]-th document. */
+  private[llm] def mediaLibrary(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir).withColumn("h", videoHex)
+      .select(col("doc_id"), gridFromHex(col("h")).as("grid"))
+    g.select(col("doc_id").as("media_id"), col("grid"))
+      .unionAll(g.filter(col("doc_id") % ReencodeEvery === 0)
+        .select((col("doc_id") + ReencodeIdOffset).as("media_id"),
+          transform(col("grid"),
+            b => least(b + BrightnessDelta, lit(255))).as("grid")))
+  }
+
+  /** The kernel over any (media_id, grid) frame — specs plant perturbed
+    * payload pairs here that exact digest dedup provably misses. */
+  private[graft] def mediaNearDedupFrom(lib: DataFrame): DataFrame =
+    Dedup.bandedHammingPairs(
+      lib.select(col("media_id").as("doc_id"), dhashCol(col("grid")).as("phash")),
+      "phash")
+      .withColumnRenamed("doc_a", "media_a")
+      .withColumnRenamed("doc_b", "media_b")
+
+  /** Registered entry: perceptual near-dup pairs over the media library
+    * (media_a < media_b, Hamming ≤ 7 of 60 dHash bits). */
+  def mediaNearDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaNearDedupFrom(mediaLibrary(spark, dir))
+
+  val mediaNearDedupSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id,
+       |         md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z') AS h
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |         list_transform(range($GridBytes),
+       |           i -> ('0x' || substr(h, 2 * i + 1, 2))::INT) AS grid
+       |  FROM v
+       |), lib AS (
+       |  SELECT doc_id AS media_id, grid FROM g
+       |  UNION ALL
+       |  SELECT doc_id + $ReencodeIdOffset,
+       |         list_transform(grid, b -> least(b + $BrightnessDelta, 255))
+       |  FROM g WHERE doc_id % $ReencodeEvery = 0
+       |), fp AS (
+       |  SELECT media_id,
+       |         list_sum(list_transform(range($DhashBits),
+       |           i -> CASE WHEN grid[i + 1] > grid[i + 2]
+       |                     THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS phash
+       |  FROM lib
+       |)
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+       |FROM fp a JOIN fp b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= ${Dedup.HamMax}
+       |ORDER BY media_a, media_b""".stripMargin
 }

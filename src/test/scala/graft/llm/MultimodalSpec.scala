@@ -99,4 +99,50 @@ class MultimodalSpec extends SparkSpec {
     assert(planted == Set((10L, 2L), (30L, 1L)))
     md.unpersist()
   }
+
+  test("perceptual near-dup pairs a perturbed payload that exact digest dedup misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a deterministic 64-byte grid, its "re-encode" (clipped brightness
+    // shift — the registered library's transform), and an unrelated grid
+    val base = (0 until 64).map(i => (i * 37 + 11) % 256)
+    val reenc = base.map(b => math.min(b + Multimodal.BrightnessDelta, 255))
+    val other = (0 until 64).map(i => (i * 101 + 5) % 251)
+    val lib = Seq((1L, base), (2L, reenc), (9L, other))
+      .toDF("media_id", "grid")
+    // exact digest dedup misses the pair: the byte payloads differ
+    val digests = lib.select(md5(to_json(col("grid")))).as[String].collect()
+    assert(digests.distinct.length == 3,
+      "perturbed payload must have a different digest — exact dedup cannot pair it")
+    val pairs = Multimodal.mediaNearDedupFrom(lib)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the perceptual pair, got $pairs")
+    assert(pairs.head._3 <= 7, "within the banded-Hamming threshold")
+  }
+
+  test("dHash is invariant to a uniform brightness shift below the clip ceiling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // all cells ≤ 251: +4 shifts every cell without clipping, so every
+    // adjacent gradient keeps its sign and the fingerprint is identical
+    val g = (0 until 64).map(i => (i * 53 + 7) % 251)
+    val shifted = g.map(_ + Multimodal.BrightnessDelta)
+    val fps = Seq((1L, g), (2L, shifted)).toDF("media_id", "grid")
+      .select(Multimodal.dhashCol(col("grid"))).as[Long].collect()
+    assert(fps(0) == fps(1), "gradient signs are brightness-invariant")
+  }
+
+  test("registered media near-dup pairs every library re-encode with its original") {
+    import org.apache.spark.sql.functions._
+    val pairs = Multimodal.mediaNearDedup(spark, sfDir).cache()
+    val expected = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % Multimodal.ReencodeEvery === 0)
+      .select(col("doc_id").as("media_a"),
+        (col("doc_id") + Multimodal.ReencodeIdOffset).as("media_b"))
+    assert(expected.join(pairs, Seq("media_a", "media_b"), "left_anti").isEmpty,
+      "every re-encoded copy must be paired with its original")
+    assert(pairs.filter(col("hamming") > 7).isEmpty)
+    pairs.unpersist()
+  }
 }
