@@ -1062,12 +1062,19 @@ object TextAnalysis {
     * semantics with hand lists (rank precedence, consumed-character
     * blocking, non-overlap) independent of the corpus-learned model. */
   private[llm] def bpeTokenize(w: org.apache.spark.sql.Column,
-      merges: Seq[String]): org.apache.spark.sql.Column = {
+      merges: Seq[String]): org.apache.spark.sql.Column =
+    bpeTokenizeM(w, merges.map(p => (p.substring(0, 1), p.substring(1, 2))))
+
+  /** The same rank-ordered merge fold over GENERAL (left, right) token
+    * merges — multi-character sides, as the iterative trainer
+    * ([[bpeTrain]]) learns them; [[bpeTokenize]]'s single-char merge
+    * list is the special case. */
+  private[llm] def bpeTokenizeM(w: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
     val asChars = regexp_replace(w, "(.)", TokO + "$1" + TokC)
-    merges.foldLeft(asChars)((s, p) =>
-      replace(s,
-        lit(TokO + p.charAt(0) + TokC + TokO + p.charAt(1) + TokC),
-        lit(TokO + p + TokC)))
+    merges.foldLeft(asChars) { case (s, (l, r)) =>
+      replace(s, lit(TokO + l + TokC + TokO + r + TokC), lit(TokO + l + r + TokC))
+    }
   }
 
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
@@ -1145,6 +1152,120 @@ object TextAnalysis {
        |         AS chars_per_token
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Rounds of the iterative BPE trainer — the merge table stays a
+    * bounded driver-side artifact (R rows), never data-sized. */
+  private val BpeTrainRounds = 8
+
+  /** ITERATIVE BPE training (VERDICT r17 #4) — the real trainer loop
+    * [[bpeMergePairs]]'s single-round mining approximates: merge #k's
+    * counts are computed AFTER merges 1..k-1 are applied, so (unlike a
+    * static top-K of round-one pair counts) a learned merge can pair
+    * PREVIOUSLY-MERGED tokens ("ab"+"ab" → "abab") and never re-claims
+    * characters an earlier merge consumed. Each round takes the single
+    * most frequent adjacent TOKEN pair (count DESC, then lexical (lhs,
+    * rhs) — a total order) and rewrites the working strings with one
+    * leftmost non-overlapping replace, the exact pass semantics
+    * [[bpeTokenizeM]]/`bpe_apply` use at encode time.
+    *
+    * Shape at 100 TB: the corpus collapses ONCE to the frequency-weighted
+    * word VOCABULARY (the classic BPE trainer structure — training cost
+    * scales with distinct words, not corpus bytes); each round is one
+    * aggregate over that vocab-sized frame plus a top-1 collect (R
+    * driver-side rows total). The per-round rewrite appends a single
+    * `replace` projection to the run-scoped cached vocab frame, so round
+    * k never re-tokenizes from scratch. Pair extraction zips adjacent
+    * slices of the token array (no per-index `element_at` into a derived
+    * array — the projection-collapse inlining trap, SCALE.md r17) and
+    * explodes with `explode_outer` (non-outer explode plants an
+    * interpreted generator filter, same study).
+    *
+    * Output: the rank-ordered learned merge list (rk, lhs, rhs, n) —
+    * the tokenizer model file. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFrom(spark, Tables.spread(Tables.documents(spark, dir)),
+      BpeTrainRounds)
+
+  private[llm] def bpeTrainFrom(spark: SparkSession, docs: DataFrame,
+                                rounds: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var cur = vocab.select(col("cnt"),
+      regexp_replace(col("w"), "(.)", TokO + "$1" + TokC).as("s")).scratchCache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val toks = regexp_extract_all(col("s"),
+        lit(TokO + "([^" + TokC + "]*)" + TokC), lit(1))
+      val top = cur.select(col("cnt"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("cnt"), explode_outer(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, n))
+        cur = cur.select(col("cnt"),
+          replace(col("s"), lit(TokO + l + TokC + TokO + r + TokC),
+            lit(TokO + l + r + TokC)).as("s")).scratchCache()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((l, r, n), i) => (i + 1L, l, r, n) }
+      .toDF("rk", "lhs", "rhs", "n")
+      .orderBy("rk")
+  }
+
+  /** Oracle: the SAME loop unrolled as chained CTE stages (merge #k's
+    * stage counts pairs over stage k-1's rewritten strings — generated
+    * for the fixed [[BpeTrainRounds]]; a recursive CTE cannot aggregate
+    * over its own recursive term, so unrolling IS the SQL spelling of
+    * the trainer loop). */
+  val bpeTrainSql: String = {
+    val pat = s"chr(31) || '([^' || chr(30) || ']*)' || chr(30)"
+    def stage(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+         |  SELECT cnt, unnest(list_transform(range(1, len(toks)),
+         |           i -> {'l': toks[i], 'r': toks[i+1]})) AS pr
+         |  FROM (SELECT cnt, regexp_extract_all(s, $pat, 1) AS toks FROM $prev)
+         |), m$k AS (
+         |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM p$k GROUP BY 1, 2
+         |  ORDER BY n DESC, lhs, rhs LIMIT 1
+         |), s$k AS (
+         |  SELECT cnt, replace(s, chr(31) || m.lhs || chr(30) || chr(31) || m.rhs || chr(30),
+         |                         chr(31) || m.lhs || m.rhs || chr(30)) AS s
+         |  FROM $prev, m$k m
+         |)""".stripMargin
+    }
+    val stages = (1 to BpeTrainRounds).map(stage).mkString(",\n")
+    val out = (1 to BpeTrainRounds)
+      .map(k => s"SELECT $k::BIGINT AS rk, lhs, rhs, n FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH s0 AS (
+       |  SELECT cnt, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g') AS s
+       |  FROM (
+       |    SELECT w, count(*) AS cnt FROM (
+       |      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |      FROM documents
+       |    ) WHERE length(w) >= 2 GROUP BY w
+       |  )
+       |),
+       |$stages
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY rk""".stripMargin
+  }
 
   /** PII patterns shared by engine and oracle — character-class/quantifier
     * constructs only, so Java regex (Spark) and RE2 (DuckDB) agree. */

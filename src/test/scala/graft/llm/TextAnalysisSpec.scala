@@ -256,6 +256,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(toks("a", Seq("aa")) == Seq("a"))
   }
 
+  test("iterative bpe training learns merges static top-K mining cannot represent") {
+    import spark.implicits._
+    // 4× "abab" + 1× "ba": round-one char-pair counts are ab=8, ba=5, so
+    // static top-2 mining yields [ab, ba]. The REAL trainer applies merge
+    // #1 first — every "abab" becomes [ab][ab] — so round 2's most
+    // frequent adjacent pair is (ab, ab) with count 4 (vs (b, a) count
+    // 1): a pair of PREVIOUSLY-MERGED tokens, unrepresentable in
+    // round-one mining where pairs are 2-char substrings.
+    val docs = ((1 to 4).map(i => (i.toLong, "abab")) :+ (9L, "ba"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainFrom(spark, docs, rounds = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "a", "b", 8L), (2L, "ab", "ab", 4L)),
+      s"round 2 must merge the merged tokens, got $merges")
+    // and the trainer stops when no adjacent pair is left to merge
+    val exhausted = TextAnalysis.bpeTrainFrom(spark,
+      Seq((1L, "ab")).toDF("doc_id", "text"), rounds = 5).count()
+    assert(exhausted == 1L, "one merge exhausts a single 2-char word")
+  }
+
   test("bpe apply: per-doc counts reconcile and compression is real") {
     val out = TextAnalysis.bpeApply(spark, sfDir).cache()
     assert(out.count() == Tables.documents(spark, sfDir).count())
