@@ -34,7 +34,13 @@ import java.nio.file.{Files, Paths}
   *    noisiest queries (relative spread), so the artifact attributes its
   *    own outliers; the full per-query spread maps (absolute `spread_sec`
   *    and relative `spread_rel`) ship in the BENCH_OUT file only — the
-  *    stdout line must stay inside the driver's 2 KB tail-capture window.
+  *    stdout line must stay inside the driver's 2 KB tail-capture window;
+  *  - a SUITE-LEVEL noise bound: every pass's own total (`pass_totals`,
+  *    one back-to-back sweep each) plus their relative spread
+  *    (`pass_spread_rel`) ship in the noise blob, so a reader can tell
+  *    ambient machine load (pass totals far apart) from a code
+  *    regression (totals moved together) without needing a second
+  *    artifact to compare against — the r17 adjudication gap.
   *
   * Rep-count sufficiency (measured, round 7, sf0.1 local[32]): back-to-back
   * reps=3 vs reps=5 full-suite runs on identical code put the median
@@ -169,6 +175,24 @@ object Bench {
     }
     val relSpreads = relByName.map(_._2).sorted
     val total = med.map(_._2).filter(_ >= 0).sum
+    // SUITE-LEVEL noise bound (VERDICT r17 #3): each of the reps
+    // interleaved measurement passes is a complete back-to-back sweep of
+    // the quiet suite, so its per-pass TOTAL is an independent sample of
+    // the whole-suite wall time in its own time window. Publishing all of
+    // them (plus their relative spread) lets a reader of the artifact
+    // alone tell ambient machine load from a code regression: ambient
+    // drift moves the pass totals apart (r17 shipped a 203.5 s acceptance
+    // run next to a 229.3 s committed record with no way to adjudicate);
+    // a regression moves them together. Computed over the ORIGINAL
+    // interleaved passes (before any noise-gate retry splicing), so each
+    // total is one coherent sweep. Per-entry max-rel-diff across the same
+    // passes already ships as spread_rel.
+    val passTotals = passes0.map(_.values.filter(_ >= 0).sum)
+    val passSpreadRel = {
+      val m = median(passTotals.sorted)
+      if (passTotals.nonEmpty && m > 0) (passTotals.max - passTotals.min) / m else -1.0
+    }
+    val passJson = passTotals.map(r1).mkString("[", ",", "]")
     val worst = relByName.sortBy(-_._2).take(3)
       .map { case (n, v) => s"""["$n",${r2(v)}]""" }.mkString("[", ",", "]")
     // degraded = even after the retry pass the suite's median relative
@@ -176,8 +200,8 @@ object Bench {
     // must not be read as a round-over-round signal
     val degraded = relSpreads.nonEmpty && median(relSpreads) > NoiseGateRel
     val noise =
-      if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"worst":[]}"""
-      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"worst":$worst}"""
+      if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"worst":[]}"""
+      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"worst":$worst}"""
     val quietPath = sys.env.getOrElse("BENCH_QUIET", "bench_quiet.json")
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     println(stdoutLine(med, total, sfDir, reps, noise, degraded,
