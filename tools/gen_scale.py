@@ -10,13 +10,29 @@ n_chars recomputed; supplier/customer names get a copy suffix).
 events.ts round-trips as TIMESTAMP_NS because graft.Tables.events reads
 the nanos physical type via nanosAsLong.
 
-Usage: python3 tools/gen_scale.py [copies] [outdir]
+Regimes (VERDICT r17 #5): the default CLIQUE mode prefixes each copy's
+document text with 'c{i} ', so every base doc becomes an N-clique of
+near-identicals — the worst case for pair-EMITTING entries, whose output
+(and so their cost) grows Omega(N^2) by construction; it measures output
+scaling, not engine scaling. --organic instead makes every copy UNIQUE
+and non-near-duplicate: each word gets a per-copy suffix (word-level
+shingles/minhash across copies share nothing, so no dedup clique forms)
+and each embedding is rotated by i positions (norm-preserving, cosine
+broken), while lengths/counts/key strides stay identical to clique mode.
+Organic measures pure engine scaling at N x rows with output sizes that
+stay ~linear; run both and the gap between the columns IS the
+output-bound share of an entry's cost.
+
+Usage: python3 tools/gen_scale.py [copies] [outdir] [--organic]
 """
 import sys
 import duckdb
 
-COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf{COPIES}x0.1"
+ORGANIC = "--organic" in sys.argv
+argv = [a for a in sys.argv if a != "--organic"]
+COPIES = int(argv[1]) if len(argv) > 1 else 5
+OUT = argv[2] if len(argv) > 2 else \
+    f"/tmp/sf{COPIES}x0.1{'org' if ORGANIC else ''}"
 SRC = "/root/testdata/sf0.1"
 
 # key strides: > max key in sf0.1, round numbers for debuggability
@@ -75,13 +91,37 @@ gen("events", lambda i:
     f"user_id + {i * S_USER} AS user_id, event_type, value, props "
     f"FROM '{SRC}/events.parquet'")
 
+def doc_text(i):
+    if i == 0 or not ORGANIC:
+        # clique mode: near-identical copies (prefix perturbation only)
+        return f"'c{i} ' || text"
+    # organic mode: suffix every word with the copy ordinal — copy i's
+    # word-level shingle/minhash/token space shares nothing with copy j's,
+    # so no near-dup cliques form; word count and ~lengths are preserved
+    return ("list_aggregate(list_transform("
+            "string_split_regex(trim(text), '\\s+'), "
+            f"w -> w || '_{i}'), 'string_agg', ' ')")
+
+
 gen("documents", lambda i:
-    f"SELECT doc_id + {i * S_DOC} AS doc_id, 'c{i} ' || text AS text, "
-    f"lang, source, CAST(length('c{i} ' || text) AS BIGINT) AS n_chars "
+    f"SELECT doc_id + {i * S_DOC} AS doc_id, {doc_text(i)} AS text, "
+    f"lang, source, CAST(length({doc_text(i)}) AS BIGINT) AS n_chars "
     f"FROM '{SRC}/documents.parquet'")
 
+
+def emb(i):
+    # rotation amount mod the corpus dim (64); k=0 degenerates to identity
+    k = i % 64
+    if k == 0 or not ORGANIC:
+        return "embedding"
+    # organic mode: rotate the vector by k positions — norm-preserving
+    # (quantize/norm audits see the same magnitudes) but cosine-breaking
+    # across copies, so no embedding near-dup cliques form
+    return f"list_concat(embedding[{k + 1}:], embedding[1:{k}])"
+
+
 gen("embeddings", lambda i:
-    f"SELECT vec_id + {i * S_VEC} AS vec_id, embedding, label "
+    f"SELECT vec_id + {i * S_VEC} AS vec_id, {emb(i)} AS embedding, label "
     f"FROM '{SRC}/embeddings.parquet'")
 
 print(f"wrote {OUT}")
