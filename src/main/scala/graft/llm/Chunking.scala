@@ -22,7 +22,7 @@ object Chunking {
     * (private[graft] so specs and the streaming twin recompute spans at
     * the real width instead of duplicating the constant.) */
   private[graft] val ChunkTokens = 64
-  private val ChunkStride = 48
+  private[graft] val ChunkStride = 48
 
   /** One output row per (doc, window): chunk ordinal, token offset, the
     * chunk's token count and re-joined text.
@@ -177,12 +177,18 @@ object Chunking {
     * `filter`/`exists` over the token array — map-side, no token-level
     * explode or range join anywhere. Documents with no flagged window
     * take the null-spans fast path untouched. */
-  def chunkDedupApply(spark: SparkSession, dir: String): DataFrame = {
+  def chunkDedupApply(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupApplyFrom(tokFrame(spark, dir))
+
+  /** The kernel over any (doc_id, toks) frame — shared with the
+    * streaming-twin parity spec, which strips a planted corpus both
+    * ways ([[graft.streaming.DocStream.streamingChunkStrip]]). */
+  private[graft] def chunkDedupApplyFrom(tok: DataFrame): DataFrame = {
     import graft.RunScope.ScratchCacheOps
     // one tokenization pass: the census branch (occ, via the chunk
     // windows) and the strip branch (d) both read the cached token
     // frame instead of re-running the regex split over the corpus
-    val d = tokFrame(spark, dir).scratchCache()
+    val d = tok.scratchCache()
     val occ = chunksFrameFrom(d)
       .filter(col("n_tokens") === ChunkTokens)
       .select(col("doc_id"), col("start_tok"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Sampling, TextAnalysis}
@@ -219,6 +219,59 @@ object DocStream {
       .filter(col("n_docs") >= 2)
       .select(col("window.start").as("window_start"), col("chunk_key"),
         col("n_docs"), col("first_doc"))
+  }
+
+  /** Streaming boilerplate-chunk STRIP — the ingest twin of the batch
+    * `chunk_dedup_apply` entry, completing the chunk family's
+    * batch↔stream symmetry: each arriving document is rewritten with
+    * every token covered by a FLAGGED full-width window removed,
+    * against a STATIC census artifact (the `decontaminate_apply`
+    * pattern at chunk granularity — the census itself comes from the
+    * offline `chunk_dedup` pass or accumulates via
+    * [[streamingChunkCensus]]).
+    *
+    * Shape: ENTIRELY map-side, zero state, zero shuffle, no watermark —
+    * a pure projection any append sink can follow. The flagged spans
+    * are recomputed IN-ROW: the stride starts are a per-row `sequence`,
+    * each full-width window's md5 probes the collected census artifact
+    * through an `isin` literal set (the bounded-model-artifact pattern
+    * of the BPE merge table and IVF centroids — the boilerplate
+    * vocabulary is bounded by corpus CONTENT, not corpus size; a census
+    * too large to collect would ride a stream-static broadcast
+    * semi-join instead, paying an explode for the probe). The strip is
+    * the SAME indexed higher-order filter as the batch kernel, and the
+    * window math constants ([[graft.llm.Chunking.ChunkTokens]]/
+    * [[graft.llm.Chunking.ChunkStride]]) and normalization
+    * ([[graft.llm.Chunking.toksCol]]) are single-sourced with batch.
+    * Tokenization and span probing live in SEPARATE projections so the
+    * token array materializes once per row (CollapseProject duplicates
+    * non-cheap expressions referenced more than once — the r17
+    * inlining study).
+    *
+    * Input schema: (doc_id long, ts timestamp, text string). Output:
+    * (doc_id, ts, n_tokens_before, n_tokens_after, clean_text) — the
+    * batch apply's columns plus the event time. */
+  def streamingChunkStrip(docs: DataFrame,
+                          flaggedKeys: Seq[String]): DataFrame = {
+    import graft.llm.Chunking
+    val d = docs.select(col("doc_id"), col("ts"),
+      Chunking.toksCol(col("text")).as("toks"))
+    def win(s: Column) = slice(col("toks"), s + 1, lit(Chunking.ChunkTokens))
+    val probe: Column => Column =
+      if (flaggedKeys.isEmpty) _ => lit(false)
+      else s => md5(array_join(win(s), " ")).isin(flaggedKeys: _*)
+    val starts = sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+      lit(Chunking.ChunkStride))
+    val flaggedStarts = filter(starts,
+      s => size(win(s)) === Chunking.ChunkTokens && probe(s))
+    val withSpans = d.select(col("doc_id"), col("ts"), col("toks"),
+      flaggedStarts.as("starts"))
+    val kept = filter(col("toks"), (t, i) =>
+      !exists(col("starts"), s => i >= s && i < s + Chunking.ChunkTokens))
+    withSpans.select(col("doc_id"), col("ts"),
+      size(col("toks")).cast("long").as("n_tokens_before"),
+      size(kept).cast("long").as("n_tokens_after"),
+      array_join(kept, " ").as("clean_text"))
   }
 
   /** The batch comparison frame the MemoryStream spec checks the stream

@@ -306,6 +306,65 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming chunk strip equals the batch apply kernel on the same corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val W = graft.llm.Chunking.ChunkTokens
+    // boilerplate = one full-width window shared by docs 1 and 2 (their
+    // unique prose differs); doc 3 is unrelated and must pass untouched
+    val boiler = (1 to W).map(i => s"bp$i").mkString(" ")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), s"$boiler alpha beta gamma"),
+      (2L, ts("2024-01-01 10:10:00"), s"$boiler delta epsilon"),
+      (3L, ts("2024-01-01 10:20:00"),
+        (1 to W).map(i => s"ux$i").mkString(" ") + " zeta"))
+    val docs = rows.toDF("doc_id", "ts", "text")
+    // the static census artifact: the batch census's flagged keys
+    val flagged = graft.llm.Chunking.chunksFrameFrom(
+        docs.select(col("doc_id"), graft.llm.Chunking.toksCol(col("text")).as("toks")))
+      .filter(col("n_tokens") === W)
+      .groupBy(md5(col("chunk_text")).as("chunk_key"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("chunk_key").as[String].collect().toSeq
+    assert(flagged.nonEmpty, "the planted boilerplate must be flagged")
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = DocStream.streamingChunkStrip(
+        source.toDF().toDF("doc_id", "ts", "text"), flagged)
+      .writeStream.format("memory")
+      .queryName("chunk_strip_test").outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("chunk_strip_test")
+        .select("doc_id", "n_tokens_before", "n_tokens_after", "clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+      val want = graft.llm.Chunking.chunkDedupApplyFrom(
+          docs.select(col("doc_id"), graft.llm.Chunking.toksCol(col("text")).as("toks")))
+        .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+      assert(got == want,
+        s"ingest strip must equal the batch apply kernel,\n got=$got\nwant=$want")
+      // and the strip is real: the boilerplate window is gone, prose kept
+      assert(got.find(_._1 == 1L).get._4 == "alpha beta gamma")
+      assert(got.find(_._1 == 3L).get._2 == got.find(_._1 == 3L).get._3)
+    } finally query.stop()
+    // the tokenization must materialize ONCE per row: if CollapseProject
+    // inlined the split chain into the span-probe lambdas, it would
+    // re-tokenize the document per candidate window (the r17 inlining
+    // study). Same code path on a batch frame exposes the optimized plan
+    // (a parquet-backed one — ConvertToLocalRelation folds a local frame
+    // to data, leaving no expressions to count).
+    val opt = DocStream.streamingChunkStrip(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), current_timestamp().as("ts"), col("text")),
+        flagged)
+      .queryExecution.optimizedPlan
+    val splits = opt.collect { case p => p.expressions }.flatten
+      .map(e => "split\\(".r.findAllIn(e.toString).size).sum
+    assert(splits == 1,
+      s"tokenization must appear exactly once in the optimized plan, found $splits")
+  }
+
   test("a multi-band match emits once and identical docs pair at hamming 0 per band math") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

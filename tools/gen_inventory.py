@@ -58,6 +58,8 @@ TWINS = {
         "the funnel's per-doc stages at ingest: shared scorer gate, split drop, in-horizon exact dedup, static contamination anti-join"),
     "streamingChunkCensus": (["chunk_dedup"],
         "per-tumbling-window boilerplate census: in-horizon (chunk_key, doc_id) dedup feeding a windowed count — distinct spread + first carrier per window"),
+    "streamingChunkStrip": (["chunk_dedup_apply"],
+        "map-side boilerplate gate: in-row flagged-span probe against the collected census artifact + the batch kernel's indexed strip filter — zero state, zero shuffle"),
     "streamingSimhashDedup": (["simhash_dedup"],
         "per-row native simhash_word fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
     "streamingSimhashDedupWide": (["simhash_dedup_wide"],
