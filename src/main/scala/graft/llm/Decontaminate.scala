@@ -116,8 +116,10 @@ object Decontaminate {
       col("doc_id"))
       .select("doc_id", "split", "shingles")
       .scratchCache() // reused: bands + 2 confirm joins
+    // split rides THROUGH the banding (minhashBands passes non-shingle
+    // columns along), so the 16-rows-per-doc band stream never joins
+    // back for a column the cached shingle frame already had
     val bands = Dedup.minhashBands(sh)
-      .join(sh.select("doc_id", "split"), "doc_id")
     val test = bands.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc"), col("band_id"), col("band_key"))
     val cands = bands.filter(col("split") =!= "test")

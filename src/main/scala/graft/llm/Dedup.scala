@@ -276,14 +276,20 @@ object Dedup {
     * bucket" means the same thing in both audits. */
   private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     graft.functions.MinHashSig.register(sh.sparkSession)
-    val sig = sh.select(col("doc_id"),
-      expr(s"minhash_sig(shingles, $NumHashes)").as("sig"))
+    // non-shingle input columns pass through (the chunksFrameFrom
+    // contract): Decontaminate's fuzzy audit carries its split column
+    // here instead of joining it back onto the 16-rows-per-doc band
+    // stream — at corpus scale that join is a 16n-row exchange for a
+    // column the scan already had (r18 pricing study, SCALE.md)
+    val carry = sh.columns.filterNot(_ == "shingles").map(col).toSeq
+    val sig = sh.select(carry :+
+      expr(s"minhash_sig(shingles, $NumHashes)").as("sig"): _*)
     sig.withColumn("band", explode(array(
       (0 until NumBands).map(b =>
         struct(lit(b).as("band_id"),
           xxhash64((lit(b) +: (0 until BandRows).map(r =>
             element_at(col("sig"), b * BandRows + r + 1))): _*).as("band_key"))): _*)))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .select(carry ++ Seq(col("band.band_id"), col("band.band_key")): _*)
   }
 
   /** The exploded groupBy formulation of the same signature — kept as the
