@@ -387,7 +387,7 @@ object Multimodal {
     * the power-of-two place), so the grid expression is never indexed
     * per-bit — the projection-collapse inlining trap (SCALE.md r17)
     * cannot re-evaluate the decode per bit. */
-  private[llm] def dhashCol(grid: Column): Column =
+  private[graft] def dhashCol(grid: Column): Column =
     aggregate(
       zip_with(slice(grid, 1, DhashBits), slice(grid, 2, DhashBits),
         (a, b) => when(a > b, lit(1L)).otherwise(lit(0L))),
@@ -423,8 +423,12 @@ object Multimodal {
   def mediaNearDedup(spark: SparkSession, dir: String): DataFrame =
     mediaNearDedupFrom(mediaLibrary(spark, dir))
 
-  val mediaNearDedupSql: String =
-    s"""WITH v AS (
+  /** The shared WITH-chain producing the perceptual pair set (`prs`):
+    * library → fingerprints → all-pairs Hamming ≤ threshold (exact by
+    * pigeonhole, see [[mediaNearDedup]]). Composed by the near-dedup
+    * oracle and the apply oracle so both replay ONE definition. */
+  private val mediaPairsCteSql: String =
+    s"""v AS (
        |  SELECT doc_id,
        |         md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z') AS h
        |  FROM documents
@@ -445,10 +449,65 @@ object Multimodal {
        |           i -> CASE WHEN grid[i + 1] > grid[i + 2]
        |                     THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS phash
        |  FROM lib
-       |)
-       |SELECT a.media_id AS media_a, b.media_id AS media_b,
-       |       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
-       |FROM fp a JOIN fp b ON a.media_id < b.media_id
-       |WHERE bit_count(xor(a.phash, b.phash)) <= ${Dedup.HamMax}
+       |), prs AS (
+       |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |         bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+       |  FROM fp a JOIN fp b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= ${Dedup.HamMax}
+       |)""".stripMargin
+
+  val mediaNearDedupSql: String =
+    s"""WITH $mediaPairsCteSql
+       |SELECT media_a, media_b, hamming FROM prs
        |ORDER BY media_a, media_b""".stripMargin
+
+  /** The drop step that finishes the perceptual pipeline — the media
+    * family's [[graft.llm.Dedup.dedupApply]]: resolve the near-dup PAIRS
+    * into connected components (A~B, B~C does not say which of {A,B,C}
+    * to keep; the closure does) and emit the library with every
+    * non-canonical member removed — keep-first (min media_id), the
+    * corpus-wide policy. On the synthetic library the canonical member
+    * of an (original, re-encode) cluster is always the original, so the
+    * output is "one copy per perceptual identity" — what a real media
+    * corpus ships to training after the audit.
+    *
+    * Scale shape: pairs are banded (never all-pairs); the component
+    * resolution runs on the PAIR set (near-dup-sized, tiny vs the
+    * library); the drop list is non-canonical members only, so the
+    * anti-join broadcasts under AQE and the library streams map-only. */
+  def mediaNearApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.RunScope.ScratchCacheOps
+    val lib = mediaLibrary(spark, dir).scratchCache() // reused: pairs + drop
+    val pairs = mediaNearDedupFrom(lib)
+      .select(col("media_a").as("u"), col("media_b").as("v"))
+    val drops = Dedup.connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("media_id"))
+    lib.join(drops, Seq("media_id"), "left_anti")
+      .select(col("media_id"),
+        when(col("media_id") >= ReencodeIdOffset, lit("reencode"))
+          .otherwise(lit("original")).as("kind"))
+      .orderBy("media_id")
+  }
+
+  /** Oracle: the shared pair CTE resolved by the same recursive closure
+    * as the text family's apply oracle, anti-filtered keep-first. */
+  val mediaNearApplySql: String =
+    s"""WITH RECURSIVE $mediaPairsCteSql, edges AS (
+       |  SELECT media_a AS u, media_b AS v FROM prs
+       |  UNION ALL
+       |  SELECT media_b, media_a FROM prs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS media_id, min(v) AS cluster_id FROM reach GROUP BY u
+       |)
+       |SELECT l.media_id,
+       |       CASE WHEN l.media_id >= $ReencodeIdOffset THEN 'reencode'
+       |            ELSE 'original' END AS kind
+       |FROM lib l
+       |WHERE l.media_id NOT IN (SELECT media_id FROM comp WHERE media_id <> cluster_id)
+       |ORDER BY l.media_id""".stripMargin
 }

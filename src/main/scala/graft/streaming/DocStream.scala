@@ -60,32 +60,64 @@ object DocStream {
     * once both endpoints have arrived, is final, and its state ages out
     * with the watermark. */
   def streamingSimhashDedup(docs: DataFrame,
-                            horizon: String = "30 MINUTES"): DataFrame = {
-    val banded = fingerprints(docs)
+                            horizon: String = "30 MINUTES"): DataFrame =
+    bandedPairStream(
+      fingerprints(docs).select(col("doc_id").as("id"), col("ts"),
+        col("simhash").as("fp")),
+      horizon, "doc_a", "doc_b")
+
+  /** The 60-bit banded pair-stream body shared by the text SimHash twin
+    * and the media dHash twin ([[streamingMediaDedup]]) — the streaming
+    * form of [[Dedup.bandedHammingPairs]]: band-explode the (id, ts, fp)
+    * stream into the 8 [[Dedup.SimBands]] slices, self-join within the
+    * symmetric event-time horizon on (band, key), emit Hamming ≤
+    * [[Dedup.HamMax]] pairs once (a k-band match collapses via
+    * in-horizon pair dedup). State = in-horizon traffic × 8 bands. */
+  private def bandedPairStream(fp: DataFrame, horizon: String,
+                               aName: String, bName: String): DataFrame = {
+    val banded = fp
       .withColumn("band", explode(array(
         Dedup.SimBands.zipWithIndex.map { case ((off, w), idx) =>
           struct(lit(idx).as("band_id"),
-            shiftright(col("simhash"), off).bitwiseAND(lit((1 << w) - 1))
+            shiftright(col("fp"), off).bitwiseAND(lit((1 << w) - 1))
               .as("band_key"))
         }: _*)))
-      .select(col("doc_id"), col("ts"), col("simhash"),
+      .select(col("id"), col("ts"), col("fp"),
         col("band.band_id"), col("band.band_key"))
-    val a = banded.toDF("a_doc", "a_ts", "a_sim", "a_band", "a_key")
+    val a = banded.toDF("a_id", "a_ts", "a_fp", "a_band", "a_key")
       .withWatermark("a_ts", horizon)
-    val b = banded.toDF("b_doc", "b_ts", "b_sim", "b_band", "b_key")
+    val b = banded.toDF("b_id", "b_ts", "b_fp", "b_band", "b_key")
       .withWatermark("b_ts", horizon)
     a.join(b,
         col("a_band") === col("b_band") && col("a_key") === col("b_key") &&
-          col("a_doc") < col("b_doc") &&
+          col("a_id") < col("b_id") &&
           col("b_ts") >= col("a_ts") - expr(s"INTERVAL $horizon") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"))
-      .select(col("a_doc").as("doc_a"), col("b_doc").as("doc_b"),
-        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long")
+      .select(col("a_id").as(aName), col("b_id").as(bName),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long")
           .as("hamming"),
         col("a_ts").as("pair_ts"))
       .filter(col("hamming") <= Dedup.HamMax)
-      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+      .dropDuplicatesWithinWatermark(aName, bName)
   }
+
+  /** Perceptual media near-dup pairs among payloads arriving within
+    * `horizon` of each other — the ingest twin of the batch
+    * `media_near_dedup` entry: a re-encoded re-upload of an in-horizon
+    * image is flagged before it enters the media corpus, where the
+    * exact-digest ingest check ([[streamingCorpusGate]]'s analogue on
+    * digests) passes it. Fingerprint = the SAME 60-bit dHash as batch
+    * ([[graft.llm.Multimodal]] — gradient signs over the stub-decoded
+    * grid, map-side per row); banding, join, state, and emit semantics
+    * are [[bandedPairStream]], shared with the text twin. Input schema:
+    * (media_id long, ts timestamp, grid array<int>) — decode runs
+    * upstream at ingest, exactly where the batch library builds it. */
+  def streamingMediaDedup(media: DataFrame,
+                          horizon: String = "30 MINUTES"): DataFrame =
+    bandedPairStream(
+      media.select(col("media_id").as("id"), col("ts"),
+        graft.llm.Multimodal.dhashCol(col("grid")).as("fp")),
+      horizon, "media_a", "media_b")
 
   /** The wide-fingerprint form of [[streamingSimhashDedup]] — 120 bits
     * as two [[graft.functions.SimHashWord]] words, banded as 8 disjoint

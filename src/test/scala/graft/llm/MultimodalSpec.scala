@@ -133,6 +133,26 @@ class MultimodalSpec extends SparkSpec {
     assert(fps(0) == fps(1), "gradient signs are brightness-invariant")
   }
 
+  test("media near apply: keep-first drops exactly the clustered non-canonicals") {
+    import org.apache.spark.sql.functions._
+    val kept = Multimodal.mediaNearApply(spark, sfDir).cache()
+    val lib = Multimodal.mediaLibrary(spark, sfDir).select("media_id")
+    val pairs = Multimodal.mediaNearDedup(spark, sfDir)
+    // every re-encode paired with its original must be gone; every
+    // unpaired member must survive; kinds label the id ranges
+    val pairedB = pairs.select(col("media_b").as("media_id"))
+    assert(kept.join(pairedB, Seq("media_id"), "left_semi").isEmpty,
+      "no pair's larger member (the re-encode / later copy) may survive keep-first")
+    val unpaired = lib
+      .join(pairs.select(col("media_a").as("media_id"))
+        .union(pairedB).distinct(), Seq("media_id"), "left_anti")
+    assert(unpaired.join(kept, Seq("media_id"), "left_anti").isEmpty,
+      "every unpaired library member must survive")
+    assert(kept.filter(col("kind") === "reencode")
+      .filter(col("media_id") < Multimodal.ReencodeIdOffset).isEmpty)
+    kept.unpersist()
+  }
+
   test("registered media near-dup pairs every library re-encode with its original") {
     import org.apache.spark.sql.functions._
     val pairs = Multimodal.mediaNearDedup(spark, sfDir).cache()

@@ -306,6 +306,48 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming media dedup flags the in-horizon re-encode, not the out-of-horizon one") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // base grid, its clipped-brightness re-encode (digest-different,
+    // perceptually near), an unrelated grid, and a LATE re-encode
+    // arriving outside the horizon
+    val base = (0 until 64).map(i => (i * 37 + 11) % 256)
+    val reenc = base.map(b => math.min(b + 4, 255))
+    val other = (0 until 64).map(i => (i * 101 + 5) % 251)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), base),
+      (2L, ts("2024-01-01 10:10:00"), reenc), // in horizon of 1 -> pair
+      (4L, ts("2024-01-01 10:05:00"), other), // near nothing
+      (3L, ts("2024-01-01 12:00:00"), reenc)) // out of horizon -> silent
+    val source = MemoryStream[(Long, Timestamp, Seq[Int])]
+    val query = DocStream.streamingMediaDedup(
+        source.toDF().toDF("media_id", "ts", "grid"), "30 MINUTES")
+      .writeStream.format("memory")
+      .queryName("media_dedup_test").outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      source.addData((99L, ts("2024-01-01 15:00:00"), other.map(_ / 2)))
+      query.processAllAvailable()
+      val got = spark.table("media_dedup_test")
+        .select("media_a", "media_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      // the batch kernel on the same 4 payloads is the semantic anchor:
+      // it pairs (1,2) and (1,3) and (2,3); the stream must emit exactly
+      // the in-horizon subset
+      val batch = graft.llm.Multimodal.mediaNearDedupFrom(
+          rows.map(r => (r._1, r._3)).toDF("media_id", "grid"))
+        .select("media_a", "media_b")
+        .as[(Long, Long)].collect().toSet
+      assert(batch == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"batch anchor must pair all three near-identical payloads, got $batch")
+      assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)),
+        s"stream must emit exactly the in-horizon pair, got $got")
+      assert(got.forall(_._3 <= 7))
+    } finally query.stop()
+  }
+
   test("streaming chunk strip equals the batch apply kernel on the same corpus") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

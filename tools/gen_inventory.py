@@ -60,6 +60,8 @@ TWINS = {
         "per-tumbling-window boilerplate census: in-horizon (chunk_key, doc_id) dedup feeding a windowed count — distinct spread + first carrier per window"),
     "streamingChunkStrip": (["chunk_dedup_apply"],
         "map-side boilerplate gate: in-row flagged-span probe against the collected census artifact + the batch kernel's indexed strip filter — zero state, zero shuffle"),
+    "streamingMediaDedup": (["media_near_dedup"],
+        "per-row dHash fingerprint over the decoded grid + the shared banded pair-stream body — a re-encoded re-upload is flagged at ingest where the digest check passes it"),
     "streamingSimhashDedup": (["simhash_dedup"],
         "per-row native simhash_word fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
     "streamingSimhashDedupWide": (["simhash_dedup_wide"],
