@@ -398,9 +398,13 @@ object Multimodal {
       acc => acc.getField("s"))
 
   /** The media library: every document's decoded grid, plus the
-    * re-encoded copy of every [[ReencodeEvery]]-th document. */
+    * re-encoded copy of every [[ReencodeEvery]]-th document. Spread:
+    * per-payload decode + fingerprint + band fan-out serialize on a
+    * single-split scan (identity at real scale, see [[Tables.spread]];
+    * caught at the 25× rehearsal — one task carried the whole banded
+    * join). */
   private[llm] def mediaLibrary(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir).withColumn("h", videoHex)
+    val g = Tables.spread(Tables.documents(spark, dir)).withColumn("h", videoHex)
       .select(col("doc_id"), gridFromHex(col("h")).as("grid"))
     g.select(col("doc_id").as("media_id"), col("grid"))
       .unionAll(g.filter(col("doc_id") % ReencodeEvery === 0)
