@@ -132,6 +132,11 @@ object Decontaminate {
         "test_doc")
     val inter = size(array_intersect(col("sa"), col("sb")))
     withSets
+      // no raw prefilter here, deliberately: the r18 A/B (SCALE.md)
+      // measured the round-prefilter pattern a consistent LOSS on this
+      // kernel — the ratio embeds array_intersect, which the merged
+      // filter conjunction re-evaluates, and this kernel's candidates
+      // are mostly true pairs (they pay the round either way)
       .withColumn("jaccard", round(
         inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter), 6))
       .filter(col("jaccard") >= FuzzyMin)

@@ -125,8 +125,12 @@ object Dedup {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      // raw prefilter before the BigDecimal-backed round — see
+      // Similarity.lshDedupKernel's note; identical survivors
+      .withColumn("j",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= 0.5 - 1e-6)
+      .withColumn("jaccard", round(col("j"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -211,17 +215,21 @@ object Dedup {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      // both directions of one unordered pair, expanded in-row
+      // both directions of one unordered pair, expanded in-row; the raw
+      // ratio rides the struct and the BigDecimal-backed round is paid
+      // only by prefilter survivors (see Similarity.lshDedupKernel)
       .select(explode(array(
         struct(col("doc_a").as("contained"), col("doc_b").as("container"),
-          round(col("inter").cast("double") / col("na"), 6).as("containment")),
+          (col("inter").cast("double") / col("na")).as("c")),
         struct(col("doc_b").as("contained"), col("doc_a").as("container"),
-          round(col("inter").cast("double") / col("nb"), 6).as("containment"))))
+          (col("inter").cast("double") / col("nb")).as("c"))))
         .as("r"))
       .select(col("r.contained").as("contained"),
-        col("r.container").as("container"),
-        col("r.containment").as("containment"))
+        col("r.container").as("container"), col("r.c").as("c"))
+      .filter(col("c") >= minC - 1e-6)
+      .withColumn("containment", round(col("c"), 6))
       .filter(col("containment") >= minC)
+      .select("contained", "container", "containment")
       .orderBy("contained", "container")
   }
 
@@ -326,6 +334,10 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
     val inter = size(array_intersect(col("sa"), col("sb")))
     withSets
+      // no raw prefilter, deliberately — same A/B verdict as the fuzzy
+      // kernel (Decontaminate.decontaminateFuzzy): array_intersect in
+      // the ratio makes the merged conjunction re-evaluate it, and the
+      // post-dedup candidates here are near-dup-sized anyway
       .withColumn("jaccard", round(
         inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter), 6))
       .filter(col("jaccard") >= 0.8)

@@ -308,7 +308,12 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(expr("cosine_similarity(ea, eb)"), 6).as("cosine"))
+        expr("cosine_similarity(ea, eb)").as("c"))
+      // raw prefilter before the BigDecimal-backed round (see
+      // lshDedupKernel's note) — on this O(n²) exact baseline the round
+      // was paid per PAIR; identical survivors by the 1e-6 slack
+      .filter(col("c") >= 0.45 - 1e-6)
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 6).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy("doc_a", "doc_b")
   }
@@ -369,12 +374,19 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("ed")))
 
   /** Core kernel over a prepared (vec_id, ed: array&lt;double&gt;) frame. */
-  private[llm] def embeddingLshDedupFrom(e: DataFrame): DataFrame = {
+  private[llm] def embeddingLshDedupFrom(e: DataFrame): DataFrame =
+    lshDedupKernel(e, DedupTables, DedupPlanes, dedupPlaneWeights)
+
+  /** The multi-table LSH dedup body, parameterized by table/plane
+    * geometry so the default (8×6) and wide (12×8,
+    * [[embeddingLshDedupWide]]) configurations ride ONE definition. */
+  private def lshDedupKernel(e: DataFrame, tables: Int, planes: Int,
+                             weights: Seq[Seq[Seq[Int]]]): DataFrame = {
     CosineSimilarity.register(e.sparkSession)
     DotProduct.register(e.sparkSession)
-    val tb = explode(array((0 until DedupTables).map { t =>
-      val code = (0 until DedupPlanes).map { p =>
-        when(projDotExpr(dedupPlaneWeights(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    val tb = explode(array((0 until tables).map { t =>
+      val code = (0 until planes).map { p =>
+        when(projDotExpr(weights(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("t"), code.as("bkt"))
     }: _*))
@@ -385,7 +397,17 @@ object Similarity {
         col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
-        round(expr("cosine_similarity(a.ed, b.ed)"), 6).as("cosine"))
+        expr("cosine_similarity(a.ed, b.ed)").as("c"))
+      // RAW prefilter before the 6dp round: Spark's round(double) goes
+      // through BigDecimal.valueOf(Double.toString(x)) — a per-row string
+      // format that dominated this kernel at the 25× rehearsal (jstack:
+      // every worker inside FloatingDecimal under hashAgg). The 1e-6
+      // slack keeps every candidate that COULD round up to the
+      // threshold, so the rounded filter below sees the same survivors
+      // and the output is bit-identical; the ~n²/2^planes random-pair
+      // candidates never pay the BigDecimal.
+      .filter(col("c") >= DedupCosine - 1e-6)
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 6).as("cosine"))
       .filter(col("cosine") >= DedupCosine)
       .dropDuplicates("doc_a", "doc_b") // a pair can collide in several tables
       .orderBy("doc_a", "doc_b")
@@ -401,6 +423,54 @@ object Similarity {
        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
        |WHERE ${pairSimSql("a", "b")} >= $DedupCosine
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Wide-geometry LSH parameters — the scale configuration of the
+    * near-dup path (the `simhash_dedup_wide` move applied to vector
+    * LSH): 12 tables of 8 hyperplanes. Candidate volume per vector pair
+    * scales with tables/2^planes — 12/256 ≈ n²/21 versus the default
+    * 8/64 = n²/8, a 2.7× cut — while the recall bound at cosine 0.95
+    * IMPROVES: one 8-plane table catches a 0.95-pair with
+    * 0.8989⁸ ≈ 0.426, and 1 − (1 − 0.426)¹² ≈ 0.9987 > 0.9975. The
+    * extra cost is 4 more map-side sign projections per vector — the
+    * cheap side of the trade at any n. Weights come from the same
+    * deterministic md5-parity family under a DISJOINT key prefix. */
+  private val WideTables = 12
+  private val WidePlanes = 8
+  private[llm] val widePlaneWeights: Seq[Seq[Seq[Int]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until WideTables).map { t =>
+      (0 until WidePlanes).map { p =>
+        (0 until Dim).map { d =>
+          val h = md.digest(s"w${t}_${p}_$d".getBytes("UTF-8"))
+          if ((h(0) & 1) == 0) 1 else -1
+        }
+      }
+    }
+  }
+
+  /** [[embeddingLshDedup]] in the wide 12×8 geometry — identical exact
+    * output (every candidate is cosine-confirmed; the all-pairs oracle
+    * holds under the stronger ≥ 0.9987 bound), 2.7× fewer bucket-join
+    * candidates by the geometry math. MEASURED at the 25× rehearsal
+    * (50k vectors, SCALE.md round 18): parity with the default, not a
+    * win — at this n the kernel is bound by the band-frame shuffle and
+    * per-candidate row handling, not candidate count (and the wide
+    * frame shuffles 1.5× the band rows). The variant is the committed
+    * GEOMETRY KNOB for larger n, where bucket occupancy (n/2^planes)
+    * grows past the per-bucket sizes this corpus ever reaches — the
+    * honest difference from `simhash_dedup_wide`, whose 60-bit wall was
+    * measured, is recorded in SCALE.md rather than claimed here. */
+  def embeddingLshDedupWide(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshDedupWideFrom(
+      Tables.spread(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ed")))
+
+  private[llm] def embeddingLshDedupWideFrom(e: DataFrame): DataFrame =
+    lshDedupKernel(e, WideTables, WidePlanes, widePlaneWeights)
+
+  /** Oracle: the same all-pairs truth — the wide geometry only prunes
+    * candidates harder while confirming exactly. */
+  val embeddingLshDedupWideSql: String = embeddingLshDedupSql
 
   /** IVF parameters: K coarse cells, nprobe probed cells per query,
     * Lloyd iterations for centroid training, and the decimal precision

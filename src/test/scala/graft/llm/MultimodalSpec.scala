@@ -133,6 +133,14 @@ class MultimodalSpec extends SparkSpec {
     assert(fps(0) == fps(1), "gradient signs are brightness-invariant")
   }
 
+  test("media library scan is spread to full parallelism") {
+    // the 25× rehearsal caught the whole banded join serializing on a
+    // single-split scan (r18, SCALE.md) — pin the spread so it cannot
+    // silently regress; partition counts are invisible to the plan lint
+    assert(Multimodal.mediaLibrary(spark, sfDir).rdd.getNumPartitions >=
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("media near apply: keep-first drops exactly the clustered non-canonicals") {
     import org.apache.spark.sql.functions._
     val kept = Multimodal.mediaNearApply(spark, sfDir).cache()

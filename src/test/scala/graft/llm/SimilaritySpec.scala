@@ -114,6 +114,24 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.embeddingLshDedup(spark, sfDir).isEmpty)
   }
 
+  test("wide lsh geometry finds the synthetic near-pair and stays empty on the corpus") {
+    import spark.implicits._
+    // same recall path as the 8×6 test, under the 12×8 scale geometry
+    // (bound 0.9987 at cosine 0.95 — stronger than the default's 0.9975)
+    val base = (0 until 64).map(d => math.sin(d + 1.0))
+    val near = base.zipWithIndex.map { case (v, d) => v + (if (d == 0) 0.01 else 0.0) }
+    val far = (10L to 19L).map { i =>
+      (i, (0 until 64).map(d => math.cos(3.0 * i + 7.0 * d)))
+    }
+    val e = (Seq((1L, base), (2L, near)) ++ far).toDF("vec_id", "ed")
+    val out = Similarity.embeddingLshDedupWideFrom(e).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)), pairs.mkString(","))
+    assert(pairs.distinct == pairs)
+    assert(out.forall(_.getDouble(2) >= 0.95))
+    assert(Similarity.embeddingLshDedupWide(spark, sfDir).isEmpty)
+  }
+
   test("corpus invariant: no embedding pair reaches the 0.95 dedup threshold") {
     // embedding_lsh_dedup's oracle is the exact all-pairs formulation while
     // the engine path is probabilistic multi-table LSH (recall ≈ 0.9975 at
