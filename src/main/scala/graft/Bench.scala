@@ -40,7 +40,10 @@ import java.nio.file.{Files, Paths}
   *    (`pass_spread_rel`) ship in the noise blob, so a reader can tell
   *    ambient machine load (pass totals far apart) from a code
   *    regression (totals moved together) without needing a second
-  *    artifact to compare against — the r17 adjudication gap.
+  *    artifact to compare against — the r17 adjudication gap. Totals
+  *    cover only queries that succeeded in every pass (`pass_failed`
+  *    counts excluded executions), so a transient single-pass failure
+  *    cannot masquerade as ambient drift.
   *
   * Rep-count sufficiency (measured, round 7, sf0.1 local[32]): back-to-back
   * reps=3 vs reps=5 full-suite runs on identical code put the median
@@ -187,7 +190,14 @@ object Bench {
     // interleaved passes (before any noise-gate retry splicing), so each
     // total is one coherent sweep. Per-entry max-rel-diff across the same
     // passes already ships as spread_rel.
-    val passTotals = passes0.map(_.values.filter(_ >= 0).sum)
+    // totals are summed over queries that succeeded in EVERY pass, so a
+    // transient single-pass failure shrinks that pass's coverage instead
+    // of masquerading as ambient drift; pass_failed records how many
+    // (name, pass) executions were excluded (0 on a healthy run)
+    val inAllPasses = names.filter(n => passes0.forall(_.getOrElse(n, -1.0) >= 0))
+    val passTotals = passes0.map(p => inAllPasses.map(p(_)).sum)
+    val passFailed = names.size * passes0.size -
+      names.map(n => passes0.count(_.getOrElse(n, -1.0) >= 0)).sum
     val passSpreadRel = {
       val m = median(passTotals.sorted)
       if (passTotals.nonEmpty && m > 0) (passTotals.max - passTotals.min) / m else -1.0
@@ -200,8 +210,8 @@ object Bench {
     // must not be read as a round-over-round signal
     val degraded = relSpreads.nonEmpty && median(relSpreads) > NoiseGateRel
     val noise =
-      if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"worst":[]}"""
-      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"worst":$worst}"""
+      if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"pass_failed":$passFailed,"worst":[]}"""
+      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"pass_failed":$passFailed,"worst":$worst}"""
     val quietPath = sys.env.getOrElse("BENCH_QUIET", "bench_quiet.json")
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     println(stdoutLine(med, total, sfDir, reps, noise, degraded,

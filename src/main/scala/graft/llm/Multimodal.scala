@@ -374,7 +374,13 @@ object Multimodal {
   /** Every `ReencodeEvery`-th document has a re-encoded library copy. */
   private[llm] val ReencodeEvery = 50
 
-  /** media_id of a re-encoded copy = doc_id + this offset. */
+  /** media_id of a re-encoded copy = doc_id + this offset. PRECONDITION:
+    * every corpus doc_id must sit below this offset, or original and
+    * re-encode ids collide and `kind` mislabels — MultimodalSpec pins the
+    * invariant on the oracle-gate corpus (the same pattern as the
+    * near-dup-threshold corpus pin in SimilaritySpec); a production
+    * deployment would derive media_id = 2·doc_id (+1 for copies)
+    * instead of an offset. */
   private[llm] val ReencodeIdOffset = 10000000L
 
   /** The decoded byte grid as an INT array column from the payload hex. */

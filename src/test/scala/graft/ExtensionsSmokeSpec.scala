@@ -4,25 +4,24 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** VERDICT r17 #8 (stretch): every registry entry must plan under a BARE
-  * session whose only wiring is `spark.sql.extensions=graft.GraftExtensions`
-  * — the shared-cluster deployment shape (one config line, every job gets
-  * the native functions). The kernels' embedded `register(spark)` calls
-  * are idempotent today; this pin prevents a future kernel from silently
-  * depending on a manual register call that an extensions-configured
-  * production session would never make, or on registration order across
-  * entries. Physical planning (sparkPlan) is forced so function
-  * resolution, optimizer rules (NativeVectorRewrite rides the same
-  * extensions class), and strategy selection all run.
+  * session whose only wiring is the `GraftExtensions` class — the
+  * shared-cluster deployment shape (one `spark.sql.extensions` config
+  * line, every job gets the native functions and the optimizer rule).
+  * The kernels' embedded `register(spark)` calls are idempotent today;
+  * this pin prevents a future kernel from silently depending on a manual
+  * register call that an extensions-configured production session would
+  * never make, or on registration order across entries. Physical
+  * planning (sparkPlan) is forced so function resolution, the injected
+  * NativeVectorRewrite rule, and strategy selection all run.
   *
   * Session mechanics: `spark.sql.extensions` is a STATIC conf read from
   * the SparkContext at session construction, so a second in-JVM session
-  * over the shared test context cannot pick it up from builder options.
-  * The spec therefore wires the fresh session through
-  * [[GraftFunctions.registerAll]] — the SAME (identifier, info, builder)
-  * tuples `GraftExtensions.apply` injects (single-sourced in
-  * [[GraftFunctions.all]]), registered into a brand-new function
-  * registry, so the session is functionally the extensions-configured
-  * one.
+  * cannot pick it up from builder options — but
+  * `Builder.withExtensions(new GraftExtensions())` is the same code
+  * path minus the conf lookup: the REAL extensions class runs against
+  * the new session's fresh registry (review finding, r18 — the earlier
+  * draft wired the session through GraftFunctions.registerAll, which
+  * bypassed GraftExtensions.apply entirely).
   */
 class ExtensionsSmokeSpec extends AnyFunSuite {
 
@@ -32,23 +31,22 @@ class ExtensionsSmokeSpec extends AnyFunSuite {
     SparkSession.clearDefaultSession()
     try {
       // a genuinely NEW SparkSession over the same context — its function
-      // registry starts fresh (built-ins only), so nothing registered by
-      // earlier suites or kernel register() calls leaks in
-      val ext = SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", 4)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+      // registry starts fresh (built-ins only), then GraftExtensions
+      // itself injects the natives + the optimizer rule
+      val ext = SparkSpec.configure(SparkSession.builder())
+        .withExtensions(new GraftExtensions())
         .getOrCreate()
       assert(ext ne base, "must be a fresh session, not the shared fixture")
-      GraftFunctions.registerAll(ext)
       GraftFunctions.all.foreach { case (id, _, _) =>
         assert(ext.sessionState.functionRegistry.functionExists(id),
-          s"extensions list must have registered $id")
+          s"GraftExtensions must have injected $id")
       }
+      assert(ext.sessionState.optimizer.extendedOperatorOptimizationRules
+          .contains(graft.plans.NativeVectorRewrite),
+        "GraftExtensions must have injected the optimizer rule")
       val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
-          SparkEntry.queries(name)(ext, "/root/testdata/sf0.001")
+          SparkEntry.queries(name)(ext, SparkSpec.sfDir)
             .queryExecution.sparkPlan
           None
         } catch {

@@ -133,6 +133,18 @@ class MultimodalSpec extends SparkSpec {
     assert(fps(0) == fps(1), "gradient signs are brightness-invariant")
   }
 
+  test("corpus invariant: doc ids sit below the re-encode id offset") {
+    import org.apache.spark.sql.functions._
+    // ReencodeIdOffset's precondition (Multimodal scaladoc): a doc_id at
+    // or above the offset would collide with a re-encode's media_id and
+    // mislabel `kind`. Pin it on the oracle-gate corpus so testdata
+    // regeneration that violates it fails loudly here.
+    val maxId = spark.read.parquet(s"${graft.SparkSpec.gateDir}/documents.parquet")
+      .agg(max("doc_id")).head().getLong(0)
+    assert(maxId < Multimodal.ReencodeIdOffset,
+      s"doc_id $maxId collides with the re-encode media_id range")
+  }
+
   test("media library scan is spread to full parallelism") {
     // the 25× rehearsal caught the whole banded join serializing on a
     // single-split scan (r18, SCALE.md) — pin the spread so it cannot

@@ -142,7 +142,7 @@ class SimilaritySpec extends SparkSpec {
     // introduces a genuine near-dup fails loudly here instead of
     // intermittently (~0.25% per pair) at the oracle compare.
     CosineSimilarity.register(spark)
-    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val e = spark.read.parquet(s"${graft.SparkSpec.gateDir}/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val maxCos = e.as("a").crossJoin(e.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))

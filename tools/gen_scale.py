@@ -31,6 +31,11 @@ import duckdb
 ORGANIC = "--organic" in sys.argv
 argv = [a for a in sys.argv if a != "--organic"]
 COPIES = int(argv[1]) if len(argv) > 1 else 5
+# the organic embedding perturbation is a rotation by (copy mod 64):
+# copies 64 apart would share identical vectors, silently reintroducing
+# the cross-copy cliques organic mode exists to eliminate
+assert not (ORGANIC and COPIES > 64), \
+    "--organic supports at most 64 copies (embedding rotation wraps at dim=64)"
 OUT = argv[2] if len(argv) > 2 else \
     f"/tmp/sf{COPIES}x0.1{'org' if ORGANIC else ''}"
 SRC = "/root/testdata/sf0.1"
