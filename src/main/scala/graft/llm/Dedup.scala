@@ -288,7 +288,11 @@ object Dedup {
     // contract): Decontaminate's fuzzy audit carries its split column
     // here instead of joining it back onto the 16-rows-per-doc band
     // stream — at corpus scale that join is a 16n-row exchange for a
-    // column the scan already had (r18 pricing study, SCALE.md)
+    // column the scan already had (r18 pricing study, SCALE.md).
+    // CONTRACT (r19, ADVICE): callers must pre-prune to doc_id + the
+    // columns they actually want carried — every carry column rides the
+    // 16-rows-per-doc band exchange, and relying on Catalyst pruning
+    // breaks the moment a cache/checkpoint lands above the bands.
     val carry = sh.columns.filterNot(_ == "shingles").map(col).toSeq
     val sig = sh.select(carry :+
       expr(s"minhash_sig(shingles, $NumHashes)").as("sig"): _*)
@@ -320,7 +324,10 @@ object Dedup {
     * shingle arrays. Output is therefore exact (banding only prunes). */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(spark, dir).scratchCache() // reused: signatures + 2 confirm joins
-    val bands = minhashBands(sh)
+    // explicit prune (minhashBands carry contract): only doc_id rides the
+    // 16-rows-per-doc band exchange — don't lean on Catalyst pruning to
+    // keep text/lang/source out of the self-join shuffle
+    val bands = minhashBands(sh.select("doc_id", "shingles"))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key")
