@@ -43,7 +43,13 @@ import java.nio.file.{Files, Paths}
   *    artifact to compare against — the r17 adjudication gap. Totals
   *    cover only queries that succeeded in every pass (`pass_failed`
   *    counts excluded executions), so a transient single-pass failure
-  *    cannot masquerade as ambient drift.
+  *    cannot masquerade as ambient drift. A run whose pass spread
+  *    exceeds [[PassNoiseGateRel]] is re-measured whole once
+  *    (`pass_remeasured`:1 in the noise blob) and, if the fresh passes
+  *    are still over the gate, stamped degraded — so a load-poisoned
+  *    canonical run self-labels instead of presenting an
+  *    ambient-inflated total as the round's number (the r18 driver run
+  *    shipped a 19% pass spread undegraded; VERDICT r18 #3).
   *
   * Rep-count sufficiency (measured, round 7, sf0.1 local[32]): back-to-back
   * reps=3 vs reps=5 full-suite runs on identical code put the median
@@ -143,7 +149,25 @@ object Bench {
         val m = median(xs)
         if (xs.nonEmpty && m > 0) Some(n -> (xs.max - xs.min) / m) else None
       }
-    val passes0 = runPasses(names)
+    val passesFirst = runPasses(names)
+    // PASS-LEVEL NOISE GATE (VERDICT r18 #3): each pass's own total is an
+    // independent whole-suite sample, so pass totals far apart = ambient
+    // machine load during the run, regardless of per-entry spreads. The
+    // r18 driver artifact shipped pass_totals [255.0, 239.5, 287.9] — a
+    // 19% whole-suite spread — yet passed undegraded because the per-entry
+    // gate alone keyed the stamp. A load-poisoned FIRST measurement is
+    // usually transient, so re-measure the whole suite once; a run whose
+    // (re)measured pass spread still exceeds [[PassNoiseGateRel]] is
+    // stamped degraded below.
+    val firstTotals = passTotalsOf(names, passesFirst)
+    val passRemeasured = passGateTrips(firstTotals)
+    val passes0 =
+      if (passRemeasured) {
+        System.err.println(f"[bench] pass-level noise gate tripped " +
+          f"(pass_spread_rel ${passSpreadRelOf(firstTotals)}%.3f > " +
+          f"$PassNoiseGateRel) — re-measuring the suite")
+        runPasses(names)
+      } else passesFirst
     // NOISE GATE (round-12 lesson: a contended machine produced a bench
     // artifact whose three reps of the MEDIAN query disagreed by 113% —
     // unreadable as a regression signal, and indistinguishable from a real
@@ -192,26 +216,28 @@ object Bench {
     // passes already ships as spread_rel.
     // totals are summed over queries that succeeded in EVERY pass, so a
     // transient single-pass failure shrinks that pass's coverage instead
-    // of masquerading as ambient drift; pass_failed records how many
-    // (name, pass) executions were excluded (0 on a healthy run)
+    // of masquerading as ambient drift; pass_failed counts the executions
+    // EXCLUDED from the totals (every pass of every query that failed in
+    // any pass — ADVICE r18: one failure at reps=3 excludes 3 executions,
+    // and the field says so; 0 on a healthy run)
     val inAllPasses = names.filter(n => passes0.forall(_.getOrElse(n, -1.0) >= 0))
-    val passTotals = passes0.map(p => inAllPasses.map(p(_)).sum)
-    val passFailed = names.size * passes0.size -
-      names.map(n => passes0.count(_.getOrElse(n, -1.0) >= 0)).sum
-    val passSpreadRel = {
-      val m = median(passTotals.sorted)
-      if (passTotals.nonEmpty && m > 0) (passTotals.max - passTotals.min) / m else -1.0
-    }
+    val passTotals = passTotalsOf(names, passes0)
+    val passFailed = (names.size - inAllPasses.size) * passes0.size
+    val passSpreadRel = passSpreadRelOf(passTotals)
     val passJson = passTotals.map(r1).mkString("[", ",", "]")
     val worst = relByName.sortBy(-_._2).take(3)
       .map { case (n, v) => s"""["$n",${r2(v)}]""" }.mkString("[", ",", "]")
-    // degraded = even after the retry pass the suite's median relative
-    // spread exceeds the gate: the numbers are contention-poisoned and
-    // must not be read as a round-over-round signal
-    val degraded = relSpreads.nonEmpty && median(relSpreads) > NoiseGateRel
+    // degraded = even after the retries the numbers are contention-
+    // poisoned at EITHER level — per-entry (median relative spread over
+    // the gate) or whole-suite (pass totals over the pass gate, computed
+    // on the re-measured passes) — and must not be read as a
+    // round-over-round signal
+    val degraded = isDegraded(
+      if (relSpreads.isEmpty) -1.0 else median(relSpreads),
+      passGateTrips(passTotals))
     val noise =
-      if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"pass_failed":$passFailed,"worst":[]}"""
-      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"pass_failed":$passFailed,"worst":$worst}"""
+      if (relSpreads.isEmpty) s"""{"rel_spread_median":-1,"rel_spread_max":-1,"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"pass_remeasured":${if (passRemeasured) 1 else 0},"pass_failed":$passFailed,"worst":[]}"""
+      else s"""{"rel_spread_median":${r3(median(relSpreads))},"rel_spread_max":${r3(relSpreads.max)},"retried":${retried.size},"pass_totals":$passJson,"pass_spread_rel":${r3(passSpreadRel)},"pass_remeasured":${if (passRemeasured) 1 else 0},"pass_failed":$passFailed,"worst":$worst}"""
     val quietPath = sys.env.getOrElse("BENCH_QUIET", "bench_quiet.json")
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     println(stdoutLine(med, total, sfDir, reps, noise, degraded,
@@ -282,10 +308,70 @@ object Bench {
 
   /** Suite-level relative-spread gate: above this, the run re-measures
     * its worst-spread quartile, and an artifact whose recomputed spread
-    * still exceeds it carries `"degraded":true`. 0.5 sits well above the
-    * quiet-machine noise floor (rel_spread_median ~0.12-0.22, rounds
-    * 7-11) and well below the r12 contamination (1.136). */
-  private[graft] val NoiseGateRel = 0.5
+    * still exceeds it carries `"degraded":true`. Halved 0.5 → 0.25 in r19
+    * (VERDICT r18 #3): 0.5 let a run whose median entry's reps disagreed
+    * by 49% pass undegraded; 0.25 sits just above the quiet-machine
+    * noise floor (rel_spread_median ~0.12-0.22, rounds 7-11) and would
+    * have flagged both the r12 contamination (1.136) and the r18
+    * load-noisy driver run (0.246). */
+  private[graft] val NoiseGateRel = 0.25
+
+  /** Pass-level (whole-suite) spread gate: each interleaved pass's own
+    * total is an independent sample of suite wall time, so totals more
+    * than this far apart mean ambient load moved during the run even when
+    * every individual entry's spread looks tolerable (the r18 driver run:
+    * pass totals [255.0, 239.5, 287.9] = 19% spread, per-entry median
+    * 0.246). Above the gate the suite is re-measured once; a run still
+    * over it on the fresh passes is stamped degraded. 0.1 sits above the
+    * quiet-machine pass spread (8.2% on the r18 quiet-canonical record)
+    * and far below the 19% the r18 driver run shipped. */
+  private[graft] val PassNoiseGateRel = 0.1
+
+  /** The pass gate only applies when the median pass total is at least
+    * this many seconds: below it, per-pass deltas are scheduler/GC jitter
+    * (~0.1 s tails), not ambient load — a 2-entry smoke subset totalling
+    * 0.7 s/pass would otherwise stamp itself degraded on 0.1 s of noise.
+    * Full-suite runs (the only ones that update the quiet-canonical
+    * record or ship as BENCH_rN) total ~200 s at sf0.1, far above it. */
+  private[graft] val MinPassTotalSec = 10.0
+
+  /** True when the pass-level gate trips: totals big enough to carry a
+    * load signal AND spread over [[PassNoiseGateRel]]. */
+  private[graft] def passGateTrips(totals: Seq[Double]): Boolean = {
+    val s = totals.sorted
+    val m =
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    m >= MinPassTotalSec && passSpreadRelOf(totals) > PassNoiseGateRel
+  }
+
+  /** Per-pass suite totals over the queries that succeeded in EVERY pass
+    * (so a transient failure shrinks coverage instead of skewing drift). */
+  private[graft] def passTotalsOf(
+      names: Seq[String], passes: Seq[Map[String, Double]]): Seq[Double] = {
+    val inAll = names.filter(n => passes.forall(_.getOrElse(n, -1.0) >= 0))
+    passes.map(p => inAll.map(p(_)).sum)
+  }
+
+  /** Relative spread of the per-pass totals: (max-min)/median; -1 when
+    * undefined. */
+  private[graft] def passSpreadRelOf(totals: Seq[Double]): Double = {
+    val s = totals.sorted
+    val m =
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    if (s.nonEmpty && m > 0) (s.max - s.min) / m else -1.0
+  }
+
+  /** The artifact-stamping rule, pure so BenchSpec can replay recorded
+    * noise blobs through it: degraded when EITHER the per-entry median
+    * relative spread exceeds [[NoiseGateRel]] or the whole-suite pass
+    * gate trips (see [[passGateTrips]]). */
+  private[graft] def isDegraded(
+      relSpreadMedian: Double, passTrips: Boolean): Boolean =
+    relSpreadMedian > NoiseGateRel || passTrips
 
   /** Cross-round ANCHOR queries: always present in the stdout projection
     * regardless of slowest-K rank, so the driver-visible BENCH_rN history

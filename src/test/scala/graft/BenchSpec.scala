@@ -139,4 +139,50 @@ class BenchSpec extends AnyFunSuite {
     val omitted = """"q_omitted":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
     assert(omitted == 300 - shown.size)
   }
+
+  test("replayed r18 noise blobs: the driver run self-labels, the quiet record does not") {
+    // the r18 driver-canonical run (BENCH_r18.json): pass totals
+    // [255.0, 239.5, 287.9] = 19% whole-suite spread, per-entry median
+    // rel spread 0.246 — shipped UNDEGRADED under the old per-entry-only
+    // rule (VERDICT r18 "What's wrong" #1). Both new gates must catch it:
+    val driverTotals = Seq(255.0, 239.5, 287.9)
+    assert(Bench.passSpreadRelOf(driverTotals) > Bench.PassNoiseGateRel)
+    assert(Bench.passGateTrips(driverTotals),
+      "r18 driver pass totals (19% spread) must trip the pass gate")
+    assert(Bench.isDegraded(relSpreadMedian = 0.246,
+        passTrips = Bench.passGateTrips(driverTotals)),
+      "the r18 driver run must self-label degraded")
+    // (the halved per-entry gate alone sits at 0.25 — a hair above the
+    // r18 run's 0.246, so the pass gate is the one that catches it; a
+    // run even slightly noisier per-entry now also trips on its own)
+    assert(!Bench.isDegraded(relSpreadMedian = 0.246, passTrips = false))
+    assert(Bench.isDegraded(relSpreadMedian = 0.26, passTrips = false))
+    // the r18 quiet-canonical record (commit 4d3122c): 206.4s at 8.2%
+    // pass spread, per-entry median ~0.12 — a healthy run must NOT stamp
+    val quietTotals = Seq(206.4, 200.1, 217.0) // 8.2% spread around the median
+    assert(!Bench.passGateTrips(quietTotals),
+      "quiet-machine pass spread (8.2%) must not trip the gate")
+    assert(!Bench.isDegraded(relSpreadMedian = 0.12,
+        passTrips = Bench.passGateTrips(quietTotals)),
+      "a quiet-machine run must not self-label degraded")
+    // sub-[[MinPassTotalSec]] subset suites: 0.1s scheduler jitter on a
+    // 0.7s total is 14% spread but NOT ambient load — the floor keeps
+    // smoke subsets from stamping themselves degraded
+    assert(!Bench.passGateTrips(Seq(0.8, 0.8, 0.7)))
+    // the r12 contamination (rel median 1.136) stays caught
+    assert(Bench.isDegraded(relSpreadMedian = 1.136, passTrips = false))
+  }
+
+  test("passTotalsOf excludes every pass of a query that failed in any pass") {
+    val names = Seq("a", "b", "c")
+    val passes = Seq(
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0),
+      Map("a" -> 1.0, "b" -> -1.0, "c" -> 3.0), // b failed in pass 2
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+    // b is excluded from EVERY pass total, so totals stay comparable
+    assert(Bench.passTotalsOf(names, passes) == Seq(4.0, 4.0, 4.0))
+    // spread over identical totals is zero; degenerate inputs return -1
+    assert(Bench.passSpreadRelOf(Seq(4.0, 4.0, 4.0)) == 0.0)
+    assert(Bench.passSpreadRelOf(Nil) == -1.0)
+  }
 }
