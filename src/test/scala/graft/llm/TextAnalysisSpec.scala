@@ -276,6 +276,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exhausted == 1L, "one merge exhausts a single 2-char word")
   }
 
+  test("batched bpe ≡ sequential when the top candidates don't interact") {
+    import spark.implicits._
+    // four words over pairwise-disjoint alphabets with distinct counts:
+    // the top-4 candidates (ab×9, cd×8, ef×7, gh×6) share no token, so
+    // the dominance filter accepts all four and ONE batched round must
+    // learn exactly what FOUR sequential rounds learn — counts included
+    // (applying a footprint-disjoint merge can't move another's count)
+    val docs = (
+      (1 to 9).map(i => (i.toLong, "ab")) ++
+      (11 to 18).map(i => (i.toLong, "cd")) ++
+      (21 to 27).map(i => (i.toLong, "ef")) ++
+      (31 to 36).map(i => (i.toLong, "gh"))).toDF("doc_id", "text")
+    val seq = TextAnalysis.bpeTrainFrom(spark, docs, rounds = 4)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val bat = TextAnalysis.bpeTrainBatchedFrom(spark, docs, rounds = 1, batchK = 4)
+      .as[(Long, Int, String, String, Long)].collect().toSeq
+    assert(seq == Seq((1L, "a", "b", 9L), (2L, "c", "d", 8L),
+      (3L, "e", "f", 7L), (4L, "g", "h", 6L)))
+    assert(bat.map { case (rk, _, l, r, n) => (rk, l, r, n) } == seq,
+      s"one batched round must equal four sequential rounds, got $bat")
+    assert(bat.forall(_._2 == 1), "all four merges learned in round 1")
+  }
+
+  test("batched bpe defers interacting candidates to the next round") {
+    import spark.implicits._
+    // "abc"×10 + "de"×5: round-1 candidates are (a,b)=10, (b,c)=10,
+    // (d,e)=5. (b,c) shares token b with the higher-ranked (a,b), so the
+    // filter must SKIP it; (d,e) is disjoint and fills the batch. Round 2
+    // re-mines over the rewritten strings, where the deferred mass shows
+    // up as the merged-token pair (ab,c)=10 with a FRESH count.
+    val docs = ((1 to 10).map(i => (i.toLong, "abc")) ++
+      (11 to 15).map(i => (i.toLong, "de"))).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainBatchedFrom(spark, docs, rounds = 2, batchK = 2)
+      .as[(Long, Int, String, String, Long)].collect().toSeq
+    assert(got.take(2) == Seq((1L, 1, "a", "b", 10L), (2L, 1, "d", "e", 5L)),
+      s"(b,c) must be deferred, (d,e) batched in its place, got $got")
+    assert(got.drop(2).head == ((3L, 2, "ab", "c", 10L)),
+      s"round 2 must learn the deferred mass as (ab, c), got $got")
+  }
+
+  test("bpe batch selection: footprint includes the output token") {
+    // ("a","b") emits token "ab"; a lower-ranked candidate touching "ab"
+    // on EITHER side must be rejected (its mined count could be stale
+    // after the batch applies), while a disjoint one passes
+    val sel = TextAnalysis.bpeSelectBatch(Seq(
+      ("a", "b", 10L),   // accepted, emits "ab"
+      ("ab", "c", 9L),   // rejected: lhs collides with the output token
+      ("c", "ab", 8L),   // rejected: rhs collides with the output token
+      ("x", "y", 7L),    // accepted, emits "xy"
+      ("w", "xy", 6L),   // rejected: rhs collides with "xy"
+      ("p", "q", 5L)),   // accepted
+      batchK = 4)
+    assert(sel == Seq(("a", "b", 10L), ("x", "y", 7L), ("p", "q", 5L)))
+    // batchK caps the batch even when more candidates are dominance-free
+    val capped = TextAnalysis.bpeSelectBatch(
+      Seq(("a", "b", 3L), ("c", "d", 2L), ("e", "f", 1L)), batchK = 2)
+    assert(capped == Seq(("a", "b", 3L), ("c", "d", 2L)))
+  }
+
   test("bpe apply: per-doc counts reconcile and compression is real") {
     val out = TextAnalysis.bpeApply(spark, sfDir).cache()
     assert(out.count() == Tables.documents(spark, sfDir).count())
