@@ -173,6 +173,84 @@ class MultimodalSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("audio near-dup pairs a requantized clip that exact digest dedup misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a deterministic 64-sample PCM clip, its "re-encode" (the registered
+    // library's requantization — every sample snaps down to the 64-wide
+    // level grid), and an unrelated clip
+    val base = (0 until 64).map(i => ((i * 9973 + 123) % 65536) - 32768)
+    val reenc = base.map(s => s - (((s % 64) + 64) % 64))
+    val other = (0 until 64).map(i => ((i * 31337 + 7) % 65536) - 32768)
+    val lib = Seq((1L, base), (2L, reenc), (9L, other)).toDF("media_id", "sm")
+    // the re-encode shares not one byte pattern with the original at the
+    // digest level: exact content dedup cannot pair them
+    assert(base != reenc, "requantization must actually change the payload")
+    val digests = lib.select(md5(to_json(col("sm")))).as[String].collect()
+    assert(digests.distinct.length == 3,
+      "requantized payload must have a different digest — exact dedup cannot pair it")
+    val pairs = Multimodal.audioNearDedupFrom(lib)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the perceptual pair, got $pairs")
+    assert(pairs.head._3 <= 7, "within the banded-Hamming threshold")
+  }
+
+  test("audio envelope fingerprint is polarity-invariant (energy, not phase)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // energies are squares, so inverting the waveform's polarity keeps
+    // the envelope — the fingerprint hears the level contour, not phase
+    val clip = (0 until 64).map(i => ((i * 7919 + 55) % 65536) - 32768)
+    val fps = Seq((1L, clip), (2L, clip.map(-_)))
+      .toDF("media_id", "sm")
+      .select(Multimodal.dhashCol(Multimodal.audioEnvelope(col("sm"))))
+      .as[Long].collect()
+    assert(fps(0) == fps(1), "polarity inversion must not move the fingerprint")
+  }
+
+  test("audio library scan is spread to full parallelism") {
+    // same single-split-serialization guard as the media library (the
+    // class of defect the plan lint cannot see — partition counts are
+    // data, not plan shape)
+    assert(Multimodal.audioLibrary(spark, sfDir).rdd.getNumPartitions >=
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("registered audio near-dup pairs every re-encode within the Hamming budget") {
+    import org.apache.spark.sql.functions._
+    val pairs = Multimodal.audioNearDedup(spark, sfDir).cache()
+    val expected = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % Multimodal.ReencodeEvery === 0)
+      .select(col("doc_id").as("media_a"),
+        (col("doc_id") + Multimodal.ReencodeIdOffset).as("media_b"))
+    assert(expected.join(pairs, Seq("media_a", "media_b"), "left_anti").isEmpty,
+      "every requantized copy must be paired with its original")
+    assert(pairs.filter(col("hamming") > 7).isEmpty)
+    pairs.unpersist()
+  }
+
+  test("audio requantization flips near-tie gradients: nonzero Hamming, still paired") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a clip engineered so one envelope gradient sits inside the quant
+    // step: E(0)−E(1) = s0²−s4² = 63²−32² > 0, but both samples snap to
+    // the SAME level (0) under the 64-wide grid, so the re-encode's
+    // gradient is a tie (63² > 32² before, 0 > 0 after → bit flips).
+    // The pair must still land within the Hamming budget — the tolerance
+    // band is doing real work, not just matching identical fingerprints.
+    val clip = Seq(63, 0, 0, 0, 32) ++
+      (5 until 64).map(i => ((i * 9973 + 123) % 65536) - 32768)
+    val reenc = clip.map(s => s - (((s % Multimodal.AfpQuant) +
+      Multimodal.AfpQuant) % Multimodal.AfpQuant))
+    val pairs = Multimodal.audioNearDedupFrom(
+      Seq((1L, clip), (2L, reenc)).toDF("media_id", "sm"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $pairs")
+    assert(pairs.head._3 >= 1, "the planted near-tie gradient must flip")
+    assert(pairs.head._3 <= 7, "and the pair must stay inside the budget")
+  }
+
   test("registered media near-dup pairs every library re-encode with its original") {
     import org.apache.spark.sql.functions._
     val pairs = Multimodal.mediaNearDedup(spark, sfDir).cache()
