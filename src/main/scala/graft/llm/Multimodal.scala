@@ -409,7 +409,7 @@ object Multimodal {
     * single-split scan (identity at real scale, see [[Tables.spread]];
     * caught at the 25× rehearsal — one task carried the whole banded
     * join). */
-  private[llm] def mediaLibrary(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def mediaLibrary(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.spread(Tables.documents(spark, dir)).withColumn("h", videoHex)
       .select(col("doc_id"), gridFromHex(col("h")).as("grid"))
     g.select(col("doc_id").as("media_id"), col("grid"))

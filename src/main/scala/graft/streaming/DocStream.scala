@@ -119,6 +119,45 @@ object DocStream {
         graft.llm.Multimodal.dhashCol(col("grid")).as("fp")),
       horizon, "media_a", "media_b")
 
+  /** Streaming media ADMISSION gate — the ingest twin of the batch
+    * `media_near_apply` drop step (VERDICT r18 #5): each arriving
+    * payload is fingerprinted IN-ROW (the same 60-bit [[graft.llm
+    * .Multimodal.dhashCol]] as batch) and dropped when within Hamming ≤
+    * [[graft.llm.Dedup.HamMax]] of ANY fingerprint in the static library
+    * set — a re-encoded re-upload never enters the corpus, where the
+    * exact-digest admission check ([[streamingCorpusGate]]'s `text_key`
+    * analogue) would pass it. Admitted rows keep the input schema, so
+    * the gate composes in front of [[streamingMediaDedup]] (which then
+    * handles arrival-vs-arrival near-dups the static set can't know).
+    *
+    * Shape: ZERO state, zero shuffle, no watermark — a stream-static
+    * broadcast ANTI join whose predicate is the exact batch pair
+    * predicate (bit_count(xor) ≤ HamMax), so gate-dropped arrivals are
+    * precisely the members the batch apply would drop against the same
+    * library (DocStreamSpec pair-tests this). The static side is one
+    * 8-byte fingerprint per library member — a bounded curated artifact
+    * (10⁷ members ≈ 80 MB), the [[streamingChunkStrip]] census-artifact
+    * pattern at media scale; a library past broadcast size shards by
+    * band into a bucketed static table and the offline
+    * `media_near_apply` sweep remains the backstop. The per-arrival
+    * probe is a codegen'd bit_count scan of the broadcast set —
+    * pigeonhole-equivalent to an 8-band bucket probe without the
+    * explode+re-dedup (and its state) a banded stream join would need.
+    *
+    * Input schema: (media_id long, ts timestamp, grid array<int>);
+    * `library` is a static (media_id, grid) frame. Append-mode. */
+  def streamingMediaGate(media: DataFrame, library: DataFrame): DataFrame = {
+    val libFp = broadcast(library
+      .select(graft.llm.Multimodal.dhashCol(col("grid")).as("lib_fp")))
+    media
+      .select(col("media_id"), col("ts"), col("grid"),
+        graft.llm.Multimodal.dhashCol(col("grid")).as("fp"))
+      .join(libFp,
+        bit_count(col("fp").bitwiseXOR(col("lib_fp"))) <= Dedup.HamMax,
+        "left_anti")
+      .select("media_id", "ts", "grid")
+  }
+
   /** The wide-fingerprint form of [[streamingSimhashDedup]] — 120 bits
     * as two [[graft.functions.SimHashWord]] words, banded as 8 disjoint
     * 15-bit slices exactly like the batch `simhash_dedup_wide` kernel.

@@ -348,6 +348,42 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming media gate drops exactly the batch apply's drop set, admits the novel") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // static library = the batch keep set (media_near_apply keeps every
+    // original on this corpus; the re-encodes are its drop set); the
+    // arrival stream replays the re-encodes (re-uploads of library
+    // content) plus one genuinely novel clip
+    val lib = graft.llm.Multimodal.mediaLibrary(spark, sfDir).cache()
+    val keptIds = graft.llm.Multimodal.mediaNearApply(spark, sfDir)
+      .select("media_id")
+    val staticLib = lib.join(keptIds, Seq("media_id"), "left_semi")
+    val dropSet = lib.join(keptIds, Seq("media_id"), "left_anti")
+      .select("media_id").as[Long].collect().toSet
+    assert(dropSet.nonEmpty, "the gate corpus must contain re-encodes to replay")
+    val reuploads = lib.join(keptIds, Seq("media_id"), "left_anti")
+      .as[(Long, Seq[Int])].collect().toSeq
+      .map { case (id, g) => (id, ts("2024-01-01 10:00:00"), g) }
+    val novel = (777777L, ts("2024-01-01 10:05:00"),
+      (0 until 64).map(i => (i * 149 + 3) % 256))
+    val source = MemoryStream[(Long, Timestamp, Seq[Int])]
+    val query = DocStream.streamingMediaGate(
+        source.toDF().toDF("media_id", "ts", "grid"), staticLib)
+      .writeStream.format("memory")
+      .queryName("media_gate_test").outputMode("append").start()
+    try {
+      source.addData(reuploads :+ novel: _*)
+      query.processAllAvailable()
+      val admitted = spark.table("media_gate_test")
+        .select("media_id").as[Long].collect().toSet
+      // pair test: every batch-dropped member is gate-dropped at ingest;
+      // the novel clip (near nothing in the library) passes
+      assert(admitted == Set(novel._1),
+        s"gate must drop exactly the batch drop set ($dropSet), admitted $admitted")
+    } finally { query.stop(); lib.unpersist() }
+  }
+
   test("streaming chunk strip equals the batch apply kernel on the same corpus") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

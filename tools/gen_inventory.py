@@ -62,6 +62,8 @@ TWINS = {
         "map-side boilerplate gate: in-row flagged-span probe against the collected census artifact + the batch kernel's indexed strip filter — zero state, zero shuffle"),
     "streamingMediaDedup": (["media_near_dedup"],
         "per-row dHash fingerprint over the decoded grid + the shared banded pair-stream body — a re-encoded re-upload is flagged at ingest where the digest check passes it"),
+    "streamingMediaGate": (["media_near_apply"],
+        "ingest drop gate: in-row dHash + broadcast anti-join against the static library fingerprint set on the exact batch Hamming predicate — zero state, zero shuffle; a re-encoded re-upload never enters the corpus"),
     "streamingSimhashDedup": (["simhash_dedup"],
         "per-row native simhash_word fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
     "streamingSimhashDedupWide": (["simhash_dedup_wide"],
