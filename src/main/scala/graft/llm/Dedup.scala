@@ -1561,10 +1561,13 @@ object Dedup {
     * model — near-ubiquitous shingles carry ~zero idf weight). The tf
     * aggregate collapses the token stream map-side; df derives from tf
     * (vocabulary-sized, one pass); the pair join shuffles on the 64-bit
-    * shingle hash. Weighted sums accumulate in DECIMAL over 6dp-rounded
-    * per-term products — combination-order-proof, so both engines see
-    * bit-identical dots and norms (the `revenue_cusum` determinism
-    * stance applied to a float dot product). */
+    * shingle hash. Weighted sums accumulate as exact micro-unit LONGS
+    * over 6dp-quantized per-term products — combination-order-proof, so
+    * both engines see bit-identical dots and norms (the `revenue_cusum`
+    * determinism stance applied to a float dot product), and the hot
+    * pair-stream loop is pure primitive arithmetic (the DECIMAL spelling
+    * it replaced paid a BigDecimal string format per candidate pair —
+    * the r19 organic pricing study, SCALE.md). */
   def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame =
     tfidfCosineFrom(Tables.spread(Tables.documents(spark, dir)))
 
@@ -1616,16 +1619,37 @@ object Dedup {
       .select(col("doc_id"), col("sh"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
       .scratchCache()
+    // MICRO-UNIT LONG accumulation (r19, the organic-25× pricing study,
+    // SCALE.md): the old spelling rounded every per-term product to a
+    // 6dp DECIMAL — round(double, 6) evaluates via
+    // BigDecimal.valueOf(Double.toString(x)), a per-row STRING format,
+    // and the decimal sum adds BigDecimal allocations on top, all paid
+    // on the CANDIDATE PAIR stream (jstack: the partial aggregate over
+    // the pair join was the kernel's hot stage, Double.toString inside
+    // it). Quantizing each product to integer micro-units instead —
+    // floor(x·1e6 + 0.5), HALF_UP since every w ≥ 0 (tf ≥ 1, idf =
+    // ln(n/df) > 0 under the df cap) — makes the hot loop pure primitive
+    // arithmetic: long sums are exact and combination-order-proof
+    // (better than decimal, no allocation), and the one divide-back
+    // happens per OUTPUT group. The 6dp quantum matches the old decimal
+    // scale; the only value drift is binary-vs-shortest-decimal ties at
+    // the 5e-7 boundary (the r19 study measured ZERO moved output rows
+    // at sf0.01 and sf0.1). Overflow headroom: |w| ≤ tf·ln(n) keeps a
+    // pair's micro-dot orders of magnitude under 2⁶³ on any plausible
+    // corpus, and ANSI mode makes a true overflow loud, not wrong.
+    // The oracle uses the IDENTICAL integer formulation.
+    def micro6(x: Column): Column = floor(x * lit(1e6) + lit(0.5))
     val norms = w.groupBy("doc_id")
-      .agg(sum(round(col("w") * col("w"), 6).cast("decimal(28,6)")).as("nsq"))
-      .select(col("doc_id"), sqrt(col("nsq").cast("double")).as("nrm"))
+      .agg(sum(micro6(col("w") * col("w"))).as("nsq6"))
+      .select(col("doc_id"),
+        sqrt(col("nsq6").cast("double") / lit(1e6)).as("nrm"))
     val dots = w.as("a")
       .join(w.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(round(col("a.w") * col("b.w"), 6).cast("decimal(28,6)")).as("dot"))
+      .agg(sum(micro6(col("a.w") * col("b.w"))).as("dot6"))
     val cosine = round(
-      col("dot").cast("double") / (col("na") * col("nb")), 6)
+      col("dot6").cast("double") / lit(1e6) / (col("na") * col("nb")), 6)
     dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
@@ -1658,21 +1682,21 @@ object Dedup {
        |  FROM tf JOIN df USING (shingle) CROSS JOIN n
        |), norms AS (
        |  SELECT doc_id,
-       |         sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(28,6))) AS DOUBLE))
-       |           AS nrm
+       |         sqrt(CAST(sum(CAST(floor(w * w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |              / 1e6) AS nrm
        |  FROM w GROUP BY 1
        |), dots AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         sum(CAST(round(a.w * b.w, 6) AS DECIMAL(28,6))) AS dot
+       |         sum(CAST(floor(a.w * b.w * 1e6 + 0.5) AS BIGINT)) AS dot6
        |  FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,
-       |       round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+       |       round(CAST(dot6 AS DOUBLE) / 1e6 / (na.nrm * nb.nrm), 6) AS cosine
        |FROM dots
        |JOIN norms na ON doc_a = na.doc_id
        |JOIN norms nb ON doc_b = nb.doc_id
        |WHERE na.nrm > 0 AND nb.nrm > 0
-       |  AND round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= $CosMinSim
+       |  AND round(CAST(dot6 AS DOUBLE) / 1e6 / (na.nrm * nb.nrm), 6) >= $CosMinSim
        |ORDER BY doc_a, doc_b""".stripMargin
 }
