@@ -551,8 +551,16 @@ object Similarity {
       _ => trainIvfCentroids(e).collect().toIndexedSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1))))
 
-  private[llm] def trainIvfCentroids(e: DataFrame): DataFrame = {
-    var cents = e.filter(col("vec_id") < IvfK)
+  private[llm] def trainIvfCentroids(e: DataFrame): DataFrame =
+    trainCentroidsK(e, IvfK)
+
+  /** [[trainIvfCentroids]] with the cluster count as a parameter — the
+    * dial the semantic-dedup scale story turns (K ∝ n/target-cell; the
+    * SCALE.md 100× rehearsal trains K=256 over 200k vectors). The
+    * registered entries stay on the compile-time [[IvfK]] so the
+    * unrolled oracle chain mirrors them exactly. */
+  private[llm] def trainCentroidsK(e: DataFrame, k: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("ed").as("ced"))
     for (_ <- 1 to IvfIters) {
       val assigned = argmaxCell(e.crossJoin(broadcast(cents))
@@ -1650,4 +1658,238 @@ object Similarity {
        |    JOIN adc a ON a.q_id = t.q_id AND a.c_id = t.c_id GROUP BY 1) h
        |    USING (q_id))
        |ORDER BY method, q_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Semantic dedup — cluster-partitioned near-dup pruning (the SemDeDup
+  // shape: Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+  // through semantic deduplication", arXiv:2303.09540)
+  // -------------------------------------------------------------------------
+
+  /** Cosine threshold for the semantic-dedup family. Sits at the
+    * [[embeddingCosineDedup]] demo threshold (this corpus's max pair
+    * cosine ≈ 0.51) so the two entries are directly comparable: same
+    * pair universe, exact all-pairs vs cluster-partitioned candidates.
+    * A production run sits at ≥ 0.95, where near-identical vectors
+    * land in the same argmax cell with near-certainty; at 0.45 the
+    * cell restriction visibly drops cross-cell pairs, which is exactly
+    * what [[semanticDedupRecall]] measures. */
+  private val SemCosine = 0.45
+
+  /** The probe-anchor bound for the recall audit: pairs whose MIN
+    * endpoint id sits under this anchor every unordered pair exactly
+    * once within the probe set. */
+  private val SemProbeN = 64
+
+  /** Shared (vec_id, ed, cell) assignment: every vector's max-cosine
+    * trained centroid, via the session-scoped [[centroidArtifact]]
+    * (K ≤ [[IvfK]] collected rows — the persist-once model lifecycle
+    * shared with the IVF entries, so a session that already ran ANN
+    * pays nothing here) and the [[argmaxCell]] hash aggregate. */
+  private def semanticAssignFrom(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame =
+    semanticAssignWith(e,
+      spark.createDataFrame(centroidArtifact(spark, dir, e))
+        .toDF("cent_id", "ced"))
+
+  /** Assignment against an explicit centroid frame — factored so the
+    * spec can drive the kernel with a planted-cluster fixture. */
+  private[llm] def semanticAssignWith(e: DataFrame, cents: DataFrame): DataFrame =
+    argmaxCell(e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("cent_id"),
+        round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
+      .select(col("vec_id"), col("ed"), col("cent_id").as("cell"))
+      // both sides of the within-cell self-join read this frame — cache
+      // it run-scoped so the argmax aggregate's corpus-wide exchange
+      // runs once, not once per join branch
+      .scratchCache()
+
+  /** Within-cell candidate pairs confirmed at [[SemCosine]] — shared by
+    * [[semanticDedup]] and [[semanticDedupApply]] (and the spec's
+    * planted-cluster fixture through [[semanticAssignWith]]). */
+  private[llm] def semanticPairsFrom(assign: DataFrame): DataFrame =
+    assign.as("a")
+      .join(assign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        col("a.cell").as("cell"),
+        expr("cosine_similarity(a.ed, b.ed)").as("c"))
+      // raw prefilter before the BigDecimal-backed round (the
+      // lshDedupKernel pattern): candidates are cell-random, the 1e-6
+      // slack keeps every pair that could round up to the threshold
+      .filter(col("c") >= SemCosine - 1e-6)
+      .select(col("doc_a"), col("doc_b"), col("cell"),
+        round(col("c"), 6).as("cosine"))
+      .filter(col("cosine") >= SemCosine)
+
+  /** SEMANTIC near-dup pairs, cluster-partitioned (the SemDeDup kernel):
+    * assign every vector to its max-cosine trained centroid, then
+    * generate and confirm candidate pairs ONLY within a cell.
+    *
+    * This is the committed scale answer to the LSH fixed-bucket
+    * occupancy wall (SCALE.md: the 8×6 and 12×8 geometries CONVERGE at
+    * ~200k vectors because candidates grow n²/bucket-domain under any
+    * fixed geometry): here the bucket domain is the trained centroid
+    * set, and K is a DIAL — production corpora train K ∝ n/target-cell
+    * (the published pipelines run ~100k clusters at web scale), holding
+    * per-cell occupancy (and so candidates ≈ n·cell/2) constant as n
+    * grows. Assignment is K broadcast cosines per vector (map-only);
+    * the pair join shuffles on the cell key; no all-pairs step exists.
+    * The trade vs LSH: candidates drop from n²/buckets to Σ_c n_c², at
+    * the cost of RECALL on pairs straddling a cell boundary — high at
+    * production thresholds (near-identical vectors share an argmax
+    * cell), measured honestly by [[semanticDedupRecall]] at this
+    * corpus's 0.45 demo threshold. K stays the compile-time [[IvfK]]
+    * here so the oracle mirrors the exact centroid chain. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+    semanticPairsFrom(semanticAssignFrom(spark, dir, e))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the identical centroid chain ([[kmeansCteSql]] — same K,
+    * iterations, decimal means, rounding) plus the within-cell pair
+    * join at the same threshold. Cell-restricted on BOTH engines: the
+    * entry's contract IS the SemDeDup candidate set, not all-pairs
+    * truth (that gap is [[semanticDedupRecall]]'s output). */
+  val semanticDedupSql: String =
+    s"""WITH $cosineCteSql, $kmeansCteSql, ranked AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
+       |  FROM emb e CROSS JOIN cents$IvfIters c
+       |), assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+       |)
+       |SELECT doc_a, doc_b, cell, cosine FROM (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, aa.cell,
+       |         ${pairSimSql("a", "b")} AS cosine
+       |  FROM emb a
+       |  JOIN emb b ON a.vec_id < b.vec_id
+       |  JOIN assign aa ON aa.vec_id = a.vec_id
+       |  JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell)
+       |WHERE cosine >= $SemCosine
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The recall audit the semantic trade demands: of the TRUE near-dup
+    * pairs (exact cosine ≥ [[SemCosine]]), what fraction does the
+    * cell restriction keep as candidates? Truth is probe-anchored —
+    * pairs whose min endpoint id < [[SemProbeN]] — so the exact side
+    * is a bounded-broadcast × corpus stream, never all-pairs (the
+    * `dedup_eval_sampled` / `ann_recall_report` audit shape: at 100 TB
+    * you estimate recall from a probe sample, you never compute the
+    * full truth). Emits ONE row (n_true, n_found, recall). */
+  def semanticDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+      .scratchCache() // probe side + candidate side + assignment
+    val probes = e.filter(col("vec_id") < SemProbeN).limit(SemProbeN)
+      .select(col("vec_id").as("p_id"), col("ed").as("ped"))
+    val truth = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") > col("p_id"))
+      .select(col("p_id"), col("vec_id").as("c_id"),
+        expr("cosine_similarity(ped, ed)").as("c"))
+      .filter(col("c") >= SemCosine - 1e-6)
+      .filter(round(col("c"), 6) >= SemCosine)
+      .select("p_id", "c_id")
+    val assign = semanticAssignFrom(spark, dir, e).select("vec_id", "cell")
+    val joined = truth
+      .join(assign.select(col("vec_id").as("p_id"), col("cell").as("pc")), "p_id")
+      .join(assign.select(col("vec_id").as("c_id"), col("cell").as("cc")), "c_id")
+    joined.agg(
+        count(lit(1)).as("n_true"),
+        count(when(col("pc") === col("cc"), 1)).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(col("n_found").cast("double") / col("n_true"), 6))
+          .as("recall"))
+  }
+
+  /** Oracle: same probe-anchored truth, same centroid chain, same
+    * one-row reduction. */
+  val semanticDedupRecallSql: String =
+    s"""WITH $cosineCteSql, $kmeansCteSql, ranked AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
+       |  FROM emb e CROSS JOIN cents$IvfIters c
+       |), assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+       |), truth AS (
+       |  SELECT p.vec_id AS p_id, c.vec_id AS c_id
+       |  FROM emb p JOIN emb c
+       |    ON p.vec_id < $SemProbeN AND c.vec_id > p.vec_id
+       |  WHERE ${pairSimSql("p", "c")} >= $SemCosine
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |       CAST(count(*) FILTER (WHERE ap.cell = ac.cell) AS BIGINT) AS n_found,
+       |       CASE WHEN count(*) = 0 THEN 1.0
+       |            ELSE round(count(*) FILTER (WHERE ap.cell = ac.cell) * 1.0
+       |                       / count(*), 6) END AS recall
+       |FROM truth t
+       |JOIN assign ap ON ap.vec_id = t.p_id
+       |JOIN assign ac ON ac.vec_id = t.c_id""".stripMargin
+
+  /** The drop step that finishes the semantic pipeline (the
+    * [[Dedup.dedupApply]] of this family): connected components over
+    * the within-cell pairs, keep the min-id vector per component, emit
+    * the surviving corpus rows. Component resolution rides
+    * [[Dedup.connectedComponents]] (min-label propagation + pointer
+    * jumping — O(log n) rounds, never a driver-side graph); the drop
+    * list is near-dup-sized, so the anti-join broadcasts under AQE and
+    * the corpus streams map-only. */
+  def semanticDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+    val pairs = semanticPairsFrom(semanticAssignFrom(spark, dir, e))
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val drops = Dedup.connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("vec_id"))
+    Tables.embeddings(spark, dir)
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: recursive transitive closure over the same within-cell
+    * pairs (the [[Dedup.clusterSizeHistogramSql]] reach pattern),
+    * min-label components, survivors by anti-membership. */
+  val semanticDedupApplySql: String =
+    s"""WITH RECURSIVE $cosineCteSql, $kmeansCteSql, ranked AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
+       |  FROM emb e CROSS JOIN cents$IvfIters c
+       |), assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+       |), spairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |           ${pairSimSql("a", "b")} AS cosine
+       |    FROM emb a
+       |    JOIN emb b ON a.vec_id < b.vec_id
+       |    JOIN assign aa ON aa.vec_id = a.vec_id
+       |    JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell)
+       |  WHERE cosine >= $SemCosine
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM spairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM spairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) nodes
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS vec_id, min(v) AS component FROM reach GROUP BY u
+       |)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component)
+       |ORDER BY vec_id""".stripMargin
 }

@@ -597,4 +597,88 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want,
       s"got-only=${(got.keySet -- want.keySet).take(3)} want-only=${(want.keySet -- got.keySet).take(3)}")
   }
+
+  /** Planted-cluster fixture for the semantic-dedup family: the IVF
+    * spec's 8 disjoint-support clusters (ids interleaved so the first-K
+    * training seeds land one per cluster), plus vector 1000 — a
+    * block0/block1 mix whose exact cosine against cluster-0 members
+    * clears the 0.45 threshold (≈ 0.51) but whose argmax cell is
+    * cluster 1: the cross-cell true pair the cell restriction MUST
+    * miss, proving the recall trade is real and measured. */
+  private def semanticFixture = {
+    import spark.implicits._
+    val clustered = for (c <- 0 until 8; i <- 0 until 10) yield {
+      val id = i.toLong * 8 + c
+      val ed = (0 until 64).map { d =>
+        val block = if (d >= c * 8 && d < (c + 1) * 8) 1.0 else 0.0
+        block + 0.02 * math.cos(1.7 * id + 0.31 * d)
+      }
+      (id, ed)
+    }
+    val mixed = (1000L, (0 until 64).map { d =>
+      if (d < 8) 0.6 else if (d < 16) 1.0 else 0.0
+    }.map(_.toDouble))
+    (clustered :+ mixed).toDF("vec_id", "ed").cache()
+  }
+
+  test("semantic dedup finds within-cell pairs and misses the planted cross-cell pair") {
+    CosineSimilarity.register(spark)
+    val e = semanticFixture
+    val assign = Similarity.semanticAssignWith(e, Similarity.trainIvfCentroids(e)
+      .select(col("cent_id"), col("ced")))
+    val out = Similarity.semanticPairsFrom(assign).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ids 0 and 8 are both cluster 0 (near-identical, cosine ≈ 1)
+    assert(pairs.contains((0L, 8L)), s"within-cell pair missing: ${pairs.take(5)}")
+    // the planted mix is a TRUE pair against id 0 (exact cosine ≥ 0.45)…
+    val exact = e.as("a").join(e.as("b"),
+        col("a.vec_id") === 0L && col("b.vec_id") === 1000L)
+      .select(expr("cosine_similarity(a.ed, b.ed)"))
+      .head().getDouble(0)
+    assert(exact >= 0.45 && exact <= 0.6, s"fixture drifted: cosine(0,1000)=$exact")
+    // …but lands in cluster 1's cell, so the cell restriction misses it
+    val cells = assign.filter(col("vec_id").isin(0L, 1000L, 1L))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(1000L) == cells(1L) && cells(1000L) != cells(0L),
+      s"mix vector not in cluster 1's cell: $cells")
+    assert(!pairs.contains((0L, 1000L)),
+      "cross-cell pair must be excluded from the candidate set")
+    // hygiene: ordered, unique, threshold respected
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length == out.length)
+    assert(out.forall(_.getDouble(3) >= 0.45))
+  }
+
+  test("semantic dedup corpus entries: pairs ⊆ exact truth, recall row consistent, apply keeps one per component") {
+    // every semantic pair is a true pair at the same threshold (the cell
+    // restriction only PRUNES; confirmation is exact)
+    val sem = Similarity.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.embeddingCosineDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.nonEmpty, "fixture corpus should produce within-cell pairs")
+    assert(sem.subsetOf(truth), s"semantic-only pairs: ${(sem -- truth).take(3)}")
+    // the one-row recall contract: n_found ≤ n_true, recall = the division
+    val rec = Similarity.semanticDedupRecall(spark, sfDir).collect()
+    assert(rec.length == 1)
+    val (nTrue, nFound, recall) =
+      (rec(0).getLong(0), rec(0).getLong(1), rec(0).getDouble(2))
+    assert(nFound <= nTrue && nTrue > 0, s"degenerate audit: $nTrue/$nFound")
+    val want = BigDecimal(nFound.toDouble / nTrue)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(recall == want, s"recall $recall != $want")
+    // apply: survivors + a drop set that only ever contains paired docs,
+    // and no semantic pair survives whole (one endpoint always dropped)
+    val kept = Similarity.semanticDedupApply(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val n = Tables.embeddings(spark, sfDir).count()
+    val paired = sem.flatMap(p => Seq(p._1, p._2))
+    val dropped = paired -- kept
+    assert(kept.size + dropped.size == n, s"${kept.size}+${dropped.size} != $n")
+    assert(sem.forall { case (a, b) => !(kept(a) && kept(b)) },
+      "a semantic pair survived the apply step intact")
+    // the globally minimal paired id is always its component's survivor
+    assert(kept(paired.min), "min paired vec_id must be canonical")
+  }
 }
