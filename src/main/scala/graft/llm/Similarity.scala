@@ -508,25 +508,18 @@ object Similarity {
     * then [[IvfIters]] Lloyd iterations of (assign every vector to its
     * max-cosine centroid with a cent_id tie-break, recompute each
     * centroid as the per-dimension mean rounded to [[CentroidDp]]
-    * decimals). Every step is a broadcast-join + argmax hash-aggregate
-    * ([[argmaxCell]]) + 64-column avg aggregate — no driver-side loops
-    * over data, only over the K-row centroid frame between iterations.
-    * Cells that lose all members drop out identically on both engines. */
-  /** Per-vector argmax-cosine cell pick as ONE hash aggregate instead of
-    * a sort-based window: `max_by` on the (csim, -cent_id) struct is
-    * totally ordered, so ties resolve to the LOWEST cent_id — identical
-    * to the window formulation's `ORDER BY csim DESC, cent_id ... rank=1`
-    * (and to the oracle's, which keeps that shape). The hash aggregate
-    * partially combines map-side (each vector's K candidate rows sit in
-    * one partition after the broadcast cross join), so the exchange ships
-    * ~n rows instead of sorting n×K — the shape that matters when n is
-    * 10⁹ vectors, not 10⁴. `first(ed)` is deterministic here: every row
-    * in a vec_id group carries the identical embedding. */
-  private def argmaxCell(sims: DataFrame): DataFrame =
-    sims.groupBy("vec_id")
-      .agg(first(col("ed")).as("ed"),
-        max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc")))
-          .as("cent_id"))
+    * decimals). Assignment is the map-side [[argmaxCellLit]] fold over
+    * the collected K-row model; the only per-round aggregate is the
+    * K×Dim means shuffle — no driver-side loops over data, only over
+    * the K-row centroid frame between iterations. Cells that lose all
+    * members drop out identically on both engines.
+    *
+    * (History: assignment was a crossJoin(broadcast(cents)) + max_by
+    * hash aggregate until r19 — correct, but it streamed n×K rows each
+    * carrying the 64-double `ed` payload through the aggregate; the
+    * SCALE.md K=256/200k-vector rehearsal measured the fold 35× faster
+    * with bit-identical output, and verify re-proved every kmeans-chain
+    * entry against the unchanged oracle at both scales.) */
 
   /** Session-scoped trained-centroid ARTIFACT — the `Dedup.clusterArtifact`
     * persist-once lifecycle applied to the IVF coarse quantizer: the first
@@ -551,6 +544,41 @@ object Similarity {
       _ => trainIvfCentroids(e).collect().toIndexedSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1))))
 
+  /** Map-side argmax-cosine cell pick against a COLLECTED centroid
+    * model: the K×[[Dim]] doubles become one folded array literal and
+    * every row picks its cell inside a single codegen'd projection —
+    * no crossJoin, no n×K-row stream, no aggregate exchange carrying
+    * the 64-double `ed` payload. Selection is bit-identical to
+    * [[argmaxCell]]: the per-cell similarity is the same native kernel
+    * rounded to 6dp, the fold keeps the FIRST maximum, and the literal
+    * is sorted by cent_id — so ties resolve to the lowest cent_id
+    * exactly like `max_by(cent_id, struct(csim, -cent_id))` and the
+    * oracle's `ORDER BY csim DESC, cent_id` window. Measured (SCALE.md
+    * 100× organic, 200k vectors, K=256): the crossJoin formulation
+    * streamed 51.2M ed-carrying rows per Lloyd pass and cost 171 s for
+    * train+assign; this shape is one map pass. */
+  private def argmaxCellLit(e: DataFrame,
+      cents: IndexedSeq[(Long, Seq[Double])]): DataFrame = {
+    CosineSimilarity.register(e.sparkSession)
+    // one struct(csim, -cent_id) COLUMN per centroid, each a direct
+    // call into the native codegen'd kernel against a constant-folded
+    // 64-double array literal — NOT a SQL higher-order function, which
+    // would evaluate the lambda interpreted per element and forfeit
+    // codegen (measured: the HOF spelling was 1.3× SLOWER than the
+    // crossJoin it replaced; this spelling is one codegen'd projection)
+    val packed = cents.sortBy(_._1).map { case (id, ced) =>
+      struct(
+        round(call_function("cosine_similarity",
+          col("ed"), array(ced.map(lit): _*)), 6).as("csim"),
+        lit(-id).as("nid"))
+    }
+    val best =
+      if (packed.size == 1) packed.head
+      else greatest(packed: _*) // struct order: csim, then -cent_id
+    e.select(col("vec_id"), col("ed"),
+      (-best.getField("nid")).as("cell"))
+  }
+
   private[llm] def trainIvfCentroids(e: DataFrame): DataFrame =
     trainCentroidsK(e, IvfK)
 
@@ -558,14 +586,23 @@ object Similarity {
     * dial the semantic-dedup scale story turns (K ∝ n/target-cell; the
     * SCALE.md 100× rehearsal trains K=256 over 200k vectors). The
     * registered entries stay on the compile-time [[IvfK]] so the
-    * unrolled oracle chain mirrors them exactly. */
+    * unrolled oracle chain mirrors them exactly.
+    *
+    * Each Lloyd round collects the K-row centroid frame (a bounded
+    * MODEL artifact — K is the caller's dial, never data-sized; the
+    * same class as the [[centroidArtifact]] collect) and assigns cells
+    * with the map-side [[argmaxCellLit]] fold, so a round's corpus
+    * pass is one projection + the K×Dim means aggregate — the
+    * crossJoin+argmax-aggregate formulation this replaces streamed
+    * n×K ed-carrying rows per round. */
   private[llm] def trainCentroidsK(e: DataFrame, k: Int): DataFrame = {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("ed").as("ced"))
     for (_ <- 1 to IvfIters) {
-      val assigned = argmaxCell(e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("ed"), col("cent_id"),
-          round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
+      val model = cents.collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val assigned = argmaxCellLit(e, model)
+        .select(col("vec_id"), col("ed"), col("cell").as("cent_id"))
       // per-dimension decimal-exact mean via explode + narrow groupBy —
       // NOT 64 separate sum columns: that generates a 64-accumulator
       // aggregate class (heavy codegen per Lloyd iteration) where this
@@ -624,12 +661,11 @@ object Similarity {
     * known by construction). */
   private[llm] def ivfSearchFrom(e: DataFrame, cents: DataFrame,
       qLo: Long, qHi: Long): DataFrame = {
-    val centSims = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("ed"), col("cent_id"),
-        round(expr("cosine_similarity(ed, ced)"), 6).as("csim"))
-    // full-corpus assignment: argmax hash-aggregate, no sort-window
-    val assign = argmaxCell(centSims)
-      .select(col("vec_id"), col("ed"), col("cent_id").as("cell"))
+    // full-corpus assignment: the map-side argmax fold over the
+    // collected K-row model — one codegen'd projection, no n×K
+    // ed-carrying stream (see argmaxCellLit)
+    val assign = argmaxCellLit(e, cents.collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1))))
     // probe ranking needs top-nprobe (not argmax) but only for the few
     // query vectors — filter FIRST, then window over |queries|×K rows
     val probes = e
@@ -780,10 +816,8 @@ object Similarity {
     // sees), so the broadcast cross joins below are provably not
     // quadratic (VERDICT r15 #2)
     val cents = spark.table("graft_ivf_centroids").limit(IvfK)
-    argmaxCell(e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("ed"), col("cent_id"),
-        round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
-      .select(col("vec_id"), col("ed"), col("cent_id").as("cell"))
+    argmaxCellLit(e, cents.collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))))
       .write.bucketBy(8, "cell").mode("overwrite")
       .saveAsTable("graft_ivf_assign")
     // ---- search: reads ONLY the persisted artifacts ----
@@ -1394,10 +1428,9 @@ object Similarity {
     * both probed cells). Shared by [[embeddingIvfAdcSearch]] and specs. */
   private[llm] def ivfCandidatesFrom(e: DataFrame, cents: DataFrame,
       qLo: Long, qHi: Long): DataFrame = {
-    val assign = argmaxCell(e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("ed"), col("cent_id"),
-        round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    val assign = argmaxCellLit(e, cents.collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))))
+      .select(col("vec_id"), col("cell"))
     val probes = e
       .filter(col("vec_id") >= qLo && col("vec_id") < qHi)
       .crossJoin(broadcast(cents))
@@ -1684,23 +1717,23 @@ object Similarity {
     * trained centroid, via the session-scoped [[centroidArtifact]]
     * (K ≤ [[IvfK]] collected rows — the persist-once model lifecycle
     * shared with the IVF entries, so a session that already ran ANN
-    * pays nothing here) and the [[argmaxCell]] hash aggregate. */
+    * pays nothing here) and the map-side [[argmaxCellLit]] fold. */
   private def semanticAssignFrom(spark: SparkSession, dir: String,
       e: DataFrame): DataFrame =
-    semanticAssignWith(e,
-      spark.createDataFrame(centroidArtifact(spark, dir, e))
-        .toDF("cent_id", "ced"))
+    semanticAssignLit(e, centroidArtifact(spark, dir, e))
 
   /** Assignment against an explicit centroid frame — factored so the
     * spec can drive the kernel with a planted-cluster fixture. */
   private[llm] def semanticAssignWith(e: DataFrame, cents: DataFrame): DataFrame =
-    argmaxCell(e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("ed"), col("cent_id"),
-        round(expr("cosine_similarity(ed, ced)"), 6).as("csim")))
-      .select(col("vec_id"), col("ed"), col("cent_id").as("cell"))
+    semanticAssignLit(e, cents.collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1))))
+
+  private def semanticAssignLit(e: DataFrame,
+      model: IndexedSeq[(Long, Seq[Double])]): DataFrame =
+    argmaxCellLit(e, model)
       // both sides of the within-cell self-join read this frame — cache
-      // it run-scoped so the argmax aggregate's corpus-wide exchange
-      // runs once, not once per join branch
+      // it run-scoped so the scan+assign pass runs once, not once per
+      // join branch (the assign itself is one map-side fold)
       .scratchCache()
 
   /** Within-cell candidate pairs confirmed at [[SemCosine]] — shared by
