@@ -26,7 +26,7 @@ object TextAnalysis {
   /** Shared token regexes. Character classes only — identical semantics in
     * Java regex (Spark) and RE2 (DuckDB oracle). */
   private val BpeTokenRe = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
-  private val StopRe = "\\b(the|a|an|of|to|in|and)\\b"
+  private[llm] val StopRe = "\\b(the|a|an|of|to|in|and)\\b"
 
   /** Token counting (whitespace + BPE-ish regex), length stats, stopword /
     * punctuation ratios, and a composite quality score — the

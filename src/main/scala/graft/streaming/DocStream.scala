@@ -242,6 +242,27 @@ object DocStream {
       .join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select("doc_id", "ts", "split", "n_tokens", "quality_score")
 
+  /** Streaming MODEL-GATED admission — the ingest twin of the batch
+    * `quality_lr_score` keep flag: arriving documents are scored
+    * per-row with the OFFLINE-TRAINED logistic model and dropped below
+    * the 0.5 boundary. The weights are the 4-double artifact
+    * `quality_lr_train`'s batch GD produces — trained offline,
+    * refreshed offline, handed to the stream as literals (the
+    * model-refresh lifecycle every production ML gate uses; contrast
+    * [[streamingCorpusGate]], which applies the HAND-tuned composite
+    * score — swapping a rule gate for a model gate at ingest is
+    * exactly this one-line substitution). Per-row feature extraction
+    * and sigmoid only ([[graft.llm.QualityLr.withFeatures]], the
+    * shared kernel): ZERO state, ZERO shuffle, append-mode.
+    *
+    * Input schema: (doc_id long, ts timestamp, text string). Output:
+    * admitted documents with their model score. */
+  def streamingModelGate(docs: DataFrame,
+                         weights: IndexedSeq[Double]): DataFrame =
+    graft.llm.QualityLr.scoreWith(graft.llm.QualityLr.withFeatures(docs), weights)
+      .filter(col("lr_score") >= 0.5)
+      .select("doc_id", "ts", "lr_score")
+
   /** Streaming boilerplate-chunk census — the ingest-time twin of the
     * batch `chunk_dedup` entry: per tumbling event-time window of
     * `windowDur`, every full-width chunk whose text appears in ≥ 2

@@ -468,4 +468,33 @@ class DocStreamSpec extends SparkSpec {
       assert(got == Seq((1L, 2L, 0L)), s"exactly one row for the pair, got $got")
     } finally query.stop()
   }
+
+  test("streaming model gate admits exactly the batch keep set with identical scores") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the offline-trained artifact (4 doubles) — the handoff the twin models
+    val w = graft.llm.QualityLr.modelArtifact(spark, sfDir)
+    val batch = graft.llm.QualityLr.qualityLrScore(spark, sfDir)
+      .as[(Long, Double, Boolean)].collect()
+    val want = batch.filter(_._3).map(r => r._1 -> r._2).toMap
+    assert(want.nonEmpty && want.size < batch.length,
+      "corpus must exercise both admit and drop paths")
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) => (id, ts("2024-01-01 10:00:00"), text) }.toSeq
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = DocStream.streamingModelGate(
+        source.toDF().toDF("doc_id", "ts", "text"), w)
+      .writeStream.format("memory")
+      .queryName("model_gate_test").outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("model_gate_test")
+        .select("doc_id", "lr_score")
+        .as[(Long, Double)].collect().map(r => r._1 -> r._2).toMap
+      assert(got == want,
+        s"ingest gate must equal the batch keep set: got=${got.size} want=${want.size}")
+    } finally query.stop()
+  }
 }

@@ -60,6 +60,8 @@ TWINS = {
         "per-tumbling-window boilerplate census: in-horizon (chunk_key, doc_id) dedup feeding a windowed count — distinct spread + first carrier per window"),
     "streamingChunkStrip": (["chunk_dedup_apply"],
         "map-side boilerplate gate: in-row flagged-span probe against the collected census artifact + the batch kernel's indexed strip filter — zero state, zero shuffle"),
+    "streamingModelGate": (["quality_lr_score"],
+        "model-gated admission: per-row features + sigmoid with the offline-trained 4-double LR artifact as literals — zero state, zero shuffle; the rule-gate -> model-gate substitution at ingest"),
     "streamingMediaDedup": (["media_near_dedup"],
         "per-row dHash fingerprint over the decoded grid + the shared banded pair-stream body — a re-encoded re-upload is flagged at ingest where the digest check passes it"),
     "streamingMediaGate": (["media_near_apply"],
