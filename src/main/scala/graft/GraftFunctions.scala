@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MinHashSig, MisraGries, NfcNormalize, PolyHash, SimHashWord, TermCounts}
+import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MinHashSig, MisraGries, NfcNormalize, PolyHash, SimHashWord, SquaredL2, TermCounts}
 
 /** THE single source of the native-function registrations (VERDICT r17
   * #8): one list of (identifier, info, builder) tuples consumed by BOTH
@@ -44,6 +44,9 @@ object GraftFunctions {
     fn("dot_product",
       "dot_product(a, b) - dot product of two float/double arrays",
       2, args => DotProduct(args.head, args(1))),
+    fn("squared_l2",
+      "squared_l2(a, b) - squared L2 distance of two float/double arrays",
+      2, args => SquaredL2(args.head, args(1))),
     fn("poly_hash",
       "poly_hash(s) - 31-base polynomial rolling hash of a string mod 1e9+7",
       1, args => PolyHash(args.head)),

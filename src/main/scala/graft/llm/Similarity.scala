@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, SquaredL2}
 import graft.sources.Layout
 import graft.RunScope.ScratchCacheOps
 
@@ -1192,13 +1192,21 @@ object Similarity {
   private val PqK = 4
   private val PqIters = 2
 
-  /** Rounded squared-L2 between two equal-length double arrays, as an
-    * ascending-index fold — the exact order DuckDB's list_reduce walks,
-    * so both engines produce bit-identical distances (the cosine kernel's
-    * determinism stance applied to L2). 6dp rounding before any argmin
-    * keeps ties engine-stable. */
+  /** Rounded squared-L2 between two equal-length double arrays, on the
+    * native codegen'd [[graft.functions.SquaredL2]] kernel — an
+    * ascending-index (x−y)² fold, the exact order DuckDB's list_reduce
+    * walks, so both engines produce bit-identical distances (the cosine
+    * kernel's determinism stance applied to L2). 6dp rounding before
+    * any argmin keeps ties engine-stable.
+    *
+    * (History: this was the `aggregate(zip_with(...))` SQL HOF until
+    * r19 — a lambda that evaluates INTERPRETED per element, sitting on
+    * the PQ family's hottest loops (encode = n·M·K evaluations, ADC =
+    * per candidate per subspace). The r19 HOF finding, SCALE.md:
+    * native-in-lambda forfeits codegen; this kernel keeps the pass
+    * compiled. Output bit-identical — 242/242 oracle-green unchanged.) */
   private def l2Sql(a: String, b: String): String =
-    s"round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (p, q) -> p + q), 6)"
+    s"round(squared_l2($a, $b), 6)"
 
   /** Per-subspace subvectors: (vec_id, m, sub) — one row per vector per
     * subspace, sliced in-row (no shuffle). */
@@ -1221,6 +1229,7 @@ object Similarity {
       .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("ced"))
 
   private[llm] def trainPqCodebooks(e: DataFrame): DataFrame = {
+    SquaredL2.register(e.sparkSession)
     val subs = pqSubvectors(e).scratchCache()
     var cents = seedPqCodebooks(e)
     for (_ <- 1 to PqIters) {
@@ -1281,13 +1290,15 @@ object Similarity {
 
   /** Long-form codes — (vec_id, m, code, d2): each vector's per-subspace
     * codebook assignment. The storage row [[embeddingAdcSearch]] scans. */
-  private[llm] def pqCodesLong(e: DataFrame, cents: DataFrame): DataFrame =
+  private[llm] def pqCodesLong(e: DataFrame, cents: DataFrame): DataFrame = {
+    SquaredL2.register(e.sparkSession)
     pqSubvectors(e).join(broadcast(cents), Seq("m"))
       .withColumn("d2", expr(l2Sql("sub", "ced")))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
       .select(col("vec_id"), col("m"),
         col("best.cent_id").as("code"), col("best.d2").as("d2"))
+  }
 
   /** Encode a vector frame against a given codebook frame — shared by the
     * entry (trained codebooks) and the distortion spec (seed codebooks). */
@@ -1400,6 +1411,7 @@ object Similarity {
     * shared by the entry and the planted-fixture recall spec. */
   private[llm] def adcSearchFrom(e: DataFrame, cents: DataFrame,
       qLo: Long, qHi: Long): DataFrame = {
+    SquaredL2.register(e.sparkSession)
     val codes = pqCodesLong(e, cents)
       .select(col("vec_id").as("c_id"), col("m"), col("code"))
     val dtab = pqSubvectors(e.filter(col("vec_id") >= qLo && col("vec_id") < qHi))
@@ -1481,6 +1493,7 @@ object Similarity {
     * [[embeddingIvfAdcSearch]] and [[annRecallReport]]. */
   private[llm] def ivfAdcFrom(e: DataFrame, ivfCents: DataFrame,
       pqCents: DataFrame, qLo: Long, qHi: Long): DataFrame = {
+    SquaredL2.register(e.sparkSession)
     val cand = ivfCandidatesFrom(e, ivfCents, qLo, qHi)
     val codes = pqCodesLong(e, pqCents)
       .select(col("vec_id").as("c_id"), col("m"), col("code"))

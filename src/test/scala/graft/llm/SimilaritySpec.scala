@@ -598,6 +598,20 @@ class SimilaritySpec extends SparkSpec {
       s"got-only=${(got.keySet -- want.keySet).take(3)} want-only=${(want.keySet -- got.keySet).take(3)}")
   }
 
+  test("PQ plans run on the native L2 kernel (no interpreted HOF fold in the hot path)") {
+    // the encode path's optimized plan must carry squared_l2, not
+    // aggregate(zip_with(...)) — the r19 HOF finding made interpreted
+    // lambdas a regression class, so pin the spelling structurally
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+    val cents = Similarity.trainPqCodebooks(e)
+    val plan = Similarity.pqCodesLong(e, cents)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("squared_l2"), "encode must ride the native kernel")
+    assert(!plan.contains("zip_with"), "no interpreted HOF fold may remain")
+  }
+
   /** Planted-cluster fixture for the semantic-dedup family: the IVF
     * spec's 8 disjoint-support clusters (ids interleaved so the first-K
     * training seeds land one per cluster), plus vector 1000 — a
