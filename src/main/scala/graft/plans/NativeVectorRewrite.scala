@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SquaredL2}
 
 /** Optimizer rule: rewrite the interpreted higher-order-function dot
   * product
@@ -71,6 +71,33 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** (x, y) -> (x − y) * (x − y), casts tolerated, both factors in the
+    * SAME orientation ((y−x)*(y−x) also qualifies — an exact negation
+    * squares to the identical double — but mixed orientations are
+    * −(x−y)² and are left alone); subtract and multiply must both be
+    * DOUBLE-typed, the same bit-identity requirement as
+    * [[isPairProduct]] ([[SquaredL2]] widens each element to double
+    * before subtracting). */
+  private def isPairSquaredDiff(f: Expression): Boolean = f match {
+    case LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      stripCast(body) match {
+        case m @ Multiply(l, r, _) if m.dataType == DoubleType =>
+          def orient(e: Expression): Option[Boolean] = stripCast(e) match {
+            case s @ Subtract(a, b, _) if s.dataType == DoubleType =>
+              if (isVar(a, x) && isVar(b, y)) Some(true)
+              else if (isVar(a, y) && isVar(b, x)) Some(false)
+              else None
+            case _ => None
+          }
+          (orient(l), orient(r)) match {
+            case (Some(o1), Some(o2)) => o1 == o2
+            case _ => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
   /** x -> x * x, casts tolerated; same double-product requirement as
     * [[isPairProduct]]. */
   private def isSquare(f: Expression): Boolean = f match {
@@ -130,6 +157,13 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
           if isPairProduct(mul) && isZeroD(zero) && isSum(merge) &&
             isIdentity(finish) && isNumericArray(a) && isNumericArray(b) =>
         DotProduct(a, b)
+      // the squared-L2 spelling (the pre-r19 PQ fold): same seed/merge/
+      // finish contract, the element lambda is a same-orientation
+      // squared difference → the native SquaredL2 kernel
+      case ArrayAggregate(ZipWith(a, b, sqd), zero, merge, finish)
+          if isPairSquaredDiff(sqd) && isZeroD(zero) && isSum(merge) &&
+            isIdentity(finish) && isNumericArray(a) && isNumericArray(b) =>
+        SquaredL2(a, b)
       // The self-dot rewrite duplicates `a` into both DotProduct slots, so
       // it is only safe/profitable when `a` is deterministic (two
       // evaluations must agree) and cheap to evaluate twice (an attribute

@@ -141,6 +141,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val fcastPlan = fcast.queryExecution.optimizedPlan.toString
       assert(fcastPlan.contains("dot_product") || fcastPlan.contains("DotProduct"), fcastPlan)
       assert(fcast.head().getDouble(0) == 11.0)
+      // the squared-L2 spelling rewrites to the native SquaredL2 kernel —
+      // both orientations ((x−y)² and (y−x)² are bit-equal squares)…
+      val l2 = s.sql(
+        s"""SELECT aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (p, q) -> p + q) AS d2,
+           |       aggregate(zip_with(a, b, (x, y) -> (y - x) * (y - x)), 0D, (p, q) -> p + q) AS d2r
+           |$base""".stripMargin)
+      val l2Plan = l2.queryExecution.optimizedPlan.toString
+      assert(l2Plan.contains("squared_l2"), l2Plan)
+      assert(!l2Plan.contains("zip_with"), l2Plan)
+      val l2row = l2.head()
+      assert(l2row.getDouble(0) == 8.0 && l2row.getDouble(1) == 8.0, l2row.toString)
+      // …but MIXED orientation is −(x−y)², a different value — left alone
+      val l2mixed = s.sql(
+        s"""SELECT aggregate(zip_with(a, b, (x, y) -> (x - y) * (y - x)), 0D, (p, q) -> p + q) AS d2
+           |$base""".stripMargin)
+      assert(!l2mixed.queryExecution.optimizedPlan.toString.contains("squared_l2"))
+      assert(l2mixed.head().getDouble(0) == -8.0)
       // the self-dot rewrite duplicates its child, so a NON-DETERMINISTIC
       // child (shuffle) must be left alone even though the sum of squares
       // happens to be order-invariant
