@@ -695,7 +695,13 @@ object Similarity {
     * so engine and oracle can never drift on K / iterations / rounding).
     * Each cents_i exposes (cent_id, ed, n2) so [[pairSimSql]] applies to
     * centroids exactly as it does to data vectors. */
-  private def kmeansCteSql: String = {
+  private def kmeansCteSql: String = kmeansCteSqlFor(IvfK)
+
+  /** The chain at an explicit cluster count — the K dial's oracle side
+    * (`semantic_dedup_k64` trains K=[[SemWideK]] through the same
+    * generator, so the dial variant can never drift from the bench
+    * geometry on iterations / rounding / tie-breaks). */
+  private def kmeansCteSqlFor(k: Int): String = {
     val n2OfEd =
       """list_reduce(list_prepend(0.0::DOUBLE,
         |           list_transform(ed, x -> x * x)), (a, b) -> a + b)""".stripMargin
@@ -707,7 +713,7 @@ object Similarity {
         s" / count(*), $CentroidDp)").mkString("[", ", ", "]")
     val sb = new StringBuilder(
       s"""cents0 AS (
-         |  SELECT vec_id AS cent_id, ed, n2 FROM emb WHERE vec_id < $IvfK
+         |  SELECT vec_id AS cent_id, ed, n2 FROM emb WHERE vec_id < $k
          |)""".stripMargin)
     for (i <- 1 to IvfIters) {
       sb.append(s""", assign$i AS (
@@ -1800,8 +1806,10 @@ object Similarity {
     * join at the same threshold. Cell-restricted on BOTH engines: the
     * entry's contract IS the SemDeDup candidate set, not all-pairs
     * truth (that gap is [[semanticDedupRecall]]'s output). */
-  val semanticDedupSql: String =
-    s"""WITH $cosineCteSql, $kmeansCteSql, ranked AS (
+  val semanticDedupSql: String = semanticDedupSqlFor(IvfK)
+
+  private def semanticDedupSqlFor(k: Int): String =
+    s"""WITH $cosineCteSql, ${kmeansCteSqlFor(k)}, ranked AS (
        |  SELECT e.vec_id, c.cent_id,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
@@ -1818,6 +1826,33 @@ object Similarity {
        |  JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell)
        |WHERE cosine >= $SemCosine
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The cluster-count DIAL for the scale variant: at bench scale a
+    * K=64 quantizer over this corpus's 500-5000 vectors gives cells of
+    * ~8-80 members — the production occupancy regime, where candidates
+    * are n·cell/2 instead of n²/K. SCALE.md's 100× study measured the
+    * dial at K=256/200k vectors: ~10 s end-to-end vs ~110 s for either
+    * fixed LSH geometry. */
+  private[llm] val SemWideK = 64
+
+  /** [[semanticDedup]] with the DIAL turned — the registered scale
+    * geometry (the `embedding_lsh_dedup_wide` precedent: the bench
+    * entry keeps the oracle-cheap K=[[IvfK]], this one pins the
+    * production shape in the correctness gate). Trains its own K=64
+    * quantizer through [[trainCentroidsK]] — the identical chain the
+    * oracle unrolls at the same K — then runs the same within-cell
+    * candidate + exact-confirm kernel. */
+  def semanticDedupK64(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+    semanticPairsFrom(semanticAssignWith(e, trainCentroidsK(e, SemWideK)))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the same generator at K=[[SemWideK]]. */
+  val semanticDedupK64Sql: String = semanticDedupSqlFor(SemWideK)
 
   /** The recall audit the semantic trade demands: of the TRUE near-dup
     * pairs (exact cosine ≥ [[SemCosine]]), what fraction does the

@@ -673,6 +673,11 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sem.nonEmpty, "fixture corpus should produce within-cell pairs")
     assert(sem.subsetOf(truth), s"semantic-only pairs: ${(sem -- truth).take(3)}")
+    // the K=64 dial variant prunes harder but confirms exactly too
+    val semK = Similarity.semanticDedupK64(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semK.nonEmpty && semK.subsetOf(truth),
+      s"k64-only pairs: ${(semK -- truth).take(3)}")
     // the one-row recall contract: n_found ≤ n_true, recall = the division
     val rec = Similarity.semanticDedupRecall(spark, sfDir).collect()
     assert(rec.length == 1)
