@@ -86,6 +86,84 @@ object Decontaminate {
        |GROUP BY doc_id, split, n_shingles
        |ORDER BY doc_id""".stripMargin
 
+  /** Bits per benchmark n-gram for the Bloom prefilter — 32 bits/key
+    * puts the per-posting false-positive rate around 1e-4, so the
+    * exact-confirm join downstream sees ~the true hits plus noise. */
+  private val BloomBitsPerKey = 32L
+
+  /** BLOOM-PREFILTERED exact decontamination — the same output as
+    * [[decontaminate]] (bit-identical; it shares the oracle), produced
+    * through the two-stage shape a 100 TB corpus needs when the
+    * benchmark n-gram set outgrows a comfortable broadcast:
+    *
+    *  1. the bench hash set is folded into a Bloom filter at
+    *     [[BloomBitsPerKey]] bits/key — 8-16× smaller than the
+    *     equivalent broadcast hash set (4 bytes/key vs 8-byte keys plus
+    *     hashmap overhead) — and baked into a per-query constant, so
+    *     the corpus-scale posting stream is gated MAP-SIDE with no
+    *     shuffle and no per-task set build;
+    *  2. only surviving postings (true hits + the ~1e-4 fp tail) reach
+    *     the exact semi-join, which now joins a candidate stream many
+    *     orders smaller — at cluster scale that join can afford to
+    *     SHUFFLE the bench side instead of broadcasting it, which is
+    *     the regime where this entry beats [[decontaminate]].
+    *
+    * False positives cannot reach the output (the exact join removes
+    * them) and false negatives cannot exist (Bloom guarantee), so the
+    * result is exactly the single-stage answer regardless of the
+    * filter's behavior — the prefilter is pure plan shape.
+    *
+    * Uses Spark's own runtime-filter expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` — the pair
+    * behind AQE's injected runtime filters) registered ad hoc: the
+    * gate function captures the built filter as a LITERAL, which is
+    * what `might_contain` requires of its filter side. The collected
+    * filter is bench-sized (a model-class artifact: the benchmark is
+    * thousands of documents, its filter a few hundred KB — the same
+    * boundedness argument as the broadcast it replaces). */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val sh = Sampling.hashSplitFrom(
+      Dedup.shinglesOf(Tables.spread(Tables.documents(spark, dir))),
+      col("doc_id"))
+    val ex = sh.select(col("doc_id"), col("split"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
+      .scratchCache() // bench build + the gated train stream
+    val bench = ex.filter(col("split") === "test").select("s").distinct()
+      .scratchCache() // filter build + exact confirm
+    val nb = math.max(1L, bench.count())
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      { args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        new BloomFilterAggregate(args.head,
+          Literal(nb), Literal(nb * BloomBitsPerKey)).toAggregateExpression()
+      },
+      "scala_udf")
+    val filterBytes = bench.agg(expr("graft_bloom_agg(s)"))
+      .head().getAs[Array[Byte]](0)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_gate",
+      { args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        BloomFilterMightContain(Literal(filterBytes, BinaryType), args.head)
+      },
+      "scala_udf")
+    ex.filter(col("split") =!= "test")
+      .filter(expr("graft_bloom_gate(s)")) // map-side prune, no shuffle
+      .join(bench, Seq("s"), "left_semi") // exact confirm kills the fp tail
+      .groupBy("doc_id", "split", "n_shingles")
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("overlap",
+        round(col("n_hit").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the prefilter is output-invisible by construction, so the
+    * single-stage exact SQL is the oracle verbatim. */
+  val decontaminateBloomSql: String = decontaminateSql
+
   /** Near-duplicate contamination threshold: a train document whose
     * EXACT shingle Jaccard against some test document reaches 0.8 is
     * flagged (the same confirm threshold as [[Dedup.minhashDedup]]). */

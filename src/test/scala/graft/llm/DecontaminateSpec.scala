@@ -97,4 +97,27 @@ class DecontaminateSpec extends SparkSpec {
       .select("doc_id").distinct()
     assert(got.select("doc_id").except(witnesses).isEmpty)
   }
+
+  test("bloom-prefiltered decontamination is bit-identical to the exact entry and the gate prunes") {
+    val exact = Decontaminate.decontaminate(spark, sfDir)
+    val bloom = Decontaminate.decontaminateBloom(spark, sfDir)
+    assert(exact.schema == bloom.schema)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "the prefilter must be output-invisible (fp tail killed by the exact confirm)")
+    // the gate is REAL: the plan carries the might_contain filter, and
+    // running the gate alone admits far fewer postings than the full
+    // train stream (otherwise the 'prefilter' is a no-op)
+    val plan = bloom.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(500))
+    val postings = Sampling.hashSplitFrom(
+        Dedup.shinglesOf(Tables.documents(spark, sfDir)), col("doc_id"))
+      .select(col("split"),
+        explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
+      .filter(col("split") =!= "test")
+    val total = postings.count()
+    // graft_bloom_gate was registered by the entry execution above
+    val admitted = postings.filter(expr("graft_bloom_gate(s)")).count()
+    assert(admitted < total / 2,
+      s"gate admitted $admitted of $total postings — not pruning")
+  }
 }
