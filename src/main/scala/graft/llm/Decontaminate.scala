@@ -122,9 +122,6 @@ object Decontaminate {
     * thousands of documents, its filter a few hundred KB — the same
     * boundedness argument as the broadcast it replaces). */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
     val sh = Sampling.hashSplitFrom(
       Dedup.shinglesOf(Tables.spread(Tables.documents(spark, dir))),
       col("doc_id"))
@@ -134,30 +131,65 @@ object Decontaminate {
       .scratchCache() // bench build + the gated train stream
     val bench = ex.filter(col("split") === "test").select("s").distinct()
       .scratchCache() // filter build + exact confirm
+    withBloomGate(spark, bench) { gate =>
+      ex.filter(col("split") =!= "test")
+        .filter(gate(col("s"))) // map-side prune, no shuffle
+        .join(bench, Seq("s"), "left_semi") // exact confirm kills the fp tail
+        .groupBy("doc_id", "split", "n_shingles")
+        .agg(count(lit(1)).as("n_hit"))
+        .withColumn("overlap",
+          round(col("n_hit").cast("double") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Per-invocation sequence for the ad-hoc Bloom function names — the
+    * registry is session-global, so names must be unique per call. */
+  private val bloomSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Build a Bloom filter over `bench.s` and hand `use` a gate-column
+    * factory (`s => might_contain(<filter literal>, s)`), with the
+    * session function registry kept CLEAN (VERDICT r19 #6 / ADVICE):
+    * the two ad-hoc functions (`BloomFilterAggregate` to fold the
+    * filter, `BloomFilterMightContain` for the gate — Spark's own
+    * runtime-filter pair, neither SQL-registered) get per-invocation
+    * unique names, so concurrent invocations on one session cannot
+    * race on a shared name, and both are DROPPED before this returns —
+    * safe because DataFrame construction analyzes eagerly, baking the
+    * filter literal into every frame `use` built; nothing the callback
+    * returns still references the names. */
+  private[llm] def withBloomGate[T](spark: SparkSession, bench: DataFrame)
+      (use: (org.apache.spark.sql.Column => org.apache.spark.sql.Column) => T): T = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val tag = bloomSeq.incrementAndGet()
+    val aggName = s"graft_bloom_agg_$tag"
+    val gateName = s"graft_bloom_gate_$tag"
+    val reg = spark.sessionState.functionRegistry
     val nb = math.max(1L, bench.count())
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      { args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        new BloomFilterAggregate(args.head,
-          Literal(nb), Literal(nb * BloomBitsPerKey)).toAggregateExpression()
-      },
-      "scala_udf")
-    val filterBytes = bench.agg(expr("graft_bloom_agg(s)"))
-      .head().getAs[Array[Byte]](0)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_gate",
-      { args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        BloomFilterMightContain(Literal(filterBytes, BinaryType), args.head)
-      },
-      "scala_udf")
-    ex.filter(col("split") =!= "test")
-      .filter(expr("graft_bloom_gate(s)")) // map-side prune, no shuffle
-      .join(bench, Seq("s"), "left_semi") // exact confirm kills the fp tail
-      .groupBy("doc_id", "split", "n_shingles")
-      .agg(count(lit(1)).as("n_hit"))
-      .withColumn("overlap",
-        round(col("n_hit").cast("double") / col("n_shingles"), 6))
-      .orderBy("doc_id")
+    try {
+      reg.createOrReplaceTempFunction(
+        aggName,
+        { args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          new BloomFilterAggregate(args.head,
+            Literal(nb), Literal(nb * BloomBitsPerKey)).toAggregateExpression()
+        },
+        "scala_udf")
+      val filterBytes = bench.agg(call_function(aggName, col("s")))
+        .head().getAs[Array[Byte]](0)
+      reg.createOrReplaceTempFunction(
+        gateName,
+        { args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          BloomFilterMightContain(Literal(filterBytes, BinaryType), args.head)
+        },
+        "scala_udf")
+      use(c => call_function(gateName, c))
+    } finally {
+      reg.dropFunction(FunctionIdentifier(aggName))
+      reg.dropFunction(FunctionIdentifier(gateName))
+    }
   }
 
   /** Oracle: the prefilter is output-invisible by construction, so the

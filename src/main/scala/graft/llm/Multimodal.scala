@@ -381,7 +381,7 @@ object Multimodal {
     * near-dup-threshold corpus pin in SimilaritySpec); a production
     * deployment would derive media_id = 2·doc_id (+1 for copies)
     * instead of an offset. */
-  private[llm] val ReencodeIdOffset = 10000000L
+  private[graft] val ReencodeIdOffset = 10000000L
 
   /** The decoded byte grid as an INT array column from the payload hex. */
   private def gridFromHex(h: Column): Column =
@@ -562,7 +562,7 @@ object Multimodal {
     * requantized re-encode of every [[ReencodeEvery]]-th document (same
     * id scheme as [[mediaLibrary]]; same [[Tables.spread]] guard — the
     * banded self-join must not serialize on a single-split scan). */
-  private[llm] def audioLibrary(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def audioLibrary(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), audioSamples(audioFpHex).as("sm"))
     s.select(col("doc_id").as("media_id"), col("sm"))

@@ -504,23 +504,6 @@ object Similarity {
   private val IvfIters = 2
   private val CentroidDp = 4
 
-  /** Deterministic k-means coarse quantizer: seeds = the first K vectors,
-    * then [[IvfIters]] Lloyd iterations of (assign every vector to its
-    * max-cosine centroid with a cent_id tie-break, recompute each
-    * centroid as the per-dimension mean rounded to [[CentroidDp]]
-    * decimals). Assignment is the map-side [[argmaxCellLit]] fold over
-    * the collected K-row model; the only per-round aggregate is the
-    * K×Dim means shuffle — no driver-side loops over data, only over
-    * the K-row centroid frame between iterations. Cells that lose all
-    * members drop out identically on both engines.
-    *
-    * (History: assignment was a crossJoin(broadcast(cents)) + max_by
-    * hash aggregate until r19 — correct, but it streamed n×K rows each
-    * carrying the 64-double `ed` payload through the aggregate; the
-    * SCALE.md K=256/200k-vector rehearsal measured the fold 35× faster
-    * with bit-identical output, and verify re-proved every kmeans-chain
-    * entry against the unchanged oracle at both scales.) */
-
   /** Session-scoped trained-centroid ARTIFACT — the `Dedup.clusterArtifact`
     * persist-once lifecycle applied to the IVF coarse quantizer: the first
     * consumer in a session pays the [[IvfIters]]-Lloyd-iteration training
@@ -545,19 +528,50 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1))))
 
   /** Map-side argmax-cosine cell pick against a COLLECTED centroid
-    * model: the K×[[Dim]] doubles become one folded array literal and
-    * every row picks its cell inside a single codegen'd projection —
-    * no crossJoin, no n×K-row stream, no aggregate exchange carrying
-    * the 64-double `ed` payload. Selection is bit-identical to
-    * [[argmaxCell]]: the per-cell similarity is the same native kernel
-    * rounded to 6dp, the fold keeps the FIRST maximum, and the literal
-    * is sorted by cent_id — so ties resolve to the lowest cent_id
-    * exactly like `max_by(cent_id, struct(csim, -cent_id))` and the
-    * oracle's `ORDER BY csim DESC, cent_id` window. Measured (SCALE.md
-    * 100× organic, 200k vectors, K=256): the crossJoin formulation
-    * streamed 51.2M ed-carrying rows per Lloyd pass and cost 171 s for
-    * train+assign; this shape is one map pass. */
-  private def argmaxCellLit(e: DataFrame,
+    * model, via the native [[graft.functions.ArgmaxCell]] kernel: the
+    * whole K×[[Dim]] model rides the plan as ONE folded matrix literal
+    * (plus the id array), and every row picks its cell inside a single
+    * codegen'd call into the JIT-compiled assignment loop — no
+    * crossJoin, no n×K-row stream, no aggregate exchange carrying the
+    * 64-double `ed` payload, and (the r20 lift, VERDICT r19 #1) no
+    * plan tree growing with K. Selection is bit-identical to the
+    * r19 `greatest(struct(round(cosine_similarity(ed, c), 6), -id))`
+    * chain it replaces (kept below as [[argmaxCellChain]] and pinned
+    * equal by SimilaritySpec): per-cell similarity is the same
+    * ascending-order fold rounded HALF_UP to 6dp, the scan keeps the
+    * FIRST maximum over ids ascending — so ties resolve to the lowest
+    * cent_id exactly like `max_by(cent_id, struct(csim, -cent_id))`
+    * and the oracle's `ORDER BY csim DESC, cent_id` window.
+    *
+    * History: assignment was a crossJoin(broadcast(cents)) + max_by
+    * hash aggregate until r19 (measured at K=256/200k vectors: 171 s
+    * train+assign, 51.2M ed-carrying rows per Lloyd pass), then the
+    * greatest-over-K-struct-columns literal fold (4.9 s at the same
+    * geometry — but K×Dim literals and a K-arm greatest put a
+    * compile-time plan/codegen ceiling at K ~ hundreds, far below the
+    * K ~ 10⁵ the published SemDeDup-scale pipelines run; SCALE.md
+    * "The argmax fold"). The native kernel keeps the 4.9 s shape with
+    * an O(1)-in-K plan — the K=4096 probe that did not compile under
+    * the chain runs through it (SCALE.md r20). */
+  private[llm] def argmaxCellLit(e: DataFrame,
+      cents: IndexedSeq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty,
+      "argmax cell assignment requires a non-empty centroid model")
+    graft.functions.ArgmaxCell.register(e.sparkSession)
+    val sorted = cents.sortBy(_._1)
+    e.select(col("vec_id"), col("ed"),
+      call_function("argmax_cell", col("ed"),
+        typedlit(sorted.map(_._1).toSeq),
+        typedlit(sorted.map(_._2.toSeq).toSeq)).as("cell"))
+  }
+
+  /** The r19 greatest-chain spelling of [[argmaxCellLit]], retained as
+    * the EQUALITY WITNESS: SimilaritySpec proves the native kernel
+    * assigns bit-identically on a planted fixture and on generated
+    * K=256 data. Not on any production path — its plan carries K×Dim
+    * literals and a K-arm greatest, the compile-time ceiling the
+    * native kernel lifts. */
+  private[llm] def argmaxCellChain(e: DataFrame,
       cents: IndexedSeq[(Long, Seq[Double])]): DataFrame = {
     CosineSimilarity.register(e.sparkSession)
     // one struct(csim, -cent_id) COLUMN per centroid, each a direct
@@ -565,7 +579,7 @@ object Similarity {
     // 64-double array literal — NOT a SQL higher-order function, which
     // would evaluate the lambda interpreted per element and forfeit
     // codegen (measured: the HOF spelling was 1.3× SLOWER than the
-    // crossJoin it replaced; this spelling is one codegen'd projection)
+    // crossJoin it replaced)
     val packed = cents.sortBy(_._1).map { case (id, ced) =>
       struct(
         round(call_function("cosine_similarity",
@@ -579,6 +593,15 @@ object Similarity {
       (-best.getField("nid")).as("cell"))
   }
 
+  /** Deterministic k-means coarse quantizer: seeds = the first K vectors,
+    * then [[IvfIters]] Lloyd iterations of (assign every vector to its
+    * max-cosine centroid with a cent_id tie-break, recompute each
+    * centroid as the per-dimension mean rounded to [[CentroidDp]]
+    * decimals). Assignment is the map-side [[argmaxCellLit]] fold over
+    * the collected K-row model; the only per-round aggregate is the
+    * K×Dim means shuffle — no driver-side loops over data, only over
+    * the K-row centroid frame between iterations. Cells that lose all
+    * members drop out identically on both engines. */
   private[llm] def trainIvfCentroids(e: DataFrame): DataFrame =
     trainCentroidsK(e, IvfK)
 
@@ -701,7 +724,14 @@ object Similarity {
     * (`semantic_dedup_k64` trains K=[[SemWideK]] through the same
     * generator, so the dial variant can never drift from the bench
     * geometry on iterations / rounding / tie-breaks). */
-  private def kmeansCteSqlFor(k: Int): String = {
+  private def kmeansCteSqlFor(k: Int): String = kmeansCteSqlExpr(k.toString)
+
+  /** The chain with the cluster count as an arbitrary SQL expression —
+    * the data-driven dial's oracle side: `semantic_dedup_auto` derives
+    * K from a corpus-count scalar subquery, and only the seed CTE's
+    * `vec_id < K` predicate ever mentions K, so the same generator
+    * serves literal and derived counts. */
+  private def kmeansCteSqlExpr(kExpr: String): String = {
     val n2OfEd =
       """list_reduce(list_prepend(0.0::DOUBLE,
         |           list_transform(ed, x -> x * x)), (a, b) -> a + b)""".stripMargin
@@ -713,7 +743,7 @@ object Similarity {
         s" / count(*), $CentroidDp)").mkString("[", ", ", "]")
     val sb = new StringBuilder(
       s"""cents0 AS (
-         |  SELECT vec_id AS cent_id, ed, n2 FROM emb WHERE vec_id < $k
+         |  SELECT vec_id AS cent_id, ed, n2 FROM emb WHERE vec_id < ($kExpr)
          |)""".stripMargin)
     for (i <- 1 to IvfIters) {
       sb.append(s""", assign$i AS (
@@ -1809,7 +1839,10 @@ object Similarity {
   val semanticDedupSql: String = semanticDedupSqlFor(IvfK)
 
   private def semanticDedupSqlFor(k: Int): String =
-    s"""WITH $cosineCteSql, ${kmeansCteSqlFor(k)}, ranked AS (
+    semanticDedupSqlExpr(k.toString)
+
+  private def semanticDedupSqlExpr(kExpr: String): String =
+    s"""WITH $cosineCteSql, ${kmeansCteSqlExpr(kExpr)}, ranked AS (
        |  SELECT e.vec_id, c.cent_id,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${pairSimSql("e", "c")} DESC, c.cent_id) AS crank
@@ -1853,6 +1886,57 @@ object Similarity {
 
   /** Oracle: the same generator at K=[[SemWideK]]. */
   val semanticDedupK64Sql: String = semanticDedupSqlFor(SemWideK)
+
+  /** The data-driven K policy (VERDICT r19 next-round #3): target
+    * within-cell occupancy. K = n / [[SemTargetCell]] holds candidates
+    * ≈ n·cell/2 as the corpus grows — the production dial the fixed-K
+    * entries only sample at two points. 25 gives distinct K at the two
+    * verified scales (500 vectors → K=20, 2000 → K=80), so the
+    * correctness gate itself witnesses K moving with corpus size. */
+  private[llm] val SemTargetCell = 25
+  private[llm] val SemAutoKMin = 2
+
+  /** Ceiling on the derived K — a RESOURCE bound, not a plan bound:
+    * the native [[graft.functions.ArgmaxCell]] assignment is O(1) in K
+    * plan-wise, but each Lloyd round still collects a K-row model and
+    * aggregates K×[[Dim]] means, and the driver-side literal is K×Dim
+    * doubles (256×64 = 16K — trivial; 10⁵×64 = 51 MB per task binary —
+    * budget it deliberately, don't drift into it). */
+  private[llm] val SemAutoKMax = 256
+
+  /** K = clamp(n / [[SemTargetCell]], [[SemAutoKMin]], [[SemAutoKMax]])
+    * — Long floor-division, mirrored by the oracle's
+    * FLOOR(count(*) / 25.0) (exact: integer-valued quotients of
+    * sub-2⁵³ integers divide exactly in doubles). */
+  private[llm] def semAutoK(n: Long): Int =
+    math.max(SemAutoKMin.toLong,
+      math.min(SemAutoKMax.toLong, n / SemTargetCell)).toInt
+
+  /** [[semanticDedup]] with K DERIVED from the corpus (the registered
+    * production policy, closing the dial story): count the vectors
+    * (one bounded scalar job), set K = n/[[SemTargetCell]] clamped,
+    * train through the identical [[trainCentroidsK]] chain, and run
+    * the same within-cell candidate + exact-confirm kernel. Both
+    * engines compute the same formula — the oracle derives K as a
+    * scalar subquery over the same table — so the contract pins the
+    * POLICY, not a K constant: re-verified at sf0.01 (K=20) and sf0.1
+    * (K=80), the gate itself proves K moves with corpus size. */
+  def semanticDedupAuto(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+      .scratchCache() // count + IvfIters Lloyd rounds + both join sides
+    val k = semAutoK(e.count())
+    semanticPairsFrom(semanticAssignWith(e, trainCentroidsK(e, k)))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the same generator with K as the same clamped
+    * corpus-count formula, computed by DuckDB over the same rows. */
+  val semanticDedupAutoSql: String = semanticDedupSqlExpr(
+    s"SELECT GREATEST($SemAutoKMin, LEAST($SemAutoKMax, " +
+      s"CAST(FLOOR(count(*) / $SemTargetCell.0) AS BIGINT))) FROM emb")
 
   /** The recall audit the semantic trade demands: of the TRUE near-dup
     * pairs (exact cosine ≥ [[SemCosine]]), what fraction does the

@@ -158,6 +158,42 @@ object DocStream {
       .select("media_id", "ts", "grid")
   }
 
+  /** Streaming AUDIO admission gate (VERDICT r19 #4) — the clip twin of
+    * [[streamingMediaGate]], completing the payload symmetry: each
+    * arriving clip's 64-sample track is fingerprinted IN-ROW through
+    * the SAME 60-bit envelope dHash as the batch `audio_near_dedup`
+    * entry ([[graft.llm.Multimodal.audioEnvelope]] → moving 4-sample
+    * energies, [[graft.llm.Multimodal.dhashCol]] → gradient signs) and
+    * dropped when within Hamming ≤ [[graft.llm.Dedup.HamMax]] of ANY
+    * fingerprint in the static library — a requantized (lossy
+    * re-encode) re-upload never enters the corpus, where the
+    * exact-digest admission check passes it because every byte moved.
+    *
+    * Shape is the image gate verbatim: ZERO state, zero shuffle, no
+    * watermark — a stream-static broadcast ANTI join on the exact batch
+    * pair predicate (bit_count(xor) ≤ HamMax), so gate-dropped arrivals
+    * are precisely the members `audio_near_dedup` pairs against the
+    * same library (DocStreamSpec pair-tests this). The static side is
+    * one 8-byte fingerprint per library clip; past broadcast size the
+    * same band-sharded fallback applies. Admitted rows keep the input
+    * schema, so the gate composes in front of the in-horizon streams.
+    *
+    * Input schema: (media_id long, ts timestamp, sm array<int> — the
+    * decoded signed-16-bit samples, built upstream at ingest exactly
+    * where the batch library decodes them); `library` is a static
+    * (media_id, sm) frame. Append-mode. */
+  def streamingAudioGate(audio: DataFrame, library: DataFrame): DataFrame = {
+    def afp(sm: org.apache.spark.sql.Column) =
+      graft.llm.Multimodal.dhashCol(graft.llm.Multimodal.audioEnvelope(sm))
+    val libFp = broadcast(library.select(afp(col("sm")).as("lib_fp")))
+    audio
+      .select(col("media_id"), col("ts"), col("sm"), afp(col("sm")).as("fp"))
+      .join(libFp,
+        bit_count(col("fp").bitwiseXOR(col("lib_fp"))) <= Dedup.HamMax,
+        "left_anti")
+      .select("media_id", "ts", "sm")
+  }
+
   /** The wide-fingerprint form of [[streamingSimhashDedup]] — 120 bits
     * as two [[graft.functions.SimHashWord]] words, banded as 8 disjoint
     * 15-bit slices exactly like the batch `simhash_dedup_wide` kernel.

@@ -115,9 +115,46 @@ class DecontaminateSpec extends SparkSpec {
         explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
       .filter(col("split") =!= "test")
     val total = postings.count()
-    // graft_bloom_gate was registered by the entry execution above
-    val admitted = postings.filter(expr("graft_bloom_gate(s)")).count()
+    // build a fresh gate over the same bench set (the entry's own names
+    // are per-invocation and dropped before it returns — r20 de-race)
+    val bench = Sampling.hashSplitFrom(
+        Dedup.shinglesOf(Tables.documents(spark, sfDir)), col("doc_id"))
+      .select(col("split"),
+        explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
+      .filter(col("split") === "test").select("s").distinct()
+    val admitted = Decontaminate.withBloomGate(spark, bench) { gate =>
+      postings.filter(gate(col("s"))).count()
+    }
     assert(admitted < total / 2,
       s"gate admitted $admitted of $total postings — not pruning")
+    // the registry is left clean: every graft_bloom_* name was dropped
+    val leaked = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("graft_bloom"))
+    assert(leaked.isEmpty, s"bloom function names leaked: $leaked")
+  }
+
+  test("interleaved bloom gates on one session stay independent (per-call names)") {
+    import spark.implicits._
+    val setA = (1L to 50L).toDF("s")
+    val setB = (1000L to 1050L).toDF("s")
+    val probe = ((1L to 50L) ++ (1000L to 1050L)).toDF("s")
+    // both gates live at once, and A's gate COLUMN is materialized only
+    // after B's registration — under the pre-r20 shared names, B's
+    // createOrReplaceTempFunction would have rebound A's gate to B's
+    // filter bytes before A resolved
+    val (hitsA, hitsB) = Decontaminate.withBloomGate(spark, setA) { gateA =>
+      val colA = gateA(col("s")) // unresolved until the filter below
+      Decontaminate.withBloomGate(spark, setB) { gateB =>
+        (probe.filter(colA).collect().map(_.getLong(0)).toSet,
+          probe.filter(gateB(col("s"))).collect().map(_.getLong(0)).toSet)
+      }
+    }
+    // no false negatives: each gate admits its whole own set
+    assert((1L to 50L).forall(hitsA), "gate A lost members of its own set")
+    assert((1000L to 1050L).forall(hitsB), "gate B lost members of its own set")
+    // independence: each gate rejects (at least most of — Bloom fp tail)
+    // the other's set; a rebound gate would admit it wholesale
+    assert(hitsA.count(_ >= 1000L) < 10, s"gate A admits B's set: $hitsA")
+    assert(hitsB.count(_ < 1000L) < 10, s"gate B admits A's set: $hitsB")
   }
 }

@@ -700,4 +700,108 @@ class SimilaritySpec extends SparkSpec {
     // the globally minimal paired id is always its component's survivor
     assert(kept(paired.min), "min paired vec_id must be canonical")
   }
+
+  /** Deterministic synthetic corpus for the native-kernel parity proof:
+    * no RNG, every value a closed-form function of (id, dim), spread
+    * over magnitudes so 6dp-rounding ties and near-ties occur
+    * organically across 256 cells. */
+  private def syntheticVectors(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until n).map { id =>
+      (id.toLong, (0 until 64).map { d =>
+        math.sin(0.37 * id + 1.13 * d) + 0.25 * math.cos(2.9 * id * (d + 1))
+      })
+    }.toDF("vec_id", "ed").repartition(8)
+  }
+
+  test("native argmax_cell ≡ greatest chain on a planted adversarial model") {
+    import spark.implicits._
+    val e = (
+      (0 until 40).map { id =>
+        (id.toLong, (0 until 64).map(d =>
+          math.sin(0.7 * id + 0.31 * d)).toSeq)
+      } :+
+        // zero-norm vector: every csim NULL → chain falls through to the
+        // nid field → lowest cent_id
+        (998L, Seq.fill(64)(0.0)) :+
+        // the exact copy of centroid 9's direction (see below)
+        (999L, (0 until 64).map(d => 2.0 * math.cos(0.11 * d)).toSeq)
+      ).toDF("vec_id", "ed")
+    val base = (0 until 64).map(d => math.cos(0.11 * d))
+    val cents: IndexedSeq[(Long, Seq[Double])] = IndexedSeq(
+      (2L, (0 until 64).map(d => math.sin(0.19 * d)).toSeq),
+      // ids 5 and 9: cosine against vec 999 rounds to 1.0 for BOTH (id 5
+      // is a ~1e-9 perturbation, unrounded cosine < 1), so the 6dp tie
+      // must resolve to id 5 — an unrounded comparison would pick 9
+      (5L, base.updated(0, base.head + 1e-9)),
+      (9L, base),
+      // zero-norm centroid: its csim is NULL for every vector → never wins
+      (11L, Seq.fill(64)(0.0)),
+      // dimension-degenerate centroid: length mismatch → NULL → never wins
+      (13L, Seq.fill(8)(1.0)),
+      (17L, (0 until 64).map(d => math.cos(0.23 * d + 1.0)).toSeq))
+    def collectCells(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = collectCells(Similarity.argmaxCellLit(e, cents))
+    val chain = collectCells(Similarity.argmaxCellChain(e, cents))
+    assert(native == chain, {
+      val diff = native.keySet.filter(k => native(k) != chain(k))
+      s"disagreements: ${diff.toSeq.sorted.take(5).map(k => (k, chain(k), native(k)))}"
+    })
+    assert(native(998L) == 2L, "zero-norm vector must fall to the lowest cent_id")
+    assert(native(999L) == 5L, "6dp tie must resolve to the lowest cent_id")
+    // K=1 exercises the chain's packed.head special case on both sides
+    val one = cents.take(1)
+    assert(collectCells(Similarity.argmaxCellLit(e, one)) ==
+      collectCells(Similarity.argmaxCellChain(e, one)))
+    intercept[IllegalArgumentException] {
+      Similarity.argmaxCellLit(e, IndexedSeq.empty)
+    }
+  }
+
+  test("native argmax_cell ≡ greatest chain at K=256 on generated data") {
+    val e = syntheticVectors(4000).cache()
+    val cents: IndexedSeq[(Long, Seq[Double])] = (0 until 256).map { k =>
+      (k.toLong, (0 until 64).map { d =>
+        math.sin(0.53 * k + 0.07 * d) + 0.5 * math.cos(1.31 * k * (d + 1))
+      }.toSeq)
+    }.toIndexedSeq
+    val native = Similarity.argmaxCellLit(e, cents).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chain = Similarity.argmaxCellChain(e, cents).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.size == 4000)
+    assert(native == chain, {
+      val diff = native.keySet.filter(k => native(k) != chain(k))
+      s"${diff.size} disagreements, e.g. " +
+        diff.toSeq.sorted.take(5).map(k => (k, chain(k), native(k))).toString
+    })
+    assert(native.values.toSet.size > 64,
+      "degenerate fixture: assignments collapsed onto few cells")
+    e.unpersist()
+  }
+
+  test("semantic_dedup_auto: K derives from the corpus count and matches the fixed-K kernel at the matched K") {
+    // the policy formula itself (clamped floor division)
+    assert(Similarity.semAutoK(500L) == 20 && Similarity.semAutoK(2000L) == 80,
+      "policy drifted: the two verified scales must land on K=20/K=80")
+    assert(Similarity.semAutoK(10L) == Similarity.SemAutoKMin)
+    assert(Similarity.semAutoK(1000000L) == Similarity.SemAutoKMax)
+    // the registered entry equals the fixed-K kernel run at the derived K
+    val auto = Similarity.semanticDedupAuto(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val e = Tables.spread(Tables.embeddings(spark, sfDir))
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .select("vec_id", "ed")
+    val k = Similarity.semAutoK(e.count())
+    assert(k != Similarity.SemWideK && k != 8,
+      s"fixture corpus must exercise a K ($k) the fixed entries don't")
+    val fixed = Similarity.semanticPairsFrom(
+        Similarity.semanticAssignWith(e, Similarity.trainCentroidsK(e, k)))
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(auto.sameElements(fixed),
+      s"auto(${auto.length}) != fixed-K=$k(${fixed.length})")
+  }
 }

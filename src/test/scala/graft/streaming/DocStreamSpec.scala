@@ -384,6 +384,50 @@ class DocStreamSpec extends SparkSpec {
     } finally { query.stop(); lib.unpersist() }
   }
 
+  test("streaming audio gate drops exactly the batch pair set's arrivals, admits the novel") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // static library = the originals; the arrival stream replays every
+    // requantized re-encode (a lossy re-upload of library content — every
+    // byte differs, the envelope fingerprint survives) plus one novel clip
+    val lib = graft.llm.Multimodal.audioLibrary(spark, sfDir).cache()
+    val offset = graft.llm.Multimodal.ReencodeIdOffset
+    val staticLib = lib.filter(col("media_id") < offset)
+    val reuploads = lib.filter(col("media_id") >= offset)
+      .as[(Long, Seq[Int])].collect().toSeq
+      .map { case (id, sm) => (id, ts("2024-01-01 10:00:00"), sm) }
+    assert(reuploads.nonEmpty, "the corpus must contain audio re-encodes to replay")
+    // semantic anchor: the batch kernel's pair set over the same library —
+    // a re-encode the batch pairs with an ORIGINAL is exactly what the
+    // gate must refuse at ingest
+    val origIds = staticLib.select("media_id").as[Long].collect().toSet
+    val batchDrops = graft.llm.Multimodal.audioNearDedupFrom(lib)
+      .select("media_a", "media_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(id => id >= offset &&
+          Seq(a, b).exists(o => origIds(o)))
+      }.toSet
+    assert(batchDrops == reuploads.map(_._1).toSet,
+      "MultimodalSpec's invariant drifted: every re-encode pairs with an original")
+    // monotone-energy novel clip: gradients all-ones, far from every
+    // md5-derived library envelope fingerprint
+    val novel = (777777L, ts("2024-01-01 10:05:00"),
+      (0 until 64).map(i => i * 300 - 9600))
+    val source = MemoryStream[(Long, Timestamp, Seq[Int])]
+    val query = DocStream.streamingAudioGate(
+        source.toDF().toDF("media_id", "ts", "sm"), staticLib)
+      .writeStream.format("memory")
+      .queryName("audio_gate_test").outputMode("append").start()
+    try {
+      source.addData(reuploads :+ novel: _*)
+      query.processAllAvailable()
+      val admitted = spark.table("audio_gate_test")
+        .select("media_id").as[Long].collect().toSet
+      assert(admitted == Set(novel._1),
+        s"gate must drop exactly the batch pair set ($batchDrops), admitted $admitted")
+    } finally { query.stop(); lib.unpersist() }
+  }
+
   test("streaming chunk strip equals the batch apply kernel on the same corpus") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -66,6 +66,8 @@ TWINS = {
         "per-row dHash fingerprint over the decoded grid + the shared banded pair-stream body — a re-encoded re-upload is flagged at ingest where the digest check passes it"),
     "streamingMediaGate": (["media_near_apply"],
         "ingest drop gate: in-row dHash + broadcast anti-join against the static library fingerprint set on the exact batch Hamming predicate — zero state, zero shuffle; a re-encoded re-upload never enters the corpus"),
+    "streamingAudioGate": (["audio_near_dedup"],
+        "the clip twin of the media gate: in-row envelope dHash (same 60-bit batch fingerprint) + broadcast anti-join at Hamming ≤ HamMax against the static library — zero state, zero shuffle; a requantized re-upload never enters the corpus"),
     "streamingSimhashDedup": (["simhash_dedup"],
         "per-row native simhash_word fingerprint (no shuffle) + banded stream-stream self-join; state = in-horizon docs × 8 bands"),
     "streamingSimhashDedupWide": (["simhash_dedup_wide"],
