@@ -1194,6 +1194,16 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     var cur = vocab.select(col("cnt"),
       regexp_replace(col("w"), "(.)", TokO + "$1" + TokC).as("s")).scratchCache()
+    // deep-train cache discipline (r20, found by the 256-merge pricing
+    // probe at 25×): each round caches a NEW rewritten frame, so an
+    // R-round train would stack R vocab-sized caches and OOM long
+    // before a production 32k-merge depth. The round's pair-count
+    // collect fully materializes the CURRENT round's cache, after
+    // which the previous round's blocks are dead — release them there,
+    // keeping ≤ 2 resident regardless of depth (the standard iterative
+    // persist/unpersist discipline; RunScope's end-of-entry releaseAll
+    // still sweeps the final two, and double-unpersist is a no-op).
+    var prevCur: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     for (_ <- 1 to rounds if !done) {
@@ -1209,13 +1219,18 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
+      if (prevCur != null) prevCur.unpersist()
+      prevCur = cur
       if (top.isEmpty) done = true
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, n))
-        cur = cur.select(col("cnt"),
+        val next = cur.select(col("cnt"),
           replace(col("s"), lit(TokO + l + TokC + TokO + r + TokC),
-            lit(TokO + l + r + TokC)).as("s")).scratchCache()
+            lit(TokO + l + r + TokC)).as("s"))
+        // deep-train lineage truncation — see BpeCheckpointEvery
+        cur = if (merges.size % BpeCheckpointEvery == 0) next.localCheckpoint()
+          else next.scratchCache()
       }
     }
     import spark.implicits._
@@ -1275,6 +1290,25 @@ object TextAnalysis {
   private val BpeBatchRounds = 2
   private[llm] val BpeBatchWindow = BpeBatchK * 4
 
+  /** Lineage-truncation cadence for DEEP trains (r20, found by the
+    * 256-merge pricing probe at 25×): every round extends `cur`'s
+    * LOGICAL plan by one rewrite projection, so a deep train's plan
+    * grows linearly — and the plan-STRING that AQE's onUpdatePlan
+    * renders per executed job grows with it, going quadratic across
+    * rounds (the probe died in `QueryExecution.explainString` →
+    * StringBuilder OOM, with the data itself a comfortable few hundred
+    * MB). Caching bounds RECOMPUTE, not plan text; only lineage
+    * truncation bounds both. Every [[BpeCheckpointEvery]]-th round the
+    * trainers swap the cached frame for an eager `localCheckpoint()`
+    * (plan collapses to a LogicalRDD scan; blocks freed by the context
+    * cleaner as references retire), so plan depth — and with it
+    * analysis, optimization, and string cost per round — is O(cadence)
+    * regardless of train depth. Output-invariant: checkpointing only
+    * pins the same deterministic rows (prefix-stability across the
+    * boundary is spec-pinned). The registered entries never reach the
+    * cadence (2-16 rounds); this is the 32k-merge path's discipline. */
+  private[llm] val BpeCheckpointEvery = 8
+
   /** Dominance-free batch selection (shared rule, Spark side): from the
     * rank-ordered candidate window (n DESC, lhs, rhs), accept a candidate
     * iff its token FOOTPRINT {lhs, rhs, lhs+rhs} is disjoint from every
@@ -1333,6 +1367,11 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     var cur = vocab.select(col("cnt"),
       regexp_replace(col("w"), "(.)", TokO + "$1" + TokC).as("s")).scratchCache()
+    // same ≤2-resident-rounds cache discipline as the sequential
+    // trainer (see bpeTrainFrom) — at R/K rounds the batched trainer
+    // stacks K× fewer caches, but a 32k-merge depth still needs them
+    // released as the window collect retires each round
+    var prevCur: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (round <- 1 to rounds if !done) {
@@ -1350,17 +1389,22 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
         .limit(BpeBatchWindow).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (prevCur != null) prevCur.unpersist()
+      prevCur = cur
       val accepted = bpeSelectBatch(window, batchK)
       if (accepted.isEmpty) done = true
       else {
         merges ++= accepted.map { case (l, r, n) => (round, l, r, n) }
         // one rewrite projection applies the whole batch: the replaces
         // commute (footprint-disjoint), applied in rank order anyway
-        cur = cur.select(col("cnt"),
+        val next = cur.select(col("cnt"),
           accepted.foldLeft(col("s")) { case (c, (l, r, _)) =>
             replace(c, lit(TokO + l + TokC + TokO + r + TokC),
               lit(TokO + l + r + TokC))
-          }.as("s")).scratchCache()
+          }.as("s"))
+        // deep-train lineage truncation — see BpeCheckpointEvery
+        cur = if (round % BpeCheckpointEvery == 0) next.localCheckpoint()
+          else next.scratchCache()
       }
     }
     import spark.implicits._

@@ -299,6 +299,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bat.forall(_._2 == 1), "all four merges learned in round 1")
   }
 
+  test("deep bpe train is prefix-stable across the lineage-checkpoint boundary") {
+    import spark.implicits._
+    // a 12-round greedy train crosses BpeCheckpointEvery (=8), so rounds
+    // 9-12 run against a localCheckpoint'd frame; greedy selection is
+    // prefix-stable, so the first 7 merges must equal a 7-round train's
+    // (whose lineage never truncates) — any row moved/changed means the
+    // checkpoint perturbed the data it was only supposed to pin.
+    assert(TextAnalysis.BpeCheckpointEvery == 8, "fixture assumes cadence 8")
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val deep = TextAnalysis.bpeTrainFrom(spark, docs, rounds = 12)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val shallow = TextAnalysis.bpeTrainFrom(spark, docs, rounds = 7)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(deep.length == 12, s"corpus dried up early: ${deep.length}")
+    assert(deep.take(7) == shallow,
+      s"prefix drifted across the checkpoint boundary:\n$deep\nvs\n$shallow")
+    // and the batched trainer across its own boundary: 9 rounds × K=1 is
+    // the sequential rule, so its merges must equal the sequential 9
+    val bat = TextAnalysis.bpeTrainBatchedFrom(spark, docs, rounds = 9, batchK = 1)
+      .as[(Long, Int, String, String, Long)].collect().toSeq
+      .map { case (rk, _, l, r, n) => (rk, l, r, n) }
+    assert(bat == deep.take(9),
+      s"batched K=1 over the boundary must equal sequential:\n$bat\nvs\n$deep")
+  }
+
   test("batched bpe defers interacting candidates to the next round") {
     import spark.implicits._
     // "abc"×10 + "de"×5: round-1 candidates are (a,b)=10, (b,c)=10,
