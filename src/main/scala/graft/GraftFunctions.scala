@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, DotProduct, MinHashSig, MisraGries, NfcNormalize, PolyHash, SimHashWord, SquaredL2, TermCounts}
+import graft.functions.{ArgmaxCell, CharEntropy, CosineSimilarity, DotProduct, MinHashSig, MisraGries, NfcNormalize, PolyHash, SimHashWord, SquaredL2, TermCounts}
 
 /** THE single source of the native-function registrations (VERDICT r17
   * #8): one list of (identifier, info, builder) tuples consumed by BOTH
@@ -64,7 +64,10 @@ object GraftFunctions {
       2, args => MinHashSig(args.head, args(1))),
     fn("term_counts",
       "term_counts(arr) - per-row distinct-term occurrence counts: array<struct<term string, tf bigint>>, terms ascending",
-      1, args => TermCounts(args.head))) :+
+      1, args => TermCounts(args.head)),
+    fn("argmax_cell",
+      "argmax_cell(ed, ids, centroids) - id of the max-cosine centroid (6dp rounding, ties to lowest id); ids/centroids must be foldable literals",
+      3, args => ArgmaxCell(args.head, args(1), args(2)))) :+
     ((FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "misra_gries(col, k) - mergeable Misra-Gries heavy-hitters sketch (term -> estimate map)"),
