@@ -244,8 +244,18 @@ object Bench {
       quiet = if (degraded) readQuiet(quietPath, sfDir) else None,
       fullMap = out))
     val dg = if (degraded) ""","degraded":true""" else ""
+    // queries_min (r21, additive BENCH_OUT-only field): per-entry MIN
+    // across all measured passes — the contention-robust estimator the
+    // r20 verdict prescribed for adjudicating deltas on a host whose
+    // median carries ambient load (a slow outlier pass inflates median
+    // and spread; it cannot inflate the min). The reported total/queries
+    // stay the median methodology unchanged.
+    val mins = names.map { n =>
+      val xs = samples(n)
+      n -> (if (xs.isEmpty) -1.0 else xs.min)
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med, _.toString)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$dg,"spread_sec":${jmap(spreads, _.toString)},"spread_rel":${jmap(relByName, r3)},"noise":$noise}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med, _.toString)},"sf":"$sfDir","mode":"warm","n_queries":${med.size},"reps":$reps$dg,"spread_sec":${jmap(spreads, _.toString)},"spread_rel":${jmap(relByName, r3)},"queries_min":${jmap(mins, _.toString)},"total_min":${mins.map(_._2).filter(_ >= 0).sum},"noise":$noise}"""
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case _: Throwable => () }
     // Self-maintained quiet-canonical record: a NON-degraded full-suite
@@ -253,20 +263,31 @@ object Bench {
     // contended run's stdout surfaces as quiet_total — so a reader of a
     // degraded BENCH_rN.json alone cannot mistake contention for a
     // regression. Subset runs never overwrite it (their total is partial).
+    // the quiet record carries its own recording date (VERDICT r20 #6) so
+    // a later degraded run's quiet context is self-describing about age
     if (!degraded && sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
-      try Files.writeString(Paths.get(quietPath), full + "\n")
-      catch { case _: Throwable => () }
+      try {
+        val recorded = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+        Files.writeString(Paths.get(quietPath),
+          full.stripSuffix("}") + s""","recorded":"$recorded"}""" + "\n")
+      } catch { case _: Throwable => () }
     spark.stop()
   }
 
-  /** Reads (total, n_queries) from the last non-degraded full pass's
-    * artifact, if one exists AND it was measured at the same scale factor
-    * as the current run — a quiet record from a different sf would surface
-    * a baseline total that is not comparable to this run's numbers
-    * (quiet_n catches registry-size drift but not sf drift). Regex-minimal
-    * on purpose: the file is our own single-line JSON, and a parse failure
-    * must degrade to "no context", never crash the bench. */
-  private[graft] def readQuiet(path: String, sfDir: String): Option[(Double, Int)] =
+  /** Reads (total, n_queries, recorded-date) from the last non-degraded
+    * full pass's artifact, if one exists AND it was measured at the same
+    * scale factor as the current run — a quiet record from a different sf
+    * would surface a baseline total that is not comparable to this run's
+    * numbers (quiet_n catches registry-size drift but not sf drift). The
+    * recorded date (VERDICT r20 #6) makes a STALE quiet context
+    * self-describing: a reader of a degraded artifact alone can see the
+    * quiet number predates the current registry instead of mistaking it
+    * for a current-round baseline (records written before r21 carry no
+    * date — surfaced as absent, not faked). Regex-minimal on purpose: the
+    * file is our own single-line JSON, and a parse failure must degrade
+    * to "no context", never crash the bench. */
+  private[graft] def readQuiet(
+      path: String, sfDir: String): Option[(Double, Int, Option[String])] =
     try {
       val s = Files.readString(Paths.get(path))
       for {
@@ -274,7 +295,8 @@ object Bench {
         if sf == sfDir
         v <- """"value":([0-9.Ee+-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
         n <- """"n_queries":([0-9]+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
-      } yield (v, n)
+      } yield (v, n,
+        """"recorded":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1)))
     } catch { case _: Throwable => None }
 
   // Locale.ROOT: the f-interpolator delegates to the DEFAULT locale, so
@@ -400,7 +422,7 @@ object Bench {
   private[graft] def stdoutLine(
       med: Seq[(String, Double)], total: Double, sfDir: String,
       reps: Int, noise: String, degraded: Boolean = false,
-      quiet: Option[(Double, Int)] = None,
+      quiet: Option[(Double, Int, Option[String])] = None,
       fullMap: String = "bench_out.json"): String = {
     // failed queries carry median -1.0; exclude them from omitted_sec (they
     // would subtract a phantom second each and break the documented
@@ -418,8 +440,10 @@ object Bench {
     val dg =
       if (!degraded) ""
       else s""","degraded":true,"full_map":"$fullMap"""" +
-        quiet.map { case (v, n) =>
-          s""","quiet_total":${r1(v)},"quiet_n":$n""" }.getOrElse("")
+        quiet.map { case (v, n, rec) =>
+          s""","quiet_total":${r1(v)},"quiet_n":$n""" +
+            rec.map(d => s""","quiet_recorded":"$d"""").getOrElse("")
+        }.getOrElse("")
     def mk(qjson: String, omitted: Seq[Double]): String = {
       val om =
         if (omitted.isEmpty) ""

@@ -116,16 +116,26 @@ object CorpusPrep {
       .agg(min(col("doc_id")).as("doc_id"))
     val exact = gated.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
       .scratchCache()
+    // ONE full-corpus shingle pass (r21, guide §2.4 "remove passes"):
+    // stage 3 shingles its survivors and stage 4's fuzzy audit shingles
+    // the whole corpus — but a document's shingles depend only on its
+    // text, so the survivor frame IS the full-corpus frame semi-joined
+    // to survivor ids. Shingle once, cache, and let stage 3 filter it;
+    // the old shape paid the split+trigram+distinct chain twice.
+    val shAll = Sampling.hashSplitFrom(Dedup.shinglesOf(docs), col("doc_id"))
+      .select("doc_id", "split", "shingles")
+      .scratchCache() // read by: fuzzy bands + 2 confirm joins + stage-3 semi
     // stage 3: near-dup edge-greedy drop among survivors
+    val exactSh = shAll.join(exact.select("doc_id"), Seq("doc_id"), "left_semi")
     val ndPairs =
-      if (wideNearDup) Dedup.simhashDedupWideFrom(Dedup.shinglesOf(exact))
-      else Dedup.simhashDedupFrom(Dedup.shinglesOf(exact))
+      if (wideNearDup) Dedup.simhashDedupWideFrom(exactSh)
+      else Dedup.simhashDedupFrom(exactSh)
     val ndDrop = ndPairs.select(col("doc_b").as("doc_id")).distinct()
     val nd = exact.join(ndDrop, Seq("doc_id"), "left_anti").scratchCache()
     // stage 4: test split out; fuzzy-contaminated docs out
     val trainSide = Sampling.hashSplitFrom(nd, col("doc_id"))
       .filter(col("split") =!= "test")
-    val flagged = Decontaminate.decontaminateFuzzy(spark, dir)
+    val flagged = Decontaminate.decontaminateFuzzyFrom(shAll)
       .select("doc_id").distinct()
     val clean = trainSide.join(flagged, Seq("doc_id"), "left_anti")
       .select("doc_id", "split", "n_tokens", "quality_score")

@@ -220,12 +220,21 @@ object Decontaminate {
     * touch only candidate pairs (near-dup-sized). Recall: true
     * contaminants on this corpus sit at J ≥ 0.97, where the 16-band ×
     * 4-row miss probability is < 1e-15 (documented at [[Dedup]]). */
-  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Sampling.hashSplitFrom(
-      Dedup.shinglesOf(Tables.spread(Tables.documents(spark, dir))),
-      col("doc_id"))
-      .select("doc_id", "split", "shingles")
-      .scratchCache() // reused: bands + 2 confirm joins
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame =
+    decontaminateFuzzyFrom(
+      Sampling.hashSplitFrom(
+        Dedup.shinglesOf(Tables.spread(Tables.documents(spark, dir))),
+        col("doc_id"))
+        .select("doc_id", "split", "shingles")
+        .scratchCache()) // reused: bands + 2 confirm joins
+
+  /** The fuzzy kernel over a prepared — and, for reuse, already cached —
+    * (doc_id, split, shingles) frame. Factored out (r21) so composites
+    * that ALSO need a full-corpus shingle pass (corpus_prep's near-dup
+    * stage) can share ONE pass instead of shingling the corpus twice;
+    * the registered entry's plan is unchanged (it builds the same cached
+    * frame and delegates here). */
+  private[llm] def decontaminateFuzzyFrom(sh: DataFrame): DataFrame = {
     // split rides THROUGH the banding (minhashBands passes non-shingle
     // columns along), so the 16-rows-per-doc band stream never joins
     // back for a column the cached shingle frame already had

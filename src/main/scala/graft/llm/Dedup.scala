@@ -1643,6 +1643,14 @@ object Dedup {
       .agg(sum(micro6(col("w") * col("w"))).as("nsq6"))
       .select(col("doc_id"),
         sqrt(col("nsq6").cast("double") / lit(1e6)).as("nrm"))
+    // Self-join kept DELIBERATELY (r21 A/B, OPTIMIZATION_r21.md): the
+    // bounded-posting-list spelling (collect_list per term + in-row pair
+    // expansion, the ngramJaccardPairsFrom shape) halves the term-shuffle
+    // bytes on paper, but measured consistently ~3-8% SLOWER here across
+    // two paired reps=9 runs (min 3.13-3.17 s join vs 3.26-3.40 s lists)
+    // — at this kernel's candidate volume the list-build (buffer growth +
+    // sort_array per term) costs more than the sort-merge join it
+    // replaces, and the pair stream dominated neither way.
     val dots = w.as("a")
       .join(w.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
