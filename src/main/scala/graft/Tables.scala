@@ -51,4 +51,38 @@ object Tables {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
+
+  /** Target bytes per partition for [[sizedSpread]] — the advisory-
+    * partition-size class of constant (not a core count). */
+  val SizedSpreadTargetBytes: Long = 8L << 20
+
+  /** SIZE-DERIVED spread for small kernel-input frames that get cached
+    * and then re-read by many short jobs (Lloyd rounds, model collects,
+    * assignment + candidate joins): partitions = clamp(ceil(plan-stats
+    * bytes / [[SizedSpreadTargetBytes]]), 1, defaultParallelism).
+    *
+    * Replaces blanket `repartition(defaultParallelism)` at those sites
+    * (r21, guide §2: derive partitioning from input size, never a core
+    * constant): at bench scale the frames are hundreds of KB, so the
+    * blanket spread made EVERY downstream job schedule defaultParallelism
+    * near-empty tasks — per-entry seconds of pure scheduler overhead over
+    * an iterative kernel; at production scale the byte estimate exceeds
+    * the cap and this is exactly the old spread. Always a repartition
+    * (round-robin shuffle), so upstream scan/decode work keeps its own
+    * parallelism — only the cached layout is sized. Results are invariant:
+    * partitioning never changes what any kernel here computes (exact
+    * decimal aggregates, per-row projections, key-partitioned joins). */
+  def sizedSpread(df: DataFrame): DataFrame = {
+    val cap = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val p = ((bytes + SizedSpreadTargetBytes - 1) / SizedSpreadTargetBytes)
+      .min(BigInt(cap)).max(BigInt(1)).toInt
+    df.repartition(p)
+  }
+
+  /** Chain-friendly form: `frame.sizedSpread()` (the ScratchCacheOps
+    * pattern). */
+  implicit class SizedSpreadOps(private val df: DataFrame) extends AnyVal {
+    def sizedSpread(): DataFrame = Tables.sizedSpread(df)
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.RunScope.ScratchCacheOps
+import graft.Tables.SizedSpreadOps
 
 /** Benchmark decontamination — the audit every pretraining pipeline runs
   * before a training corpus ships (beyond-reference surface; builder
@@ -128,6 +129,11 @@ object Decontaminate {
     val ex = sh.select(col("doc_id"), col("split"),
         size(col("shingles")).cast("long").as("n_shingles"),
         explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
+      // size-derived cache layout (r21, Tables.sizedSpread; measured
+      // -32% on this entry's min in the paired A/B, OPTIMIZATION_r21.md:
+      // the filter-build + exact-confirm jobs re-read this cache, and a
+      // posting stream of tens of MB does not justify 32 partitions)
+      .sizedSpread()
       .scratchCache() // bench build + the gated train stream
     val bench = ex.filter(col("split") === "test").select("s").distinct()
       .scratchCache() // filter build + exact confirm

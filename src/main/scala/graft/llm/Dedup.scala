@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.RunScope.ScratchCacheOps
+import graft.Tables.SizedSpreadOps
 
 /** Near-duplicate detection over the `documents` corpus — the dedup family
   * a pretraining-data pipeline runs before training (beyond-reference
@@ -1187,6 +1188,12 @@ object Dedup {
   private[llm] def ngramJaccardPairsTouchingNew(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), col("is_new"), size(col("shingles")).as("n"),
         explode(expr("transform(shingles, s -> xxhash64(s))")).as("s"))
+      // size-derived cache layout (r21, Tables.sizedSpread): measured
+      // -11% on dedup_incremental's min; NOT applied to the full-kernel
+      // twin ngramJaccardPairsFrom, where the same A/B measured flat on
+      // ngram_jaccard_pairs/dedup_clusters and slightly worse on
+      // dedup_eval/containment (OPTIMIZATION_r21.md)
+      .sizedSpread()
       .scratchCache() // read twice: df head count + posting build
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")

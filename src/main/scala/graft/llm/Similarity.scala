@@ -8,6 +8,7 @@ import graft.Tables
 import graft.functions.{CosineSimilarity, DotProduct, SquaredL2}
 import graft.sources.Layout
 import graft.RunScope.ScratchCacheOps
+import graft.Tables.SizedSpreadOps
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
   * ArrayType(FloatType) 64-dim, label) — beyond-reference surface for a
@@ -662,7 +663,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
       .scratchCache()
     // The trained quantizer is a MODEL ARTIFACT of K ≤ 8 rows (bounded by
     // the compile-time constant, never by data size): train once per
@@ -839,7 +840,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
       .scratchCache()
     spark.createDataFrame(centroidArtifact(spark, dir, e))
       .toDF("cent_id", "ced")
@@ -1317,7 +1318,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
       .scratchCache()
     val cents = spark.createDataFrame(pqArtifact(spark, dir, e))
       .toDF("m", "cent_id", "ced")
@@ -1436,7 +1437,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
       .scratchCache()
     val cents = spark.createDataFrame(pqArtifact(spark, dir, e))
       .toDF("m", "cent_id", "ced")
@@ -1515,7 +1516,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
       .scratchCache()
     val ivfCents = spark.createDataFrame(centroidArtifact(spark, dir, e))
       .toDF("cent_id", "ced")
@@ -1631,7 +1632,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
       .scratchCache()
     val ivfCents = spark.createDataFrame(centroidArtifact(spark, dir, e))
       .toDF("cent_id", "ced")
@@ -1824,9 +1825,10 @@ object Similarity {
     * here so the oracle mirrors the exact centroid chain. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
-    val e = Tables.spread(Tables.embeddings(spark, dir))
+    val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
     semanticPairsFrom(semanticAssignFrom(spark, dir, e))
       .orderBy("doc_a", "doc_b")
   }
@@ -1877,9 +1879,10 @@ object Similarity {
     * candidate + exact-confirm kernel. */
   def semanticDedupK64(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
-    val e = Tables.spread(Tables.embeddings(spark, dir))
+    val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
     semanticPairsFrom(semanticAssignWith(e, trainCentroidsK(e, SemWideK)))
       .orderBy("doc_a", "doc_b")
   }
@@ -1923,9 +1926,10 @@ object Similarity {
     * (K=80), the gate itself proves K moves with corpus size. */
   def semanticDedupAuto(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
-    val e = Tables.spread(Tables.embeddings(spark, dir))
+    val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
       .scratchCache() // count + IvfIters Lloyd rounds + both join sides
     val k = semAutoK(e.count())
     semanticPairsFrom(semanticAssignWith(e, trainCentroidsK(e, k)))
@@ -1948,9 +1952,10 @@ object Similarity {
     * full truth). Emits ONE row (n_true, n_found, recall). */
   def semanticDedupRecall(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
-    val e = Tables.spread(Tables.embeddings(spark, dir))
+    val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
       .scratchCache() // probe side + candidate side + assignment
     val probes = e.filter(col("vec_id") < SemProbeN).limit(SemProbeN)
       .select(col("vec_id").as("p_id"), col("ed").as("ped"))
@@ -2009,9 +2014,10 @@ object Similarity {
     * the corpus streams map-only. */
   def semanticDedupApply(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
-    val e = Tables.spread(Tables.embeddings(spark, dir))
+    val e = Tables.embeddings(spark, dir)
       .withColumn("ed", col("embedding").cast("array<double>"))
       .select("vec_id", "ed")
+      .sizedSpread() // size-derived, not a core constant (r21; Tables.sizedSpread)
     val pairs = semanticPairsFrom(semanticAssignFrom(spark, dir, e))
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val drops = Dedup.connectedComponents(pairs)

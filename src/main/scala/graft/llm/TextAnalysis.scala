@@ -1192,8 +1192,12 @@ object TextAnalysis {
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    var cur = vocab.select(col("cnt"),
-      regexp_replace(col("w"), "(.)", TokO + "$1" + TokC).as("s")).scratchCache()
+    var cur = graft.Tables.sizedSpread(vocab.select(col("cnt"),
+      regexp_replace(col("w"), "(.)", TokO + "$1" + TokC).as("s"))).scratchCache()
+    // ^ size-derived cache layout (r21, Tables.sizedSpread): the vocab
+    // frame is tens of KB at bench scale, and every training round runs
+    // a full aggregate job over the cached partitions — a blanket
+    // 32-partition cache made each round schedule near-empty tasks
     // deep-train cache discipline (r20, found by the 256-merge pricing
     // probe at 25×): each round caches a NEW rewritten frame, so an
     // R-round train would stack R vocab-sized caches and OOM long
@@ -1365,8 +1369,12 @@ object TextAnalysis {
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    var cur = vocab.select(col("cnt"),
-      regexp_replace(col("w"), "(.)", TokO + "$1" + TokC).as("s")).scratchCache()
+    var cur = graft.Tables.sizedSpread(vocab.select(col("cnt"),
+      regexp_replace(col("w"), "(.)", TokO + "$1" + TokC).as("s"))).scratchCache()
+    // ^ size-derived cache layout (r21, Tables.sizedSpread): the vocab
+    // frame is tens of KB at bench scale, and every training round runs
+    // a full aggregate job over the cached partitions — a blanket
+    // 32-partition cache made each round schedule near-empty tasks
     // same ≤2-resident-rounds cache discipline as the sequential
     // trainer (see bpeTrainFrom) — at R/K rounds the batched trainer
     // stacks K× fewer caches, but a 32k-merge depth still needs them
