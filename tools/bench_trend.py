@@ -39,6 +39,23 @@ BEGIN = "<!-- BEGIN GENERATED bench trend (tools/bench_trend.py) -->"
 END = "<!-- END GENERATED bench trend -->"
 
 
+def load_quiet():
+    """The repo's own quiet-canonical record (bench_quiet.json) as the
+    LATEST trend point when it is newer than every BENCH_r* artifact:
+    Bench only writes it on a NON-degraded full-suite pass, it carries
+    the complete queries map (no stdout projection), and since r21 it is
+    dated ("recorded"). This lets the trend advance in rounds whose
+    driver artifact was degraded (r19-r20: two rounds with no usable
+    trend point despite quiet in-round records)."""
+    try:
+        d = json.load(open("bench_quiet.json"))
+        if d.get("sf") != SF or d.get("degraded") or "recorded" not in d:
+            return None
+        return (d["recorded"], d.get("queries", {}), d.get("value"))
+    except Exception:
+        return None
+
+
 def load_rounds():
     rounds = []
     for path in sorted(glob.glob("BENCH_r*.json")):
@@ -52,12 +69,19 @@ def load_rounds():
 
 def main():
     rounds = load_rounds()
-    if len(rounds) < 2:
+    quiet = load_quiet()
+    if len(rounds) + (1 if quiet else 0) < 2:
         print("not enough non-degraded rounds to trend")
         return 0
-    latest_rnd, latest_q, latest_total = rounds[-1]
+    if quiet is not None:
+        latest_rnd, latest_q, latest_total = quiet
+        latest_lbl = f"quiet {latest_rnd}"
+    else:
+        latest_rnd, latest_q, latest_total = rounds[-1]
+        latest_lbl = f"r{latest_rnd}"
+        rounds = rounds[:-1]
     hist = {}
-    for rnd, qs, _ in rounds[:-1]:
+    for rnd, qs, _ in rounds:
         for name, sec in qs.items():
             if sec >= 0:
                 hist.setdefault(name, []).append((rnd, sec))
@@ -76,9 +100,10 @@ def main():
         elif ratio < 1 / DRIFT_X:
             improve.append((ratio, name, sec, med, len(h)))
     totals = ", ".join(f"r{r}={t:.1f}s" for r, _, t in rounds)
-    lines.append(f"Non-degraded sf0.1 rounds: {totals}")
+    lines.append(f"Non-degraded sf0.1 rounds: {totals}; latest = "
+                 f"{latest_lbl} ({latest_total:.1f}s, full {len(latest_q)}-entry map)")
     lines.append("")
-    lines.append(f"| Entry | r{latest_rnd} sec | quiet median | × | history pts |")
+    lines.append(f"| Entry | {latest_lbl} sec | quiet median | × | history pts |")
     lines.append("|---|---|---|---|---|")
     for ratio, name, sec, med, n in sorted(regress, reverse=True):
         lines.append(f"| `{name}` ⚠ slower | {sec:.2f} | {med:.2f} | {ratio:.2f} | {n} |")
@@ -89,13 +114,13 @@ def main():
     report = "\n".join(lines)
     print(report)
     print(f"\n== {len(regress)} slower, {len(improve)} faster beyond {DRIFT_X}× "
-          f"(of {len(latest_q)} entries in r{latest_rnd}'s projection)")
+          f"(of {len(latest_q)} entries in {latest_lbl}'s map)")
 
     if "--scale" in sys.argv:
         src = open("SCALE.md").read()
         gen = "\n".join([
             BEGIN, "",
-            f"### Cross-round bench trend (generated — latest r{latest_rnd})",
+            f"### Cross-round bench trend (generated — latest {latest_lbl})",
             "",
             "Latest non-degraded round vs each entry's quiet median across",
             "prior non-degraded rounds; regenerate with",
