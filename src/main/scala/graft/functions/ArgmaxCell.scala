@@ -166,8 +166,18 @@ case class ArgmaxCell(ed: Expression, ids: Expression, cents: Expression)
       s"argmax_cell: ${k} ids but ${cData.numElements()} centroids")
     val sorted = (0 until k).map { i =>
       require(!cData.isNullAt(i), s"argmax_cell: null centroid at $i")
-      (idData.getLong(i), cData.getArray(i).toDoubleArray())
+      require(!idData.isNullAt(i), s"argmax_cell: null centroid id at $i")
+      val row = cData.getArray(i)
+      // ADVICE r20: toDoubleArray over an array with null ELEMENTS is
+      // ArrayData-implementation-defined (NPE or silent 0.0) — reject
+      // loudly; unreachable from internal callers (typedlit models), but
+      // the function is SQL-registered so arbitrary literals can arrive
+      require((0 until row.numElements()).forall(j => !row.isNullAt(j)),
+        s"argmax_cell: centroid $i contains null elements")
+      (idData.getLong(i), row.toDoubleArray())
     }.sortBy(_._1)
+    require(sorted.map(_._1).distinct.length == k,
+      "argmax_cell: duplicate centroid ids in the model")
     val norms = sorted.map { case (_, c) =>
       var nb = 0d
       var j = 0
